@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2) to ``(spark, sf_dir) -> DataFrame`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL per query for the driver's
+row-count + schema + value-hash comparison at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +12,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nr_rfc_dischargeobs_spark.plans import tpch
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: pricing summary (scan→filter→group→multi-agg)."""
+    return tpch.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "tpch_q1_pricing_summary": tpch.pricing_summary,
+        "tpch_q3_shipping_priority": tpch.shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
+    return {
+        "tpch_q1_pricing_summary": tpch.PRICING_SUMMARY_SQL,
+        "tpch_q3_shipping_priority": tpch.SHIPPING_PRIORITY_SQL,
+        "tpch_q5_local_supplier_volume": tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+    }
