@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nr_rfc_dischargeobs_spark.plans import tpch
+from nr_rfc_dischargeobs_spark.plans import events, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,9 +23,35 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
+        # relational core (S6 scans + joins + aggs)
         "tpch_q1_pricing_summary": tpch.pricing_summary,
         "tpch_q3_shipping_priority": tpch.shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
+        # projections / filters / predicates
+        "p1_p3_projection_timerange": events.projection_timerange,
+        "p2_semi_join_stations": events.semi_join_stations,
+        "p4_dict_remap": events.dict_remap,
+        "p6_numeric_validity": events.numeric_validity,
+        # joins
+        "j1_full_outer_qh_align": events.full_outer_qh_align,
+        "j2_union_conformed_sources": events.union_conformed_sources,
+        "j3_coalescing_upsert": events.coalescing_upsert,
+        "j4_scaffold_align_hours": events.scaffold_align_hours,
+        "j6_cross_join_scaffold": events.cross_join_scaffold,
+        "set_anti_join_new_stations": events.anti_join_new_stations,
+        # aggregations
+        "a1_hourly_rollup_last_override": events.hourly_rollup_last_override,
+        "a3_daily_rollup_chain": events.daily_rollup_chain,
+        "a4_dedup_5min_grid": events.dedup_5min_grid,
+        "a5_pivot_daily_wide": events.pivot_daily_wide,
+        "a8_last_valid_per_station": events.last_valid_per_station,
+        # windows
+        "w1_ffill_hourly_gaps": events.ffill_hourly_gaps,
+        "w2_suppress_repeat_labels": events.suppress_repeat_labels,
+        "w3_year_rollover_disambiguation": events.year_rollover_disambiguation,
+        # scalar functions + formula DSL
+        "fn_unit_conversion": events.unit_conversion,
+        "fn_formula_estimate": events.formula_estimate,
     }
 
 
@@ -35,4 +61,24 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": tpch.PRICING_SUMMARY_SQL,
         "tpch_q3_shipping_priority": tpch.SHIPPING_PRIORITY_SQL,
         "tpch_q5_local_supplier_volume": tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+        "p1_p3_projection_timerange": events.PROJECTION_TIMERANGE_SQL,
+        "p2_semi_join_stations": events.SEMI_JOIN_STATIONS_SQL,
+        "p4_dict_remap": events.DICT_REMAP_SQL,
+        "p6_numeric_validity": events.NUMERIC_VALIDITY_SQL,
+        "j1_full_outer_qh_align": events.FULL_OUTER_QH_ALIGN_SQL,
+        "j2_union_conformed_sources": events.UNION_CONFORMED_SOURCES_SQL,
+        "j3_coalescing_upsert": events.COALESCING_UPSERT_SQL,
+        "j4_scaffold_align_hours": events.SCAFFOLD_ALIGN_HOURS_SQL,
+        "j6_cross_join_scaffold": events.CROSS_JOIN_SCAFFOLD_SQL,
+        "set_anti_join_new_stations": events.ANTI_JOIN_NEW_STATIONS_SQL,
+        "a1_hourly_rollup_last_override": events.HOURLY_ROLLUP_LAST_OVERRIDE_SQL,
+        "a3_daily_rollup_chain": events.DAILY_ROLLUP_CHAIN_SQL,
+        "a4_dedup_5min_grid": events.DEDUP_5MIN_GRID_SQL,
+        "a5_pivot_daily_wide": events.PIVOT_DAILY_WIDE_SQL,
+        "a8_last_valid_per_station": events.LAST_VALID_PER_STATION_SQL,
+        "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
+        "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
+        "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,
+        "fn_unit_conversion": events.UNIT_CONVERSION_SQL,
+        "fn_formula_estimate": events.formula_estimate_sql(),
     }

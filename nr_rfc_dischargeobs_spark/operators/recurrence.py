@@ -1,0 +1,95 @@
+"""A2 — the rising/falling hourly rule, the engine's one genuine recurrence.
+
+Reference (``dischargeobs_write_xl.py:108-129``): the hourly stage value is
+the hourly MAX while the river is rising, and the LAST-in-hour observation
+while it is falling.  Implemented there as a sequential loop:
+
+    hrly_val = hrly_max            # ALIAS, not a copy (:123)
+    for i in 1..n:
+        if hrly_max[i] <= hrly_val[i-1]:   # reads the REWRITTEN prior value
+            hrly_val[i] = hrly_last[i]
+
+Because ``hrly_val`` aliases ``hrly_max``, the comparison at step i sees the
+already-overwritten value at i-1 — a true recurrence (output depends on prior
+output), not expressible as a window function.  We reproduce it exactly,
+alias semantics included, as a grouped-map Pandas UDF: partition by station,
+order by hour inside the group.  Each group is one station's hours (a year ≈
+8.8k rows — trivially in-memory), and groups run in parallel across
+executors, so the operator scales with station count, not history length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def rising_falling_recurrence_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-station recurrence on a pandas group — the exact reference loop
+    (``dischargeobs_write_xl.py:123-127``), vectorizable no further because
+    step i reads step i-1's *output*."""
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    vals = pdf["hrly_max"].to_numpy(copy=True)  # the alias target
+    last = pdf["hrly_last"].to_numpy()
+    maxs = pdf["hrly_max"].to_numpy()
+    for i in range(1, len(vals)):
+        # reference compares against vals[i-1] (possibly rewritten), and
+        # NaN comparisons are False → keep the max — both preserved here.
+        if maxs[i] <= vals[i - 1]:
+            vals[i] = last[i]
+    pdf["value"] = vals
+    return pdf[["station_id", "hour", "value"]]
+
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("station_id", StringType()),
+        StructField("hour", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def rising_falling(
+    hourly: DataFrame,
+    key: str = "station_id",
+    hour: str = "hour",
+    hrly_max: str = "hrly_max",
+    hrly_last: str = "hrly_last",
+) -> DataFrame:
+    """Apply the rising/falling rule per station.
+
+    Input: one row per (key, hour) with the hour's max and last observation
+    (produce with ``groupBy(key, date_trunc('hour', ts)).agg(max, max_by)``).
+    Output: (station_id, hour, value).
+    """
+    prepared = hourly.select(
+        F.col(key).cast("string").alias("station_id"),
+        F.col(hour).alias("hour"),
+        F.col(hrly_max).cast("double").alias("hrly_max"),
+        F.col(hrly_last).cast("double").alias("hrly_last"),
+    )
+    return prepared.groupBy("station_id").applyInPandas(
+        rising_falling_recurrence_pdf, schema=RESULT_SCHEMA
+    )
+
+
+def rising_falling_python(
+    maxs: list[float | None], lasts: list[float | None]
+) -> list[float | None]:
+    """Straight-Python port of the reference loop (test oracle only)."""
+    vals = list(maxs)
+    for i in range(1, len(vals)):
+        a, b = vals[i], vals[i - 1]
+        if a is not None and b is not None and a <= b:
+            vals[i] = lasts[i]
+    return vals

@@ -30,5 +30,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so Catalyst's column pruning and filter
     pushdown reach the scan — callers filter/select on the returned frame and
     the parquet reader only materializes what the plan needs.
+
+    TIMESTAMP(NANOS) columns arrive as nanosecond longs (see
+    ``spark.sql.legacy.parquet.nanosAsLong``) and are truncated to
+    microsecond timestamps here — the same nanos→micros truncation DuckDB
+    applies, so oracle comparisons agree exactly.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer division — double division would lose ulps above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

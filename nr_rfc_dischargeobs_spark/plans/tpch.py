@@ -4,8 +4,12 @@ driver tables.
 These exercise the engine's relational spine — the same scan→filter→join→agg
 shapes the hydrology pipeline uses (SURVEY.md §3), expressed declaratively so
 Catalyst handles pushdown, pruning, join selection, and AQE handles runtime
-re-planning.  Aggregate doubles are rounded (2 dp) so order-of-summation
-noise never shows up in cross-engine comparisons.
+re-planning.
+
+Money/quantity aggregates follow the integer-exact discipline
+(``functions/exact.py``): scale 2-decimal doubles to BIGINT, sum exactly,
+divide once — results are bit-identical across engines, shuffle layouts, and
+AQE re-plans, with no output rounding needed.
 """
 
 from __future__ import annotations
@@ -13,49 +17,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import exact
 from . import load
+
+
+def _scaled_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        exact.scaled(F.col("l_quantity")).alias("q100"),
+        exact.scaled(F.col("l_extendedprice")).alias("p100"),
+        exact.scaled(F.col("l_discount")).alias("d100"),
+        exact.scaled(F.col("l_tax")).alias("t100"),
+    )
+
+
+def _rev():
+    """Revenue in scaled-integer space: p100 * (100 - d100), exact BIGINT.
+    (A function because Columns can't be built before the session exists.)"""
+    return F.col("p100") * (F.lit(100) - F.col("d100"))
+
+
+_REV_SQL = (
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+)
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem.
 
-    Scan → filter → groupBy → multi-agg.  Whole plan stays in whole-stage
-    codegen; the shipdate predicate and 7-column projection push down to the
-    parquet scan.  At 100 TB this is one wide scan + one shuffle on a
-    low-cardinality key (|flag × status| ≈ 6) with map-side partial
-    aggregation doing nearly all the reduction.
+    Scan → filter → groupBy → multi-agg.  The shipdate predicate and column
+    projection push down to the parquet scan; the shuffle key has ~6 distinct
+    values so map-side partial aggregation does nearly all the reduction —
+    at 100 TB this plan moves a few KB per task through the shuffle.
     """
-    lineitem = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    charge = _rev() * (F.lit(100) + F.col("t100"))
+    n = F.count(F.lit(1))
     return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        _scaled_lineitem(spark, sf_dir)
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            exact.sum_scaled("q100").alias("sum_qty"),
+            exact.sum_scaled("p100").alias("sum_base_price"),
+            exact.sum_scaled(_rev(), 10000).alias("sum_disc_price"),
+            exact.sum_scaled(charge, 1000000).alias("sum_charge"),
+            (exact.sum_scaled("q100") / n).alias("avg_qty"),
+            (exact.sum_scaled("p100") / n).alias("avg_price"),
+            (exact.sum_scaled("d100") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-PRICING_SUMMARY_SQL = """
+PRICING_SUMMARY_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 2) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 2) AS avg_price,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS sum_disc_price,
+  CAST(SUM({_REV_SQL} * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,9 +98,9 @@ ORDER BY l_returnflag, l_linestatus
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join + group + top-N revenue.
 
-    customer is tiny relative to orders/lineitem → broadcast hint keeps the
-    first join shuffle-free; orders⋈lineitem shuffles on orderkey once and
-    the groupBy reuses that partitioning (no second shuffle of the big side).
+    customer is tiny relative to orders/lineitem → broadcast hint keeps that
+    join shuffle-free; orders⋈lineitem shuffles on orderkey once and the
+    groupBy on (l_orderkey, ...) reuses that partitioning.
     """
     customer = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -77,28 +108,25 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
-    lineitem = load(spark, sf_dir, "lineitem").filter(
+    lineitem = _scaled_lineitem(spark, sf_dir).filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(
-            orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner"
-        )
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(exact.sum_scaled(_rev(), 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
 
-SHIPPING_PRIORITY_SQL = """
+SHIPPING_PRIORITY_SQL = f"""
 SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -113,11 +141,8 @@ LIMIT 10
 
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: 5-way star join (region→nation→customer/supplier) +
-    revenue by nation.
-
-    region/nation/supplier/customer are dimensions → broadcast; only
-    orders⋈lineitem is a real shuffle.  The c_nationkey = s_nationkey
-    "local supplier" predicate is an extra equi-condition, not a theta join.
+    revenue by nation.  Dimensions broadcast; only orders⋈lineitem is a real
+    shuffle, so the plan is one big-table pass at any scale.
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -127,8 +152,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
-    lineitem = load(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    lineitem = _scaled_lineitem(spark, sf_dir)
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -140,15 +164,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(exact.sum_scaled(_rev(), 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
-LOCAL_SUPPLIER_VOLUME_SQL = """
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
 SELECT
   n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

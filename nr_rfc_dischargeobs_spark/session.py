@@ -50,6 +50,11 @@ def get_spark(
         # Partition discovery + pruning on the hive-layout observation store.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Some upstream writers emit TIMESTAMP(NANOS) parquet (e.g. pandas
+        # ns-precision); Spark has no nanos type, so read them as long and
+        # convert at the scan edge (plans/__init__.py::load truncates to
+        # micros, matching DuckDB's own nanos→micros truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # local[] has no dedicated driver; keep result transfers bounded.
         .config("spark.driver.maxResultSize", "2g")

@@ -1,0 +1,215 @@
+"""Unit tests for the core operator library on small synthetic frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark.operators import (
+    align,
+    conform,
+    recurrence,
+    rollup,
+    upsert,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- conform
+
+
+def test_round_to_grid_nearest(spark):
+    df = spark.createDataFrame(
+        [
+            (ts("2024-01-01 00:02:29"),),  # below half → down
+            (ts("2024-01-01 00:02:30"),),  # exactly half → up (pandas round)
+            (ts("2024-01-01 00:07:31"),),  # above half → up
+        ],
+        ["t"],
+    )
+    out = [r[0] for r in df.select(conform.round_to_grid(F.col("t"))).collect()]
+    assert out == [
+        ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:05:00"),
+        ts("2024-01-01 00:10:00"),
+    ]
+
+
+def test_dedup_keep_first_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [("s1", 1, 10.0), ("s1", 2, 20.0), ("s1", 3, 30.0), ("s2", 4, 40.0)],
+        ["station", "file_order", "value"],
+    ).withColumn("slot", F.lit("x"))
+    out = conform.dedup_keep_first(df, ["station", "slot"], "file_order")
+    rows = {r["station"]: r["value"] for r in out.collect()}
+    assert rows == {"s1": 10.0, "s2": 40.0}
+
+
+def test_unit_conversion_matches_reference_constants(spark):
+    df = spark.createDataFrame([(35.3147,), (3.28084,)], ["v"])
+    out = df.select(
+        conform.convert_units(F.col("v"), conform.CFS_TO_CMS).alias("cms")
+    ).collect()
+    assert out[0]["cms"] == 1.0
+
+
+# ---------------------------------------------------------------- rollup
+
+
+def _obs(spark):
+    rows = [
+        # station A: hour 0 has 3 obs, hour 1 has 2 obs (final hour)
+        ("A", ts("2024-01-01 00:05:00"), 10.0, 1),
+        ("A", ts("2024-01-01 00:10:00"), 20.0, 2),
+        ("A", ts("2024-01-01 00:15:00"), 30.0, 3),
+        ("A", ts("2024-01-01 01:05:00"), 40.0, 4),
+        ("A", ts("2024-01-01 01:10:00"), 50.0, 5),
+        # station B: single hour
+        ("B", ts("2024-01-01 00:59:00"), 7.0, 6),
+    ]
+    return spark.createDataFrame(rows, ["station", "t", "value", "seq"])
+
+
+def test_hourly_rollup_mean_and_last(spark):
+    out = rollup.hourly_rollup(_obs(spark), "station", "t", "value", "seq")
+    d = {(r["station"], r["hour"].hour): r for r in out.collect()}
+    assert d[("A", 0)]["avg_value"] == 20.0
+    assert d[("A", 0)]["last_value"] == 30.0
+    assert d[("A", 1)]["n_obs"] == 2
+
+
+def test_hourly_final_override_uses_last_not_mean(spark):
+    out = rollup.hourly_rollup_with_final_override(
+        _obs(spark), "station", "t", "value", "seq"
+    )
+    d = {(r["station"], r["hour"].hour): r["value"] for r in out.collect()}
+    assert d[("A", 0)] == 20.0  # mean (not final hour)
+    assert d[("A", 1)] == 50.0  # final hour → last obs, not mean 45.0
+    assert d[("B", 0)] == 7.0
+
+
+def test_daily_rollup_last_day_override(spark):
+    hourly = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 00:00:00"), 10.0),
+            ("A", ts("2024-01-01 01:00:00"), 20.0),
+            ("A", ts("2024-01-02 00:00:00"), 30.0),
+            ("A", ts("2024-01-02 01:00:00"), 50.0),  # last day → last value
+        ],
+        ["station", "hour", "value"],
+    )
+    out = rollup.daily_rollup_with_last_day_override(hourly, "station")
+    d = {r["day"].day: r["value"] for r in out.collect()}
+    assert d[1] == 15.0  # mean
+    assert d[2] == 50.0  # last-day override: last hourly value, not mean 40
+
+
+# ---------------------------------------------------------------- upsert
+
+
+def test_coalesce_upsert_existing_wins(spark):
+    existing = spark.createDataFrame(
+        [(ts("2024-01-01 00:00:00"), 1.0, None)],
+        "t timestamp, s1 double, s2 double",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (ts("2024-01-01 00:00:00"), 99.0, 2.0),  # s1 clash: existing wins
+            (ts("2024-01-01 00:05:00"), 3.0, 4.0),  # new key: extends
+        ],
+        ["t", "s1", "s2"],
+    )
+    out = upsert.coalesce_upsert_wide(existing, incoming, ["t"])
+    d = {r["t"]: (r["s1"], r["s2"]) for r in out.collect()}
+    assert d[ts("2024-01-01 00:00:00")] == (1.0, 2.0)  # hole filled, 1.0 kept
+    assert d[ts("2024-01-01 00:05:00")] == (3.0, 4.0)
+
+
+def test_coalesce_upsert_incoming_wins_flag(spark):
+    existing = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    incoming = spark.createDataFrame([(1, 2.0)], ["k", "v"])
+    out = upsert.coalesce_upsert_wide(
+        existing, incoming, ["k"], existing_wins=False
+    )
+    assert out.collect()[0]["v"] == 2.0
+
+
+def test_priority_upsert_long(spark):
+    existing = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, None)], ["station", "slot", "value"]
+    )
+    incoming = spark.createDataFrame(
+        [("A", 1, 99.0), ("A", 2, 20.0), ("A", 3, 30.0)],
+        ["station", "slot", "value"],
+    )
+    out = upsert.priority_upsert_long(
+        [existing, incoming], ["station", "slot"]
+    )
+    d = {r["slot"]: r["value"] for r in out.collect()}
+    assert d == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+# ---------------------------------------------------------------- align
+
+
+def test_time_spine_inclusive_bounds(spark):
+    spine = align.time_spine(
+        spark, "2024-01-01 00:00:00", "2024-01-01 03:00:00", "1 hour"
+    )
+    assert spine.count() == 4
+
+
+def test_ffill_with_bound(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", 1, 10.0),
+            ("A", 2, None),
+            ("A", 3, None),
+            ("B", 1, None),  # leading null stays null
+        ],
+        ["station", "seq", "value"],
+    )
+    out = align.ffill(
+        df, "station", "seq", "value", out_col="filled",
+        bound=F.col("seq") <= 2,
+    )
+    d = {(r["station"], r["seq"]): r["filled"] for r in out.collect()}
+    assert d[("A", 2)] == 10.0
+    assert d[("A", 3)] is None  # beyond bound: not filled
+    assert d[("B", 1)] is None
+
+
+# ---------------------------------------------------------------- A2
+
+
+def test_rising_falling_matches_python_port(spark):
+    maxs = [5.0, 6.0, 6.0, 4.0, 7.0, 7.0, 2.0]
+    lasts = [5.0, 5.5, 4.5, 3.5, 7.0, 6.0, 1.5]
+    hours = [ts(f"2024-01-01 0{i}:00:00") for i in range(7)]
+    df = spark.createDataFrame(
+        [("S", h, m, l) for h, m, l in zip(hours, maxs, lasts)],
+        ["station_id", "hour", "hrly_max", "hrly_last"],
+    )
+    out = recurrence.rising_falling(df)
+    got = [
+        r["value"]
+        for r in sorted(out.collect(), key=lambda r: r["hour"])
+    ]
+    want = recurrence.rising_falling_python(maxs, lasts)
+    assert got == want
+    # the alias bug: step 2 compares against the REWRITTEN 5.5, not max 6.0
+    assert want[2] == 4.5
+
+
+def test_rising_falling_alias_semantics_differ_from_copy(spark):
+    # A copy-based (non-alias) implementation would compare max[i] to max[i-1]
+    # and yield a different answer on this series — guard against "fixing" it.
+    maxs = [10.0, 9.0, 8.5]
+    lasts = [10.0, 7.0, 8.0]
+    # alias: step1 falls → val=7.0; step2 max 8.5 > 7.0 → keeps 8.5
+    assert recurrence.rising_falling_python(maxs, lasts) == [10.0, 7.0, 8.5]
