@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nr_rfc_dischargeobs_spark.plans import events, tpch
+from nr_rfc_dischargeobs_spark.plans import events, extensions, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,6 +52,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar functions + formula DSL
         "fn_unit_conversion": events.unit_conversion,
         "fn_formula_estimate": events.formula_estimate,
+        # extensions: dedup (§2.10)
+        "ext_dedup_exact_clusters": extensions.dedup_exact_clusters,
+        "ext_dedup_minhash_signatures": extensions.dedup_minhash_signatures,
+        "ext_dedup_lsh_pairs": extensions.dedup_lsh_pairs,
+        "ext_dedup_simhash": extensions.dedup_simhash,
+        "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
+        "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
+        # extensions: similarity search
+        "ext_sim_cosine_topk": extensions.sim_cosine_topk,
+        "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
+        # extensions: text analysis
+        "ext_text_token_counts": extensions.text_token_counts,
+        "ext_text_quality_scores": extensions.text_quality_scores,
+        "ext_text_lang_id": extensions.text_lang_id,
+        "ext_text_fingerprint": extensions.text_fingerprint,
+        # extensions: multimodal
+        "ext_mm_blob_stats": extensions.mm_blob_stats,
+        "ext_mm_frame_sample": extensions.mm_frame_sample,
+        "ext_mm_decode_features": extensions.mm_decode_features,
     }
 
 
@@ -81,4 +100,19 @@ def oracle_sql() -> dict[str, str]:
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,
         "fn_unit_conversion": events.UNIT_CONVERSION_SQL,
         "fn_formula_estimate": events.formula_estimate_sql(),
+        "ext_dedup_exact_clusters": extensions.DEDUP_EXACT_CLUSTERS_SQL,
+        "ext_dedup_minhash_signatures": extensions.DEDUP_MINHASH_SIGNATURES_SQL,
+        "ext_dedup_lsh_pairs": extensions.DEDUP_LSH_PAIRS_SQL,
+        "ext_dedup_simhash": extensions.DEDUP_SIMHASH_SQL,
+        "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,
+        "ext_dedup_embedding_neardup": extensions.DEDUP_EMBEDDING_NEARDUP_SQL,
+        "ext_sim_cosine_topk": extensions.SIM_COSINE_TOPK_SQL,
+        "ext_sim_lsh_bucketed_topk": extensions.SIM_LSH_BUCKETED_TOPK_SQL,
+        "ext_text_token_counts": extensions.TEXT_TOKEN_COUNTS_SQL,
+        "ext_text_quality_scores": extensions.TEXT_QUALITY_SCORES_SQL,
+        "ext_text_lang_id": extensions.text_lang_id_sql(),
+        "ext_text_fingerprint": extensions.TEXT_FINGERPRINT_SQL,
+        "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
+        "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,
+        # ext_mm_decode_features: intentionally no oracle (Python codec stub)
     }

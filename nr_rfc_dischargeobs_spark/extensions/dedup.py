@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are built from native expressions (md5, split, explode, groupBy) — no
+Python in the data path.  Hash functions are md5-based so every engine
+computes identical signatures (md5 is bytewise-portable; lexicographic min
+over hex strings is a valid min-hash family).
+
+Scale notes (100 TB corpus):
+- exact dedup is a single groupBy on a 16-byte fingerprint — shuffle payload
+  is |docs| × ~50 B regardless of document size (fingerprint computed at the
+  scan, text never shuffled);
+- MinHash bands turn near-dup search from O(n²) into |bucket|² within
+  buckets: the band join shuffles on (band, signature), and skewed buckets
+  (a viral boilerplate string) are exactly the AQE skew-join case;
+- SimHash reduces each doc to a 16-bit integer; collision grouping is a
+  trivial groupBy.  Widen to 64-bit by taking 16 hex chars when real
+  corpora need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def exact_clusters(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct content,
+    with the cluster size and the keeper (min id)."""
+    return (
+        docs.select(F.md5(F.col(text)).alias("fingerprint"), F.col(doc_id))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(doc_id).alias("keep_doc_id"),
+        )
+    )
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens of lowercased text (shared by all dedup ops)."""
+    return F.split(F.lower(text_col), " ")
+
+
+def shingle_rows(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id", n: int = 1
+) -> DataFrame:
+    """(doc_id, shingle) rows — distinct word n-grams, exploded."""
+    if n == 1:
+        sh = F.array_distinct(tokens(F.col(text)))
+    else:
+        sh = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(lower({text}), ' ')) - {n - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(split(lower({text}), ' '), i, {n})))"
+            )
+        )
+    return docs.select(F.col(doc_id), F.explode(sh).alias("shingle"))
+
+
+def band_hash(band: int, shingle: Column) -> Column:
+    """Hash of a shingle under band seed ``band`` — md5 hex string; the
+    lexicographic MIN over a doc's shingles is its min-hash for that band."""
+    return F.md5(F.concat(F.lit(f"{band}|"), shingle))
+
+
+def minhash_signatures(
+    shingles: DataFrame, bands: int = 4, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Per-doc min-hash signature, one column per band (``mh0..mh{b-1}``).
+
+    One groupBy over the shingle rows computes every band's min at once —
+    bands add agg expressions, not passes.
+    """
+    aggs = [
+        F.min(band_hash(b, F.col("shingle"))).alias(f"mh{b}")
+        for b in range(bands)
+    ]
+    return shingles.groupBy(doc_id).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band's signature (r=1
+    banding).  Unpivot signatures to (band, sig) rows, self-join on equality
+    — the join key is the bucket, so work is Σ|bucket|², never n²."""
+    long_ = signatures.unpivot(
+        [doc_id], [f"mh{b}" for b in range(bands)], "band", "sig"
+    )
+    a = long_.select(
+        F.col(doc_id).alias("doc_a"), F.col("band"), F.col("sig")
+    )
+    b = long_.select(
+        F.col(doc_id).alias("doc_b"), F.col("band"), F.col("sig")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash from md5 nibbles of each (frequency-weighted) token.
+
+    bit b reads nibble ``b div 4`` of md5(token); contribution is +1/-1 by
+    bit ``b mod 4`` of that nibble; the sign of the summed contribution sets
+    the output bit.  Pure integer expressions → identical in any engine.
+    """
+    tok = docs.select(
+        F.col(doc_id), F.explode(tokens(F.col(text))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    bits = tok.select(
+        doc_id,
+        "h",
+        F.explode(F.expr("sequence(0, 15)")).alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.expr(
+            f"2 * ((CAST(instr('{HEX}', substr(h, CAST(bit div 4 AS INT) + 1, 1)) AS INT) - 1)"
+            " div shiftleft(1, CAST(bit % 4 AS INT)) % 2) - 1"
+        ),
+    )
+    return (
+        bits.groupBy(doc_id, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(doc_id)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(1, bit)")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """Word/n-gram Jaccard similarity pairs ≥ threshold.
+
+    |A∩B| via self-join on shared shingles (bucketed by shingle — never a
+    cross product), |A∪B| = |A|+|B|−|A∩B|; the ratio is one exact int
+    division.  At corpus scale, run *after* LSH candidate generation; this
+    direct form is the verifier / small-partition path.
+    """
+    sh = shingle_rows(docs, text, doc_id, n)
+    sizes = sh.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(doc_id).alias("doc_a"), "shingle")
+    b = sh.select(F.col(doc_id).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(
+        F.col(doc_id).alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sz_b = sizes.select(
+        F.col(doc_id).alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    )
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (SURVEY.md §2.10):
+- brute-force cosine top-k — the exact baseline: queries × corpus with the
+  dot product as a generated expression.  Correct at any k; cost |Q|×|C|,
+  so keep |Q| bounded or pre-filter the corpus.
+- LSH-bucketed ANN — the scale path: a sign-bit sketch of the leading
+  dimensions buckets the corpus; search only within the query's bucket.
+  The join key is the bucket (equality), so the shuffle is bucket-sized and
+  the corpus side can be pre-partitioned/bucketed by sketch for reuse
+  across query batches.
+
+Embeddings are quantized to scaled BIGINTs first (×1e5 — well below float32
+noise at unit scale): integer dot products and norms are exact and
+order-independent, so cosine scores are bit-identical across engines,
+partitionings, and AQE re-plans (``functions/exact.py`` discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 100000
+
+
+def quantized(emb: Column, quant: int = QUANT) -> Column:
+    """array<float> → array<bigint> at fixed scale (exact in both worlds)."""
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * quant, 0).cast("long")
+    )
+
+
+def sq_norm(q: Column) -> Column:
+    """Σ eᵢ² over a quantized array — exact BIGINT fold."""
+    return F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(dot_col: Column, na: Column, nb: Column) -> Column:
+    """dot/(√na·√nb) — three exact ints in, one deterministic double out."""
+    return dot_col.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def prepare(
+    emb: DataFrame, vec_id: str = "vec_id", embedding: str = "embedding"
+) -> DataFrame:
+    """(vec_id, q, n): quantized vector + squared norm, computed once."""
+    return emb.select(
+        F.col(vec_id), quantized(F.col(embedding)).alias("q")
+    ).withColumn("n", sq_norm(F.col("q")))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    queries/corpus are ``prepare`` outputs.  The corpus side is broadcast
+    when it fits (typical for a re-ranking stage); otherwise Spark picks a
+    shuffle plan for the cross join and the window does a per-query top-k
+    with partial ordering map-side.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def sign_bucket(q: Column, bits: int = 4) -> Column:
+    """Sign-bit sketch of the leading ``bits`` dimensions → bucket id
+    [0, 2^bits).  A random-hyperplane LSH specialization (axis-aligned
+    planes) — deterministic and engine-portable.
+    """
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(q, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, bits: int = 4
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's sign-sketch bucket.
+
+    Recall is tunable via ``bits`` (fewer bits → bigger buckets → higher
+    recall/cost); multi-probe (querying neighboring buckets) is the standard
+    extension.  The equality join on ``bucket`` keeps cost Σ|bucket_q|×|bucket_c|.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n").alias("qn"),
+        sign_bucket(F.col("q"), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+        sign_bucket(F.col("q"), bits).alias("bucket"),
+    )
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    prepared: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold over all pairs
+    (verifier-scale; route through ``lsh_bucketed_topk`` buckets first at
+    corpus scale)."""
+    a = prepared.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n").alias("na"),
+    )
+    b = prepared.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(
+                dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (SURVEY.md §2.10).
+
+Everything is a generated expression over ``split``/``regexp``/array lambdas
+— JVM-side, whole-stage codegen, no Python.  Ratios divide exact integer
+counts, so scores are engine-portable doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword-hit heuristic;
+# deliberately tiny — the operator shape (score → argmax) is the point,
+# swap in real frequency tables for production corpora.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "los", "de", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "de"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker set — `size(filter(tokens, ...))`."""
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return F.size(
+        F.filter(
+            _tokens(text),
+            lambda w: F.arrays_overlap(
+                F.array(w), F.expr(f"array({arr})")
+            ),
+        )
+    )
+
+
+def lang_id(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Language-ID heuristic: stopword-hit score per language, argmax with
+    deterministic alphabetical tie-break (ties → first language code)."""
+    scored = docs.select(
+        F.col(doc_id),
+        F.col(text),
+        *[
+            marker_hits(F.col(text), LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    # reversed so the FIRST language alphabetically wins ties
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        doc_id,
+        *[f"s_{lang}" for lang in langs],
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("predicted"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Quality features: word/char counts, uniqueness ratio, mean word
+    length, punctuation count, stopword ratio — the standard pre-training
+    filter signals, all exact-count based."""
+    toks = _tokens(F.col(text))
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text))
+    n_punct = F.length(
+        F.regexp_replace(F.col(text), r"[^.,;:!?'\"()-]", "")
+    )
+    stop_hits = marker_hits(F.col(text), LANG_MARKERS["en"])
+    return docs.select(
+        F.col(doc_id),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_words).alias("uniq_ratio"),
+        ((n_chars - n_words + 1).cast("double") / n_words).alias(
+            "mean_word_len"
+        ),
+        n_punct.alias("n_punct"),
+        (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other-glyphs) — the usual quick
+    estimate of LLM token cost."""
+    ws = F.size(F.split(F.col(text), r"\s+"))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.col(text), F.lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"), 0
+        )
+    )
+    return docs.select(
+        F.col(doc_id),
+        ws.alias("ws_tokens"),
+        bpe_ish.alias("re_tokens"),
+        F.length(F.col(text)).alias("n_chars"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Normalized content fingerprint: lowercase, collapse whitespace, strip
+    punctuation, md5 — robust to formatting-only edits (the md5-of-normalized
+    stand-in for a rolling content hash)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text)), r"[^a-z0-9\s]", ""),
+        r"\s+",
+        " ",
+    )
+    return docs.select(
+        F.col(doc_id), F.md5(F.trim(norm)).alias("fingerprint")
+    )

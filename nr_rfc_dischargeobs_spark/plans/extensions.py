@@ -1,0 +1,360 @@
+"""Extension-operator plans (SURVEY.md §2.10) on ``documents``/``embeddings``
+with DuckDB oracle twins.
+
+Shared determinism rules: md5-based hashing (bytewise portable), integer
+counts, and quantized-integer dot products (``extensions/similarity.py``) —
+so every score column is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import dedup, multimodal, similarity, text as textops
+from . import load
+
+# ---------------------------------------------------------------- dedup
+
+
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash clusters with keeper doc."""
+    return dedup.exact_clusters(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_CLUSTERS_SQL = """
+SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-word shingles, 4 bands."""
+    sh = dedup.shingle_rows(load(spark, sf_dir, "documents"), n=3)
+    return dedup.minhash_signatures(sh, bands=4)
+
+
+DEDUP_MINHASH_SIGNATURES_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])))) AS shingle
+  FROM documents
+)
+SELECT doc_id,
+       MIN(md5('0|' || shingle)) AS mh0,
+       MIN(md5('1|' || shingle)) AS mh1,
+       MIN(md5('2|' || shingle)) AS mh2,
+       MIN(md5('3|' || shingle)) AS mh3
+FROM sh GROUP BY doc_id
+"""
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: unigram min-hash, 2 bands (r=1), docs < 100."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs, n=1), bands=2)
+    return dedup.lsh_candidate_pairs(sigs, bands=2)
+
+
+DEDUP_LSH_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
+  FROM documents WHERE doc_id < 100
+), sig AS (
+  SELECT doc_id, MIN(md5('0|' || shingle)) AS mh0, MIN(md5('1|' || shingle)) AS mh1
+  FROM sh GROUP BY doc_id
+), long AS (
+  SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 'mh1' AS band, mh1 AS sig FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document."""
+    return dedup.simhash16(load(spark, sf_dir, "documents"))
+
+
+DEDUP_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+  FROM documents
+), bits AS (
+  SELECT doc_id, h, CAST(r.bit AS INT) AS bit,
+         2 * (((strpos('0123456789abcdef', substr(h, (CAST(r.bit AS INT) // 4) + 1, 1)) - 1)
+               // (1 << (CAST(r.bit AS INT) % 4))) % 2) - 1 AS contrib
+  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS bit) r
+), s AS (
+  SELECT doc_id, bit, SUM(contrib) AS s FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs ≥ 0.6 over docs < 80."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return dedup.jaccard_pairs(docs, threshold=0.6, n=1)
+
+
+DEDUP_JACCARD_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
+  FROM documents WHERE doc_id < 80
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+"""
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.3, vec_id < 150)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return similarity.cosine_neardup_pairs(
+        similarity.prepare(emb), threshold=0.3
+    )
+
+
+_UNNEST_Q = """
+  SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000, 0) AS BIGINT) AS e,
+         unnest(range(64)) AS i
+  FROM embeddings WHERE {pred}
+""".strip()
+
+DEDUP_EMBEDDING_NEARDUP_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="vec_id < 150")}
+), nrm AS (
+  SELECT vec_id, SUM(e * e) AS n FROM u GROUP BY 1
+), d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.e * b.e) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cosine
+FROM d JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.3
+"""
+
+# ---------------------------------------------------------------- similarity
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: queries vec_id < 10 vs corpus vec_id ≥ 10."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = similarity.prepare(emb.filter(F.col("vec_id") < 10))
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 10))
+    return similarity.brute_force_topk(queries, corpus, k=5)
+
+
+SIM_COSINE_TOPK_SQL = f"""
+WITH uq AS (
+{_UNNEST_Q.format(pred="vec_id < 10")}
+), uc AS (
+{_UNNEST_Q.format(pred="vec_id >= 10")}
+), nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uc GROUP BY 1),
+d AS (
+  SELECT uq.vec_id AS query_id, uc.vec_id AS neighbor_id, SUM(uq.e * uc.e) AS dot
+  FROM uq JOIN uc ON uq.i = uc.i GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS cosine
+  FROM d JOIN nq ON query_id = nq.vec_id JOIN nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 (sign sketch of 4 leading dims), queries < 20."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = similarity.prepare(emb.filter(F.col("vec_id") < 20))
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 20))
+    return similarity.lsh_bucketed_topk(queries, corpus, k=3, bits=4)
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 100000, 0) AS BIGINT) > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 100000, 0) AS BIGINT) > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 100000, 0) AS BIGINT) > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 100000, 0) AS BIGINT) > 0 THEN 8 ELSE 0 END)"
+)
+
+SIM_LSH_BUCKETED_TOPK_SQL = f"""
+WITH bq AS (
+  SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings WHERE vec_id < 20
+), bc AS (
+  SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings WHERE vec_id >= 20
+), uq AS (
+{_UNNEST_Q.format(pred="vec_id < 20")}
+), uc AS (
+{_UNNEST_Q.format(pred="vec_id >= 20")}
+), nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uc GROUP BY 1),
+pairs AS (
+  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+  FROM bq JOIN bc ON bq.bucket = bc.bucket
+), d AS (
+  SELECT query_id, neighbor_id, SUM(uq.e * uc.e) AS dot
+  FROM pairs
+  JOIN uq ON query_id = uq.vec_id
+  JOIN uc ON neighbor_id = uc.vec_id AND uq.i = uc.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS cosine
+  FROM d JOIN nq ON query_id = nq.vec_id JOIN nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 3
+"""
+
+# ---------------------------------------------------------------- text
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(load(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])')) AS re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_scores(load(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SCORES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(list_distinct(toks)) AS n_distinct,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+       CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_word_len,
+       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+       CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS DOUBLE)
+         / len(toks) AS stopword_ratio
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(load(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in textops.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{markers}], x)))"
+    )
+
+
+def text_lang_id_sql() -> str:
+    langs = sorted(textops.LANG_MARKERS)
+    scores = ",\n       ".join(
+        f"{_lang_score_sql(lang)} AS s_{lang}" for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n         ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"s_{lang}" for lang in langs)},
+       CASE WHEN {best} > 0 THEN
+         CASE {whens} END
+       ELSE 'und' END AS predicted
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(load(spark, sf_dir, "documents"))
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+# ---------------------------------------------------------------- multimodal
+
+
+def mm_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata (blob column dropped for comparison — binary
+    payloads are exercised in ``mm_decode_features`` and unit tests)."""
+    blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
+    return blobs.select("doc_id", "mime", "n_bytes")
+
+
+MM_BLOB_STATS_SQL = """
+SELECT doc_id, 'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: every 10th 'frame' using n_chars as clip length."""
+    media = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_frames")
+    )
+    return multimodal.frame_sample_plan(media, every=10)
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(unnest(range(0, n_chars, 10)) AS BIGINT) AS frame_idx
+FROM documents
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature stage (deterministic fake codec) —
+    rows-only check: the sha256-derived features are not SQL-expressible."""
+    blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
+    return multimodal.decode_features(blobs, mode="fake")

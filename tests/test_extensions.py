@@ -1,0 +1,177 @@
+"""Extension-operator tests: dedup recall on planted duplicates, similarity
+ranking sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark.extensions import (
+    dedup,
+    multimodal,
+    similarity,
+    text as textops,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "The Quick  Brown Fox jumps over the lazy dog!"),  # fmt-only dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_clusters_find_planted_dup(corpus):
+    clusters = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in dedup.exact_clusters(corpus).collect()
+    }
+    assert clusters[0] == 2  # docs 0 and 1 collapse
+    assert clusters[3] == 1
+
+
+def test_normalized_fingerprint_catches_format_only_dup(corpus):
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in textops.fingerprint(corpus).collect()
+    }
+    # lower + strip punct + collapse whitespace makes 4 ≡ 0
+    assert fp[0] == fp[4]
+    assert fp[0] != fp[3]
+
+
+def test_normalized_fingerprint_equality(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world")], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+
+
+def test_minhash_lsh_recalls_near_dup(corpus):
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_rows(corpus, n=3), bands=4
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs  # 1-word-edit near dup shares most shingles
+    assert (0, 3) not in pairs  # unrelated doc does not
+
+
+def test_jaccard_scores_ordering(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(corpus, threshold=0.0, n=1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs or pairs[(0, 3)] < 0.2
+
+
+def test_simhash_near_dup_closer_than_unrelated(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(corpus).collect()}
+    assert sh[0] == sh[1]  # identical docs → identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[0], sh[2]) <= hamming(sh[0], sh[3])
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is happy"),
+            (1, "el gato es de la casa y es feliz"),
+            (2, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    pred = {r["doc_id"]: r["predicted"] for r in textops.lang_id(df).collect()}
+    assert pred[0] == "en"
+    assert pred[1] == "es"
+    assert pred[2] == "und"
+
+
+def test_brute_force_topk_finds_identical_vector(spark):
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),  # identical to query 0
+        (11, [0.9, 0.1, 0.0, 0.0]),
+        (12, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = similarity.prepare(df.filter(F.col("vec_id") == 0))
+    c = similarity.prepare(df.filter(F.col("vec_id") >= 10))
+    out = similarity.brute_force_topk(q, c, k=3).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["neighbor_id"] == 10
+    assert by_rank[1]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert by_rank[2]["neighbor_id"] == 11
+    assert by_rank[2]["cosine"] == pytest.approx(
+        0.9 / math.sqrt(0.82), abs=1e-4
+    )
+    assert by_rank[3]["cosine"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_lsh_bucket_restricts_candidates(spark):
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (10, [0.9, 0.9, 0.9, 0.9]),  # same bucket (all-positive)
+        (11, [-1.0, -1.0, -1.0, -1.0]),  # different bucket
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = similarity.prepare(df.filter(F.col("vec_id") == 0))
+    c = similarity.prepare(df.filter(F.col("vec_id") >= 10))
+    out = similarity.lsh_bucketed_topk(q, c, k=5, bits=4).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert ids == {10}  # 11 pruned by the bucket, never scored
+
+
+def test_multimodal_decode_fake_is_deterministic(corpus):
+    blobs = multimodal.to_blob_table(corpus)
+    out1 = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.decode_features(blobs, mode="fake").collect()
+    }
+    out2 = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.decode_features(
+            blobs.repartition(4), mode="fake"
+        ).collect()
+    }
+    assert out1 == out2  # partition-layout independent
+    assert len(out1[0]) == multimodal.FEATURE_DIM
+    assert out1[0] == out1[1]  # same payload → same features
+    assert out1[0] != out1[3]
+
+
+def test_multimodal_real_mode_raises(corpus):
+    from py4j.protocol import Py4JJavaError
+
+    blobs = multimodal.to_blob_table(corpus)
+    with pytest.raises((NotImplementedError, Exception)) as exc_info:
+        multimodal.decode_features(blobs, mode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame([(0, 35), (1, 5)], ["doc_id", "n_frames"])
+    out = multimodal.frame_sample_plan(media, every=10).collect()
+    frames = {}
+    for r in out:
+        frames.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(frames[0]) == [0, 10, 20, 30]
+    assert sorted(frames[1]) == [0]
