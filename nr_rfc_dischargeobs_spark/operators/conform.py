@@ -57,7 +57,15 @@ def dedup_keep_first(
     window.  One shuffle on ``keys``; at scale the window partitions by the
     dedup key so no single task sees more than one key-group's rows
     (skew-safe for high-cardinality keys).
+
+    On a *streaming* DataFrame ranked windows are unsupported; there the
+    stateful ``dropDuplicates`` IS keep-first — first-arrival wins across
+    micro-batches, tracked in the state store (within a batch the survivor
+    is arbitrary, acceptable for at-least-once upstream feeds).
     """
+    if df.isStreaming:
+        out = df.dropDuplicates(keys)
+        return out if keep_order_col else out.drop(order_col)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
     out = (
         df.withColumn("__rn", F.row_number().over(w))

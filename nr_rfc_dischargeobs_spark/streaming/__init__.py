@@ -1,0 +1,14 @@
+"""Structured Streaming tier (SURVEY.md §2.9): the reference's cron-polled
+incremental batch semantics, re-founded on file streams + watermarks."""
+
+from .ingest import (
+    hourly_stream_rollup,
+    stream_conformed_csv,
+    stream_upsert_into_store,
+)
+
+__all__ = [
+    "hourly_stream_rollup",
+    "stream_conformed_csv",
+    "stream_upsert_into_store",
+]

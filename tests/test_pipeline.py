@@ -1,0 +1,248 @@
+"""Golden end-to-end pipeline tests (SURVEY.md §5.3): FIXTURES-shaped
+synthetic sources → conform → union → upsert into the partitioned store →
+rollups; idempotence and late-data semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark import schemas
+from nr_rfc_dischargeobs_spark.operators import rollup
+from nr_rfc_dischargeobs_spark.sources import (
+    ObservationStore,
+    conform_provincial,
+    conform_swob,
+    conform_usgs,
+    conform_wsc,
+)
+from nr_rfc_dischargeobs_spark.sources.swob import parse_swob_xml
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------- conformers
+
+
+def test_conform_wsc_grid_tz_dedup_melt(spark):
+    rows = [
+        # on-grid, off-grid (rounds to :05), duplicate slot (keep first)
+        ("08MF005", "2024-06-01T10:00:00-07:00", 1.5, "", "", "", 100.0, "", "", ""),
+        ("08MF005", "2024-06-01T10:06:10-07:00", 1.6, "", "", "", 101.0, "", "", ""),
+        ("08MF005", "2024-06-01T10:04:00-07:00", 9.9, "", "", "", 999.0, "", "", ""),
+        # month-boundary row (partition test downstream)
+        ("08MF005", "2024-07-01T00:01:00-07:00", 2.0, "", "", "", 200.0, "", "", ""),
+    ]
+    raw = spark.createDataFrame(rows, schemas.WSC_SCHEMA)
+    out = conform_wsc(raw)
+    got = {
+        (r["obs_time"], r["datatype"]): r["value"]
+        for r in out.filter(F.col("station_id") == "08MF005").collect()
+    }
+    # -07:00 offset → 10:00 PDT wall clock preserved
+    assert got[(ts("2024-06-01 10:00:00"), "Q")] == 100.0
+    assert got[(ts("2024-06-01 10:00:00"), "H")] == 1.5
+    # both 10:04 and 10:06:10 round to the 10:05 slot; keep-first by file
+    # order (the Date string): the 10:04 row wins
+    assert got[(ts("2024-06-01 10:05:00"), "Q")] == 999.0
+    assert got[(ts("2024-06-01 10:05:00"), "H")] == 9.9
+    assert out.count() == 6  # 3 deduped slots + 1 July slot... ×2 datatypes
+
+
+def test_conform_wsc_dedup_keeps_first_by_order(spark):
+    rows = [
+        ("S1", "2024-06-01T10:04:00-07:00", None, "", "", "", 1.0, "", "", ""),
+        ("S1", "2024-06-01T10:06:00-07:00", None, "", "", "", 2.0, "", "", ""),
+    ]
+    raw = spark.createDataFrame(rows, schemas.WSC_SCHEMA)
+    out = conform_wsc(raw)
+    q = {r["datatype"]: r["value"] for r in out.collect() if r["value"] is not None}
+    assert q["Q"] == 1.0  # both round to 10:05; earlier Date string kept
+
+
+def test_conform_provincial_semijoin_remap_window(spark):
+    dim = spark.createDataFrame(
+        [("PROV1", "08RFC01"), ("PROV2", "08RFC02")],
+        schemas.PROVINCIAL_STATIONS_SCHEMA,
+    )
+    rows = [
+        ("PROV1", "", "", "", "", "2024-06-01 17:00:00", "", 5.0),
+        ("PROV1", "", "", "", "", "2024-06-01 17:00:00", "", 6.0),  # dup
+        ("UNKNOWN", "", "", "", "", "2024-06-01 17:00:00", "", 7.0),  # filtered
+        ("PROV2", "", "", "", "", "2024-05-01 00:00:00", "", 8.0),  # outside win
+    ]
+    raw = spark.createDataFrame(rows, schemas.PROVINCIAL_SCHEMA)
+    out = conform_provincial(
+        raw,
+        dim,
+        "Q",
+        window_start=F.lit("2024-05-31 00:00:00").cast("timestamp"),
+        window_end=F.lit("2024-06-02 00:00:00").cast("timestamp"),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["station_id"] == "08RFC01"  # remapped
+    assert out[0]["value"] == 5.0  # keep-first dedup
+    assert out[0]["obs_time"] == ts("2024-06-01 10:00:00")  # UTC→PDT
+
+
+def test_conform_usgs_units_and_id_remap(spark):
+    dim = spark.createDataFrame(
+        [("124015U", "station x")], schemas.USGS_STATIONS_SCHEMA
+    )
+    rows = [("12401500", ts("2024-06-01 17:00:00"), 35.3147, 3.28084)]
+    raw = spark.createDataFrame(rows, schemas.USGS_SCHEMA)
+    out = {
+        r["datatype"]: r for r in conform_usgs(raw, dim).collect()
+    }
+    assert out["Q"]["value"] == 1.0  # cfs → m³/s
+    assert out["H"]["value"] == 1.0  # ft → m
+    assert out["Q"]["station_id"] == "124015U"  # 00 → U inverse remap
+    assert out["Q"]["obs_time"] == ts("2024-06-01 10:00:00")
+
+
+def test_swob_xml_parse_and_scrub(spark):
+    xml = (
+        "<om:result xmlns:om='x'><elements>"
+        "<element name='air_temp' value='12.5'/>"
+        "<element name='pcpn_amt_pst1hr' value='MSNG'/>"
+        "</elements></om:result>"
+    )
+    payloads = spark.createDataFrame(
+        [("CWLW", ts("2024-06-01 12:00:00"), xml)],
+        ["station", "obs_hour", "xml"],
+    )
+    parsed = parse_swob_xml(payloads)
+    out = {
+        r["variable"]: r for r in conform_swob(parsed).collect()
+    }
+    assert out["air_temp"]["value"] == 12.5
+    assert out["pcpn_amt_pst1hr"]["value"] is None  # MSNG scrubbed to null
+    assert out["air_temp"]["station_id"] == "WLW"  # C prefix stripped
+    assert out["air_temp"]["obs_time"] == ts("2024-06-01 04:00:00")  # −8 h
+
+
+# ------------------------------------------------------------- store
+
+
+def _mk_obs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (sid, ts(t), d, v, "raw", src)
+            for (sid, t, d, v, src) in rows
+        ],
+        schemas.OBSERVATION_SCHEMA,
+    )
+
+
+def test_store_partitioned_write_prune_and_upsert(spark, tmp_path):
+    store = ObservationStore(spark, str(tmp_path / "obs"))
+    first = _mk_obs(
+        spark,
+        [
+            ("S1", "2024-06-15 10:00:00", "Q", 1.0, "wsc"),
+            ("S1", "2024-07-01 10:00:00", "Q", 2.0, "wsc"),
+            ("S2", "2024-06-15 10:00:00", "H", 3.0, "prov"),
+        ],
+    )
+    store.upsert(first)
+
+    # hive layout on disk
+    months = {
+        p.name for p in (tmp_path / "obs").iterdir() if p.is_dir()
+    }
+    assert months == {"year_month=202406", "year_month=202407"}
+
+    # partition-pruned read: only June rows
+    june = store.read_range("2024-06-01 00:00:00", "2024-07-01 00:00:00")
+    assert june.count() == 2
+    plan = june._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # idempotence: re-upserting the same data changes nothing
+    store.upsert(first)
+    assert store.read().count() == 3
+
+    # late data fills holes only (existing wins, combine_first semantics)
+    late = _mk_obs(
+        spark,
+        [
+            ("S1", "2024-06-15 10:00:00", "Q", 99.0, "wsc"),  # clash: loses
+            ("S1", "2024-06-15 10:05:00", "Q", 4.0, "wsc"),  # hole: fills
+        ],
+    )
+    store.upsert(late)
+    vals = {
+        (r["station_id"], r["obs_time"]): r["value"]
+        for r in store.read().filter(F.col("datatype") == "Q").collect()
+    }
+    assert vals[("S1", ts("2024-06-15 10:00:00"))] == 1.0  # existing won
+    assert vals[("S1", ts("2024-06-15 10:05:00"))] == 4.0  # hole filled
+    # untouched month intact
+    assert vals[("S1", ts("2024-07-01 10:00:00"))] == 2.0
+
+
+def test_store_incoming_wins_mode(spark, tmp_path):
+    store = ObservationStore(spark, str(tmp_path / "obs2"))
+    store.upsert(_mk_obs(spark, [("S1", "2024-06-15 10:00:00", "Q", 1.0, "wsc")]))
+    store.upsert(
+        _mk_obs(spark, [("S1", "2024-06-15 10:00:00", "Q", 99.0, "wsc")]),
+        existing_wins=False,
+    )
+    assert store.read().collect()[0]["value"] == 99.0
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+def test_full_pipeline_multi_source_to_daily(spark, tmp_path):
+    """EP1+EP2 in miniature: three conformed sources → union → store →
+    hourly rollup with final-hour override → daily with last-day override."""
+    wsc = conform_wsc(
+        spark.createDataFrame(
+            [
+                ("S1", "2024-06-01T10:00:00-07:00", None, "", "", "", 10.0, "", "", ""),
+                ("S1", "2024-06-01T10:30:00-07:00", None, "", "", "", 20.0, "", "", ""),
+                ("S1", "2024-06-02T11:00:00-07:00", None, "", "", "", 40.0, "", "", ""),
+                ("S1", "2024-06-02T11:30:00-07:00", None, "", "", "", 60.0, "", "", ""),
+            ],
+            schemas.WSC_SCHEMA,
+        )
+    ).filter(F.col("value").isNotNull())
+    prov = conform_provincial(
+        spark.createDataFrame(
+            [("P1", "", "", "", "", "2024-06-01 18:00:00", "", 5.0)],
+            schemas.PROVINCIAL_SCHEMA,
+        ),
+        spark.createDataFrame([("P1", "S2")], schemas.PROVINCIAL_STATIONS_SCHEMA),
+        "Q",
+    )
+    unioned = wsc.unionByName(prov)
+    store = ObservationStore(spark, str(tmp_path / "pipe"))
+    store.upsert(unioned)
+
+    hourly = rollup.hourly_rollup_with_final_override(
+        store.read().drop("year_month").filter(F.col("datatype") == "Q"),
+        "station_id",
+        "obs_time",
+        "value",
+    )
+    h = {
+        (r["station_id"], str(r["hour"])): r["value"]
+        for r in hourly.collect()
+    }
+    assert h[("S1", "2024-06-01 10:00:00")] == 15.0  # mean
+    assert h[("S1", "2024-06-02 11:00:00")] == 60.0  # final hour → last obs
+    assert h[("S2", "2024-06-01 11:00:00")] == 5.0
+
+    daily = rollup.daily_rollup_with_last_day_override(
+        hourly, "station_id", "hour", "value"
+    )
+    d = {
+        (r["station_id"], str(r["day"])): r["value"] for r in daily.collect()
+    }
+    assert d[("S1", "2024-06-01 00:00:00")] == 15.0
+    assert d[("S1", "2024-06-02 00:00:00")] == 60.0  # last day → last value

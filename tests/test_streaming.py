@@ -1,0 +1,98 @@
+"""Streaming-tier tests: file-source ingest → conform → windowed rollup and
+foreachBatch upsert, drained with Trigger.AvailableNow (the cron-batch
+shape)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark import schemas
+from nr_rfc_dischargeobs_spark.sources import ObservationStore, conform_wsc
+from nr_rfc_dischargeobs_spark.streaming import (
+    hourly_stream_rollup,
+    stream_conformed_csv,
+    stream_upsert_into_store,
+)
+
+CSV_HEADER = (
+    "ID,Date,water_level_m,level_grade,level_symbol,level_qaqc,"
+    "discharge_cms,discharge_grade,discharge_symbol,discharge_qaqc"
+)
+
+
+def _write_landing_file(path, rows):
+    path.write_text("\n".join([CSV_HEADER] + rows) + "\n")
+
+
+def test_stream_ingest_upserts_into_store(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_landing_file(
+        landing / "batch1.csv",
+        [
+            'S1,2024-06-01T10:00:00-07:00,1.5,,,,"100.0",,,',
+            'S1,2024-06-01T10:05:00-07:00,1.6,,,,"110.0",,,',
+        ],
+    )
+    store = ObservationStore(spark, str(tmp_path / "obs"))
+    conformed = stream_conformed_csv(
+        spark, str(landing), schemas.WSC_SCHEMA, conform_wsc
+    )
+    q = stream_upsert_into_store(
+        conformed, store, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert store.read().filter(F.col("value").isNotNull()).count() == 4
+
+    # second drop: one late duplicate (must NOT overwrite) + one new row;
+    # the checkpoint must not re-ingest batch1
+    _write_landing_file(
+        landing / "batch2.csv",
+        [
+            'S1,2024-06-01T10:00:00-07:00,9.9,,,,"999.0",,,',
+            'S1,2024-06-01T10:10:00-07:00,1.7,,,,"120.0",,,',
+        ],
+    )
+    q2 = stream_upsert_into_store(
+        conformed, store, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    vals = {
+        (str(r["obs_time"]), r["datatype"]): r["value"]
+        for r in store.read().collect()
+    }
+    assert vals[("2024-06-01 10:00:00", "Q")] == 100.0  # existing won
+    assert vals[("2024-06-01 10:10:00", "Q")] == 120.0  # new row added
+
+
+def test_hourly_stream_rollup_window(spark, tmp_path):
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    _write_landing_file(
+        landing / "b.csv",
+        [
+            'S1,2024-06-01T10:00:00-07:00,,,,,"10.0",,,',
+            'S1,2024-06-01T10:30:00-07:00,,,,,"20.0",,,',
+            'S1,2024-06-01T11:00:00-07:00,,,,,"30.0",,,',
+        ],
+    )
+    conformed = stream_conformed_csv(
+        spark, str(landing), schemas.WSC_SCHEMA, conform_wsc
+    ).filter(F.col("datatype") == "Q")
+    rolled = hourly_stream_rollup(conformed)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("hourly_rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["hour"]): (r["avg_value"], r["n_obs"])
+        for r in spark.sql("SELECT * FROM hourly_rollup_test").collect()
+    }
+    assert got["2024-06-01 10:00:00"] == (15.0, 2)
+    assert got["2024-06-01 11:00:00"] == (30.0, 1)
