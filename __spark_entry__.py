@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": tpch.pricing_summary,
         "tpch_q3_shipping_priority": tpch.shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -41,9 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_anti_join_new_stations": events.anti_join_new_stations,
         # aggregations
         "a1_hourly_rollup_last_override": events.hourly_rollup_last_override,
+        "a2_rising_falling_recurrence": events.rising_falling_hourly,
         "a3_daily_rollup_chain": events.daily_rollup_chain,
         "a4_dedup_5min_grid": events.dedup_5min_grid,
         "a5_pivot_daily_wide": events.pivot_daily_wide,
+        "a7_distinct_partition_keys": events.distinct_partition_keys,
         "a8_last_valid_per_station": events.last_valid_per_station,
         # windows
         "w1_ffill_hourly_gaps": events.ffill_hourly_gaps,
@@ -80,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": tpch.PRICING_SUMMARY_SQL,
         "tpch_q3_shipping_priority": tpch.SHIPPING_PRIORITY_SQL,
         "tpch_q5_local_supplier_volume": tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+        "tpch_q6_forecast_revenue": tpch.FORECAST_REVENUE_SQL,
         "p1_p3_projection_timerange": events.PROJECTION_TIMERANGE_SQL,
         "p2_semi_join_stations": events.SEMI_JOIN_STATIONS_SQL,
         "p4_dict_remap": events.DICT_REMAP_SQL,
@@ -91,9 +95,11 @@ def oracle_sql() -> dict[str, str]:
         "j6_cross_join_scaffold": events.CROSS_JOIN_SCAFFOLD_SQL,
         "set_anti_join_new_stations": events.ANTI_JOIN_NEW_STATIONS_SQL,
         "a1_hourly_rollup_last_override": events.HOURLY_ROLLUP_LAST_OVERRIDE_SQL,
+        "a2_rising_falling_recurrence": events.RISING_FALLING_HOURLY_SQL,
         "a3_daily_rollup_chain": events.DAILY_ROLLUP_CHAIN_SQL,
         "a4_dedup_5min_grid": events.DEDUP_5MIN_GRID_SQL,
         "a5_pivot_daily_wide": events.PIVOT_DAILY_WIDE_SQL,
+        "a7_distinct_partition_keys": events.DISTINCT_PARTITION_KEYS_SQL,
         "a8_last_valid_per_station": events.LAST_VALID_PER_STATION_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,

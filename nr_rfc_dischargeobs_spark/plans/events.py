@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import exact, formula
-from ..operators import align, conform, pivot, rollup, upsert
+from ..operators import align, conform, pivot, recurrence, rollup, upsert
 from . import load
 
 V100_SQL = 'CAST(ROUND(value * 100, 0) AS BIGINT)'
@@ -426,6 +426,78 @@ WITH hourly0 AS (
 SELECT daily0.user_id, CAST(day AS TIMESTAMP) AS day,
        CASE WHEN day = last_day THEN last_v ELSE mean_v END / 10000 AS value
 FROM daily0 LEFT JOIN ld ON daily0.user_id = ld.user_id
+"""
+
+# ---------------------------------------------------------------- A2/W4
+
+
+def rising_falling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W4 rising/falling recurrence (``dischargeobs_write_xl.py:108-129``):
+    hourly value = hourly max while rising, last-in-hour while falling, where
+    "rising" compares against the *already-rewritten* previous output (the
+    reference's alias bug, preserved).  Grouped-map Pandas UDF per station —
+    the engine's only Python-side operator; parallel across stations, so it
+    scales with station count, not history length.
+
+    max/last aggregates move single input values (no summation), so the
+    doubles are exact and the ``<=`` comparisons match any engine bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.max("value").alias("hrly_max"),
+        F.max_by(
+            F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("hrly_last"),
+    )
+    return recurrence.rising_falling(hourly, key="user_id")
+
+
+# The oracle walks the same recurrence breadth-first: iteration k computes
+# every station's k-th hour from its (k-1)-th OUTPUT — exactly the loop.
+RISING_FALLING_HOURLY_SQL = """
+WITH RECURSIVE base AS (
+  SELECT CAST(user_id AS VARCHAR) AS station_id, hour, hrly_max, hrly_last,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour) AS rn
+  FROM (
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           MAX(value) AS hrly_max,
+           LAST(value ORDER BY ts, event_id) AS hrly_last
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+  )
+), rec AS (
+  SELECT station_id, hour, rn, hrly_max AS value FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.station_id, b.hour, b.rn,
+         CASE WHEN b.hrly_max <= r.value THEN b.hrly_last
+              ELSE b.hrly_max END AS value
+  FROM base b JOIN rec r ON b.station_id = r.station_id AND b.rn = r.rn + 1
+)
+SELECT station_id, CAST(hour AS TIMESTAMP) AS hour, value FROM rec
+"""
+
+# ---------------------------------------------------------------- A7
+
+
+def distinct_partition_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 distinct year-month partition keys (``discharge_obs_pd.py:194-196``)
+    — the reference derives its partition IO set this way; in the engine the
+    hive-partitioned store gets this for free, but the operator stands alone
+    for incremental-maintenance planning (which partitions does a batch
+    touch).  Partial aggregation collapses each scan task to ≤ a few keys
+    before the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyyMM").alias("year_month"))
+        .distinct()
+        .orderBy("year_month")
+    )
+
+
+DISTINCT_PARTITION_KEYS_SQL = """
+SELECT DISTINCT strftime(ts, '%Y%m') AS year_month FROM events
+ORDER BY year_month
 """
 
 # ---------------------------------------------------------------- A8

@@ -139,6 +139,43 @@ LIMIT 10
 """
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate, the canonical pushdown
+    probe.  All three predicates and the two-column projection reach the
+    parquet reader (``PushedFilters`` in the explain), so at 100 TB the scan
+    skips row groups by min/max stats and moves only two columns; the single
+    global sum is a map-side partial + one-row final merge.
+    """
+    li = _scaled_lineitem(spark, sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("d100") >= 5)
+            & (F.col("d100") <= 7)
+            & (F.col("q100") < 2400)
+        )
+        .agg(
+            exact.sum_scaled(
+                F.col("p100") * F.col("d100"), 10000
+            ).alias("revenue")
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000
+    AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(ROUND(l_quantity * 100, 0) AS BIGINT) < 2400
+"""
+
+
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: 5-way star join (region→nation→customer/supplier) +
     revenue by nation.  Dimensions broadcast; only orders⋈lineitem is a real
