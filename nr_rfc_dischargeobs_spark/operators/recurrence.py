@@ -71,6 +71,15 @@ def rising_falling(
     Input: one row per (key, hour) with the hour's max and last observation
     (produce with ``groupBy(key, date_trunc('hour', ts)).agg(max, max_by)``).
     Output: (station_id, hour, value).
+
+    Executed as hash-repartition on station + ONE ``mapInPandas`` call per
+    partition with a pandas groupby inside, not ``applyInPandas`` per
+    station: station groups are tiny (a year ≈ 8.8k hourly rows) and
+    per-group Arrow dispatch dominates — batching ~N/shuffle-partitions
+    stations per Python call amortizes it ~50× while keeping the identical
+    per-station recurrence.  A partition holds (total hourly rows /
+    ``spark.sql.shuffle.partitions``) rows — size that knob for the fleet,
+    as with any shuffle.
     """
     prepared = hourly.select(
         F.col(key).cast("string").alias("station_id"),
@@ -78,8 +87,24 @@ def rising_falling(
         F.col(hrly_max).cast("double").alias("hrly_max"),
         F.col(hrly_last).cast("double").alias("hrly_last"),
     )
-    return prepared.groupBy("station_id").applyInPandas(
-        rising_falling_recurrence_pdf, schema=RESULT_SCHEMA
+
+    def run_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        yield pd.concat(
+            [
+                rising_falling_recurrence_pdf(g)
+                for _, g in pdf.groupby("station_id", sort=False)
+            ],
+            ignore_index=True,
+        )
+
+    return prepared.repartition("station_id").mapInPandas(
+        run_partition, schema=RESULT_SCHEMA
     )
 
 
