@@ -6,9 +6,11 @@ from .ingest import (
     stream_conformed_csv,
     stream_upsert_into_store,
 )
+from .stateful import rising_falling_stream
 
 __all__ = [
     "hourly_stream_rollup",
+    "rising_falling_stream",
     "stream_conformed_csv",
     "stream_upsert_into_store",
 ]

@@ -1,6 +1,6 @@
-"""Streaming-tier tests: file-source ingest → conform → windowed rollup and
-foreachBatch upsert, drained with Trigger.AvailableNow (the cron-batch
-shape)."""
+"""Streaming-tier tests: file-source ingest → conform → windowed rollup,
+foreachBatch upsert, and the stateful recurrence — drained with
+Trigger.AvailableNow (the cron-batch shape)."""
 
 from __future__ import annotations
 
@@ -9,9 +9,11 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from nr_rfc_dischargeobs_spark import schemas
+from nr_rfc_dischargeobs_spark.operators import recurrence
 from nr_rfc_dischargeobs_spark.sources import ObservationStore, conform_wsc
 from nr_rfc_dischargeobs_spark.streaming import (
     hourly_stream_rollup,
+    rising_falling_stream,
     stream_conformed_csv,
     stream_upsert_into_store,
 )
@@ -96,3 +98,64 @@ def test_hourly_stream_rollup_window(spark, tmp_path):
     }
     assert got["2024-06-01 10:00:00"] == (15.0, 2)
     assert got["2024-06-01 11:00:00"] == (30.0, 1)
+
+
+HOURLY_COLS = ["station_id", "hour", "hrly_max", "hrly_last"]
+
+
+def _hourly_rows(spark, rows):
+    return spark.createDataFrame(
+        [
+            (s, dt.datetime(2024, 6, 1, h), m, l)
+            for (s, h, m, l) in rows
+        ],
+        HOURLY_COLS,
+    )
+
+
+def test_stateful_recurrence_matches_batch_across_microbatches(
+    spark, tmp_path
+):
+    """Two micro-batches through applyInPandasWithState must equal one batch
+    run of the A2 operator over the concatenated history — the state store
+    carries the previous OUTPUT across the batch boundary."""
+    batch1 = [("S1", 0, 10.0, 9.0), ("S1", 1, 10.0, 7.0), ("S2", 0, 5.0, 4.0)]
+    batch2 = [("S1", 2, 9.0, 8.5), ("S1", 3, 12.0, 11.0), ("S2", 1, 6.0, 5.5)]
+
+    landing = tmp_path / "hourly_landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_rf")
+
+    def drain(rows, subdir):
+        _hourly_rows(spark, rows).write.parquet(str(landing / subdir))
+        stream = spark.readStream.schema(
+            _hourly_rows(spark, rows).schema
+        ).option("recursiveFileLookup", "true").parquet(str(landing))
+        q = (
+            rising_falling_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(batch1, "b1")
+    drain(batch2, "b2")
+
+    got = {
+        (r["station_id"], str(r["hour"])): r["value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want_df = recurrence.rising_falling(_hourly_rows(spark, batch1 + batch2))
+    want = {
+        (r["station_id"], str(r["hour"])): r["value"]
+        for r in want_df.collect()
+    }
+    assert got == want
+    # spot-check the recurrence actually fired: S1 hour2 falls (9<=7? no —
+    # 9 <= vals[1]; vals[1]=7 after rewrite → 9>7 keeps max 9.0)
+    assert got[("S1", "2024-06-01 02:00:00")] == 9.0
