@@ -151,6 +151,88 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    prepared: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest inverted lists.
+
+    ``centroids`` is a small ``prepare`` output (the coarse quantizer —
+    k-means-trained in production; any deterministic vector set works and
+    keeps this testable).  Squared L2 in quantized space is
+    ``n + cn − 2·dot`` — three exact BIGINTs, so assignments and their
+    tie-breaks (smaller list id) are engine-portable.  Centroids broadcast;
+    the corpus never shuffles for assignment.
+    """
+    c = centroids.select(
+        F.col("vec_id").alias("list_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = prepared.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "q",
+        "n",
+        "list_id",
+        (
+            F.col("n") + F.col("cn") - 2 * dot(F.col("q"), F.col("cv"))
+        ).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("list_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "q", "n", "list_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in exactly one inverted list;
+    each query probes its ``nprobe`` nearest lists and ranks only those
+    candidates.
+
+    The scale path for embedding search: the corpus is partitioned by
+    ``list_id`` once (bucket/partition the stored table by it for reuse),
+    per-query cost is Σ|probed lists| instead of |corpus|, and recall is
+    tuned by nprobe × number of lists.  Every pair a probe produces is
+    unique (one list per corpus vector), so no candidate dedup is needed.
+    """
+    q = ivf_assign(queries, centroids, nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n").alias("qn"),
+        "list_id",
+    )
+    c = ivf_assign(corpus, centroids, 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+        "list_id",
+    )
+    scored = q.join(c, "list_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_neardup_pairs(
     prepared: DataFrame, threshold: float = 0.3
 ) -> DataFrame:

@@ -240,6 +240,69 @@ FROM scored
 QUALIFY rank <= 3
 """
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: 8 inverted lists (centroids = vec_id < 8), queries
+    8 ≤ vec_id < 28 probing their 2 nearest lists, corpus vec_id ≥ 28."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.prepare(emb.filter(F.col("vec_id") < 8))
+    queries = similarity.prepare(
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
+    )
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 28))
+    return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
+
+
+SIM_IVF_TOPK_SQL = f"""
+WITH ucent AS (
+{_UNNEST_Q.format(pred="vec_id < 8")}
+), uq AS (
+{_UNNEST_Q.format(pred="vec_id >= 8 AND vec_id < 28")}
+), uc AS (
+{_UNNEST_Q.format(pred="vec_id >= 28")}
+), ncent AS (SELECT vec_id, SUM(e * e) AS n FROM ucent GROUP BY 1),
+nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uc GROUP BY 1),
+qdist AS (
+  SELECT uq.vec_id, ucent.vec_id AS list_id,
+         nq.n + ncent.n - 2 * SUM(uq.e * ucent.e) AS d
+  FROM uq JOIN ucent ON uq.i = ucent.i
+  JOIN nq ON uq.vec_id = nq.vec_id
+  JOIN ncent ON ucent.vec_id = ncent.vec_id
+  GROUP BY 1, 2, nq.n, ncent.n
+), qassign AS (
+  SELECT vec_id AS query_id, list_id FROM qdist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) <= 2
+), cdist AS (
+  SELECT uc.vec_id, ucent.vec_id AS list_id,
+         nc.n + ncent.n - 2 * SUM(uc.e * ucent.e) AS d
+  FROM uc JOIN ucent ON uc.i = ucent.i
+  JOIN nc ON uc.vec_id = nc.vec_id
+  JOIN ncent ON ucent.vec_id = ncent.vec_id
+  GROUP BY 1, 2, nc.n, ncent.n
+), cassign AS (
+  SELECT vec_id AS neighbor_id, list_id FROM cdist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) = 1
+), pairs AS (
+  SELECT query_id, neighbor_id FROM qassign JOIN cassign USING (list_id)
+), d AS (
+  SELECT query_id, neighbor_id, SUM(uq.e * uc.e) AS dot
+  FROM pairs
+  JOIN uq ON query_id = uq.vec_id
+  JOIN uc ON neighbor_id = uc.vec_id AND uq.i = uc.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS cosine
+  FROM d JOIN nq ON query_id = nq.vec_id JOIN nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 3
+"""
+
 # ---------------------------------------------------------------- text
 
 

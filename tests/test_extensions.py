@@ -138,6 +138,51 @@ def test_lsh_bucket_restricts_candidates(spark):
     assert ids == {10}  # 11 pruned by the bucket, never scored
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every inverted list must reproduce exact brute-force top-k —
+    the recall/cost dial's endpoint."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cent = similarity.prepare(df.filter(F.col("vec_id") < 4))
+    q = similarity.prepare(
+        df.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 10))
+    )
+    c = similarity.prepare(df.filter(F.col("vec_id") >= 10))
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(q, c, cent, k=3, nprobe=4).collect()
+    }
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(q, c, k=3).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_prunes_but_keeps_list_local_hits(spark):
+    """nprobe=1: every returned neighbor lives in the query's own nearest
+    list — candidates outside probed lists are never scored."""
+    vecs = [
+        (0, [1.0, 0.0]),   # centroid A
+        (1, [-1.0, 0.0]),  # centroid B
+        (4, [0.9, 0.1]),   # query, nearest list A
+        (10, [0.8, 0.2]),  # corpus in list A
+        (11, [-0.9, 0.1]), # corpus in list B — must be pruned
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cent = similarity.prepare(df.filter(F.col("vec_id") < 2))
+    q = similarity.prepare(df.filter(F.col("vec_id") == 4))
+    c = similarity.prepare(df.filter(F.col("vec_id") >= 10))
+    out = similarity.ivf_topk(q, c, cent, k=5, nprobe=1).collect()
+    assert {r["neighbor_id"] for r in out} == {10}
+
+
 def test_multimodal_decode_fake_is_deterministic(corpus):
     blobs = multimodal.to_blob_table(corpus)
     out1 = {
