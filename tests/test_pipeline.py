@@ -246,3 +246,80 @@ def test_full_pipeline_multi_source_to_daily(spark, tmp_path):
     }
     assert d[("S1", "2024-06-01 00:00:00")] == 15.0
     assert d[("S1", "2024-06-02 00:00:00")] == 60.0  # last day → last value
+
+
+# ------------------------------------------------------------- pipelines
+
+
+def test_ep1_ep2_pipeline_api_end_to_end(spark, tmp_path):
+    """EP1 ingest → EP2 hourly (bounded ffill) → daily → model export with a
+    formula-estimated station, through the public pipelines API."""
+    from nr_rfc_dischargeobs_spark import pipelines
+
+    wsc = conform_wsc(
+        spark.createDataFrame(
+            [
+                ("S1", "2024-06-01T10:00:00-07:00", None, "", "", "", 10.0, "", "", ""),
+                ("S1", "2024-06-01T10:30:00-07:00", None, "", "", "", 20.0, "", "", ""),
+                ("S1", "2024-06-02T11:15:00-07:00", None, "", "", "", 40.0, "", "", ""),
+            ],
+            schemas.WSC_SCHEMA,
+        )
+    ).filter(F.col("value").isNotNull())
+    prov = conform_provincial(
+        spark.createDataFrame(
+            [("P1", "", "", "", "", "2024-06-01 18:00:00", "", 6.0)],
+            schemas.PROVINCIAL_SCHEMA,
+        ),
+        spark.createDataFrame([("P1", "S2")], schemas.PROVINCIAL_STATIONS_SCHEMA),
+        "Q",
+    )
+    store = ObservationStore(spark, str(tmp_path / "ep"))
+    pipelines.ingest_instantaneous(store, [wsc, prov])
+
+    hourly = pipelines.update_hourly(
+        store,
+        "2024-06-01 00:00:00",
+        "2024-06-03 00:00:00",
+        ffill_until=F.lit("2024-06-02 23:00:00").cast("timestamp"),
+    )
+    h = {
+        (r["station_id"], str(r["hour"])): r["value"]
+        for r in hourly.collect()
+    }
+    assert h[("S1", "2024-06-01 10:00:00")] == 15.0  # hourly mean
+    assert h[("S1", "2024-06-01 12:00:00")] == 15.0  # ffilled gap
+    assert h[("S1", "2024-06-02 11:00:00")] == 40.0  # final hour: last obs
+    assert len(h) == 2 * 48  # dense spine: 2 stations x 48 hours
+
+    daily = pipelines.update_daily(hourly)
+    wide = pipelines.model_export_frame(
+        daily,
+        ["S1", "S2"],
+        estimates={"S9": "({S1}*2+{S2}).clip(lower=0.001)"},
+    )
+    rows = {str(r["day"]): r for r in wide.collect()}
+    d1 = rows["2024-06-01 00:00:00"]
+    assert d1["S9"] == d1["S1"] * 2 + d1["S2"]
+
+
+def test_ep3_weather_pipeline_scaffold_and_wide(spark):
+    from nr_rfc_dischargeobs_spark import pipelines
+
+    xml = (
+        '<om><element name="air_temp" value="12.5"/>'
+        '<element name="pcpn_amt_pst1hr" value="MSNG"/></om>'
+    )
+    payloads = spark.createDataFrame(
+        [("CS1", dt.datetime(2024, 6, 1, 8), xml)],
+        ["station", "obs_hour", "xml"],
+    )
+    parsed = parse_swob_xml(payloads)
+    dim = spark.createDataFrame([("S1",)], ["station_id"])
+    weather = pipelines.ingest_weather(parsed, dim, "2024-06-01")
+    rows = weather.collect()
+    # 24 hourly slots x 3 variables joined long (null where unfetched)
+    assert len(rows) == 24 + 2  # spine rows + 2 extra matched variables
+    ta = pipelines.weather_wide(weather, "air_temp", ["S1"])
+    vals = {str(r["obs_time"]): r["S1"] for r in ta.collect()}
+    assert vals["2024-06-01 00:00:00"] == 12.5  # 08:00 UTC - 8 h
