@@ -216,7 +216,9 @@ def ivf_topk(
         F.col("n").alias("cn"),
         "list_id",
     )
-    scored = q.join(c, "list_id").select(
+    # query batches are small next to the corpus: broadcast the probe side
+    # so the corpus' inverted lists are scanned in place, never shuffled
+    scored = c.join(F.broadcast(q), "list_id").select(
         "query_id",
         "neighbor_id",
         cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
