@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_quality_scores": extensions.text_quality_scores,
         "ext_text_lang_id": extensions.text_lang_id,
         "ext_text_fingerprint": extensions.text_fingerprint,
+        "ext_text_ngram_stats": extensions.text_ngram_stats,
+        "ext_text_facet_stats": extensions.text_facet_stats,
         # extensions: multimodal
         "ext_mm_blob_stats": extensions.mm_blob_stats,
         "ext_mm_frame_sample": extensions.mm_frame_sample,
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_quality_scores": extensions.TEXT_QUALITY_SCORES_SQL,
         "ext_text_lang_id": extensions.text_lang_id_sql(),
         "ext_text_fingerprint": extensions.TEXT_FINGERPRINT_SQL,
+        "ext_text_ngram_stats": extensions.TEXT_NGRAM_STATS_SQL,
+        "ext_text_facet_stats": extensions.TEXT_FACET_STATS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,
         # ext_mm_decode_features: intentionally no oracle (Python codec stub)

@@ -113,6 +113,60 @@ def token_counts(
     )
 
 
+def ngram_stats(
+    docs: DataFrame,
+    n: int = 2,
+    top: int = 20,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level top-k n-gram frequencies (all occurrences, not
+    per-doc-distinct) with a deterministic (count desc, ngram asc) order.
+
+    explode → groupBy → TakeOrdered: the count shuffle moves one row per
+    distinct n-gram per map partition (partial aggregation), and the top-k
+    is computed per-partition then merged on the driver — no global sort of
+    the full n-gram distribution.
+    """
+    toks = docs.select(_tokens(F.col(text)).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    idx = ", ".join(f"get(__toks, i + {k})" for k in range(n))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}),"
+                f" i -> concat_ws(' ', {idx}))"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(top)
+    )
+
+
+def facet_stats(
+    docs: DataFrame,
+    facets: tuple[str, ...] = ("lang", "source"),
+    text: str = "text",
+) -> DataFrame:
+    """Corpus facet aggregation (language × source): doc counts, char
+    totals, exact mean token count — the dataset-card rollup.  Facet
+    cardinality is tiny, so map-side combine collapses the scan to a few
+    rows per task before the shuffle."""
+    n_words = F.size(_tokens(F.col(text)))
+    return docs.groupBy(*[F.col(f) for f in facets]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col(text))).alias("total_chars"),
+        (
+            F.sum(n_words.cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

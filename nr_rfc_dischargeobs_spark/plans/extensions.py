@@ -385,6 +385,35 @@ SELECT doc_id,
 FROM documents
 """
 
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams, deterministic (count desc, ngram asc) order."""
+    return textops.ngram_stats(load(spark, sf_dir, "documents"), n=2, top=20)
+
+
+TEXT_NGRAM_STATS_SQL = """
+WITH t AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+), i AS (
+  SELECT toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2
+)
+SELECT toks[i + 1] || ' ' || toks[i + 2] AS ngram, COUNT(*) AS n
+FROM i GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+
+
+def text_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source facet rollup: docs, chars, exact mean tokens."""
+    return textops.facet_stats(load(spark, sf_dir, "documents"))
+
+
+TEXT_FACET_STATS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*)
+         AS avg_tokens
+FROM documents GROUP BY lang, source
+"""
+
 # ---------------------------------------------------------------- multimodal
 
 

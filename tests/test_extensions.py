@@ -138,6 +138,29 @@ def test_lsh_bucket_restricts_candidates(spark):
     assert ids == {10}  # 11 pruned by the bucket, never scored
 
 
+def test_ngram_stats_counts_all_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x")], ["doc_id", "text"]
+    )
+    out = [(r["ngram"], r["n"]) for r in textops.ngram_stats(docs, n=2, top=3).collect()]
+    # 'a b' occurs 3 times across docs (twice in doc 0 — occurrences, not
+    # per-doc-distinct); ties break alphabetically
+    assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_facet_stats_exact_means(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y", "en", "s1"), (1, "x y z w", "en", "s1"), (2, "q", "fr", "s2")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["avg_tokens"])
+        for r in textops.facet_stats(docs).collect()
+    }
+    assert got[("en", "s1")] == (2, 3.0)
+    assert got[("fr", "s2")] == (1, 1.0)
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """Probing every inverted list must reproduce exact brute-force top-k —
     the recall/cost dial's endpoint."""
