@@ -28,6 +28,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": tpch.shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
         "tpch_q6_forecast_revenue": tpch.forecast_revenue,
+        "tpch_q14_promo_revenue": tpch.promo_revenue,
+        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -87,6 +89,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping_priority": tpch.SHIPPING_PRIORITY_SQL,
         "tpch_q5_local_supplier_volume": tpch.LOCAL_SUPPLIER_VOLUME_SQL,
         "tpch_q6_forecast_revenue": tpch.FORECAST_REVENUE_SQL,
+        "tpch_q14_promo_revenue": tpch.PROMO_REVENUE_SQL,
+        "tpch_q18_large_volume_customer": tpch.LARGE_VOLUME_CUSTOMER_SQL,
         "p1_p3_projection_timerange": events.PROJECTION_TIMERANGE_SQL,
         "p2_semi_join_stations": events.SEMI_JOIN_STATIONS_SQL,
         "p4_dict_remap": events.DICT_REMAP_SQL,

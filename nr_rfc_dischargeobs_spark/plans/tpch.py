@@ -222,3 +222,92 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promotion revenue share for one ship month.
+
+    lineitem filters to one month at the scan (pushed), part broadcasts,
+    and the conditional-vs-total revenue ratio is two exact integer sums
+    and a single double division — a one-pass, one-broadcast plan.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        (
+            exact.scaled(F.col("l_extendedprice"))
+            * (F.lit(100) - exact.scaled(F.col("l_discount")))
+        ).alias("rev"),
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")))
+    return joined.agg(
+        (100.0 * promo.cast("double") / F.sum("rev")).alias("promo_revenue")
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} END) AS DOUBLE)
+        / SUM({_REV_SQL}) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers with orders above a quantity threshold.
+
+    The HAVING subquery is a self-contained aggregation of lineitem whose
+    qualifying keys semi-join back — Spark plans it as one lineitem pass
+    for the aggregate plus a shuffle-reusing join; customer broadcasts.
+    Ordering is fully tie-broken for deterministic top-100.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", exact.scaled(F.col("l_quantity")).alias("q100")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q100").alias("sum_q100"))
+        .filter(F.col("sum_q100") > 180 * 100)
+    )
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("sum_q100").cast("double") / 100).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+LARGE_VOLUME_CUSTOMER_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_q100
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > 18000
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_q100 AS DOUBLE) / 100 AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
