@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_daily_rollup_chain": events.daily_rollup_chain,
         "a4_dedup_5min_grid": events.dedup_5min_grid,
         "a5_pivot_daily_wide": events.pivot_daily_wide,
+        "a6_melt_wide_to_long": events.melt_wide_to_long,
         "a7_distinct_partition_keys": events.distinct_partition_keys,
         "a8_last_valid_per_station": events.last_valid_per_station,
         # windows
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "a3_daily_rollup_chain": events.DAILY_ROLLUP_CHAIN_SQL,
         "a4_dedup_5min_grid": events.DEDUP_5MIN_GRID_SQL,
         "a5_pivot_daily_wide": events.PIVOT_DAILY_WIDE_SQL,
+        "a6_melt_wide_to_long": events.melt_wide_to_long_sql(),
         "a7_distinct_partition_keys": events.DISTINCT_PARTITION_KEYS_SQL,
         "a8_last_valid_per_station": events.LAST_VALID_PER_STATION_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,

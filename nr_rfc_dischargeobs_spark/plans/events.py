@@ -326,6 +326,29 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
 FROM events GROUP BY 1
 """
 
+# ---------------------------------------------------------------- A6 inverse
+
+
+def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's inverse — wide → long ``unpivot`` (the edge used when
+    re-importing wide sheets, ``discharge_obs_pd.py:114-127``): pivot the
+    daily matrix wide, melt it back, drop the scaffold nulls.  Native
+    generated expression, no shuffle beyond the pivot's own."""
+    wide = pivot_daily_wide(spark, sf_dir)
+    long_ = pivot.melt(
+        wide, ["day"], PIVOT_EVENT_TYPES, "event_type", "value"
+    )
+    return long_.filter(F.col("value").isNotNull())
+
+
+def melt_wide_to_long_sql() -> str:
+    return f"""
+WITH wide AS ({PIVOT_DAILY_WIDE_SQL})
+SELECT day, event_type, value
+FROM wide UNPIVOT (value FOR event_type IN (click, error, purchase, signup, "view"))
+"""
+
+
 # ---------------------------------------------------------------- A1
 
 

@@ -213,3 +213,22 @@ def test_rising_falling_alias_semantics_differ_from_copy(spark):
     lasts = [10.0, 7.0, 8.0]
     # alias: step1 falls → val=7.0; step2 max 8.5 > 7.0 → keeps 8.5
     assert recurrence.rising_falling_python(maxs, lasts) == [10.0, 7.0, 8.5]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from nr_rfc_dischargeobs_spark.operators.skew import salted_join
+
+    # one hot key (k=1 carries 200 rows), one cold
+    big = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)], ["k", "row_id"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "label"])
+    got = sorted(
+        (r["k"], r["row_id"], r["label"])
+        for r in salted_join(big, small, ["k"], "row_id", salts=8).collect()
+    )
+    want = sorted(
+        (r["k"], r["row_id"], r["label"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) == 201
