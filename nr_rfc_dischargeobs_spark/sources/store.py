@@ -64,10 +64,41 @@ class ObservationStore:
             .parquet(self.root)
         )
 
+    def write_bucketed(
+        self, obs: DataFrame, table: str, buckets: int = 64
+    ) -> None:
+        """S10 at fleet scale: the partitioned layout PLUS station bucketing.
+
+        ``bucketBy(station_id)`` + ``sortBy(station_id, obs_time)`` records
+        the hash distribution in the catalog, so every station-keyed
+        consumer — hourly/daily rollups, forward-fill windows, the A2
+        recurrence's repartition — reads pre-clustered data and plans with
+        NO shuffle (``HashPartitioning(station_id)`` satisfies any grouping
+        that includes station_id).  The shuffle is paid once at write time,
+        amortized over every downstream read; at 100 TB that is the
+        difference between one exchange per query and zero.
+        """
+        (
+            with_year_month(obs)
+            .repartition(buckets, F.col("station_id"))
+            .write.partitionBy(*PARTITION_COLS)
+            .bucketBy(buckets, "station_id")
+            .sortBy("station_id", "obs_time")
+            .option("path", self.root)
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
     # -------------------------------------------------------------- read
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.root)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Catalog read of the bucketed layout — REQUIRED for shuffle
+        elimination (a plain path read sees files, not the bucket spec)."""
+        return self.spark.table(table)
 
     def read_range(self, start: str, end: str) -> DataFrame:
         """S9: partition-pruned range read.  The year_month predicate is
