@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_fingerprint": extensions.text_fingerprint,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
         "ext_text_facet_stats": extensions.text_facet_stats,
+        # extensions: composed curation pipeline
+        "ext_curate_corpus": extensions.curate_corpus_plan,
         # extensions: multimodal
         "ext_mm_blob_stats": extensions.mm_blob_stats,
         "ext_mm_frame_sample": extensions.mm_frame_sample,
@@ -130,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_fingerprint": extensions.TEXT_FINGERPRINT_SQL,
         "ext_text_ngram_stats": extensions.TEXT_NGRAM_STATS_SQL,
         "ext_text_facet_stats": extensions.TEXT_FACET_STATS_SQL,
+        "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,
         # ext_mm_decode_features: intentionally no oracle (Python codec stub)

@@ -1,0 +1,107 @@
+"""Corpus curation: the composed LLM-training-data pipeline
+(quality gate → exact dedup → MinHash-LSH candidates → Jaccard verify).
+
+One function chains the §2.10 operators the way a production pre-training
+pipeline does; every stage is the already-tested operator, so the
+composition adds policy, not logic:
+
+1. quality gate — drop docs outside [min_words, max_words] or below the
+   uniqueness floor (``text.quality_scores`` signals);
+2. exact dedup — one survivor (min doc_id) per normalized fingerprint
+   (``text.fingerprint``: formatting-only variants collapse too);
+3. near-dup — MinHash band signatures (``dedup``) generate candidate
+   pairs, Jaccard ≥ threshold verifies them; the LOWER doc_id of every
+   verified pair is the keeper and the higher is dropped.  This per-edge
+   min-id rule (not connected components) is deliberate: it is
+   order-independent, one SQL window, and strictly conservative —
+   anything it keeps, a component-based rule would also keep a
+   representative for.
+
+Scale shape: the gate and fingerprints are scan-fused expressions; exact
+dedup shuffles 16-byte fingerprints; LSH shuffles (band, signature) keys
+with Σ|bucket|² candidate cost; Jaccard verification touches only candidate
+pairs.  Document text itself is never shuffled after the shingle explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import text as tx
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_words: int = 10,
+    max_words: int = 5000,
+    min_uniq: float = 0.2,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Returns the kept documents: (doc_id, n_words, uniq_ratio).
+
+    Deterministic end-to-end: every survivor choice is a min over exact
+    integers/hashes, so the output is reproducible across engines,
+    partitionings, and retries.
+    """
+    quality = tx.quality_scores(docs, text=text, doc_id=doc_id)
+    gated_ids = quality.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("uniq_ratio") >= min_uniq)
+    ).select(doc_id, "n_words", "uniq_ratio")
+    gated = docs.join(gated_ids, doc_id)
+
+    # exact: min doc_id per normalized fingerprint
+    fp = tx.fingerprint(gated, text=text, doc_id=doc_id)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(doc_id).asc())
+    exact_kept = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(doc_id)
+    )
+    survivors = gated.join(exact_kept, doc_id)
+
+    # near-dup: banded MinHash candidates, Jaccard-verified, drop higher id
+    shingles = dd.shingle_rows(survivors, text=text, doc_id=doc_id, n=1)
+    sigs = dd.minhash_signatures(shingles, bands=bands, doc_id=doc_id)
+    candidates = dd.lsh_candidate_pairs(sigs, bands=bands, doc_id=doc_id)
+    sizes = shingles.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(
+            shingles.select(
+                F.col(doc_id).alias("doc_a"), F.col("shingle")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingles.select(
+                F.col(doc_id).alias("doc_b"), F.col("shingle")
+            ),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        inter.join(
+            sizes.select(F.col(doc_id).alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(doc_id).alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= jaccard_threshold
+        )
+    )
+    dropped = verified.select(F.col("doc_b").alias(doc_id)).distinct()
+    kept = survivors.join(dropped, doc_id, "left_anti")
+    return kept.select(doc_id, "n_words", "uniq_ratio")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions import dedup, multimodal, similarity, text as textops
+from ..extensions import curate, dedup, multimodal, similarity, text as textops
 from . import load
 
 # ---------------------------------------------------------------- dedup
@@ -412,6 +412,68 @@ SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*)
          AS avg_tokens
 FROM documents GROUP BY lang, source
+"""
+
+# ---------------------------------------------------------------- curation
+
+
+def curate_corpus_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate → exact dedup →
+    MinHash-LSH candidates → Jaccard-verified near-dup drop."""
+    return curate.curate_corpus(load(spark, sf_dir, "documents"))
+
+
+CURATE_CORPUS_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+  FROM documents
+), gated AS (
+  SELECT doc_id, text, n_words,
+         CAST(n_distinct AS DOUBLE) / n_words AS uniq_ratio
+  FROM q
+  WHERE n_words BETWEEN 10 AND 5000
+    AND CAST(n_distinct AS DOUBLE) / n_words >= 0.2
+), fp AS (
+  SELECT doc_id, text, n_words, uniq_ratio,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fingerprint
+  FROM gated
+), ek AS (
+  SELECT doc_id, text, n_words, uniq_ratio FROM fp
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
+  FROM ek
+), sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS mh0, MIN(md5('1|' || shingle)) AS mh1,
+         MIN(md5('2|' || shingle)) AS mh2, MIN(md5('3|' || shingle)) AS mh3
+  FROM sh GROUP BY doc_id
+), lng AS (
+  SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig UNION ALL
+  SELECT doc_id, 'mh1', mh1 FROM sig UNION ALL
+  SELECT doc_id, 'mh2', mh2 FROM sig UNION ALL
+  SELECT doc_id, 'mh3', mh3 FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lng a JOIN lng b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+), sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.8
+)
+SELECT doc_id, n_words, uniq_ratio FROM ek
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 # ---------------------------------------------------------------- multimodal

@@ -138,6 +138,25 @@ def test_lsh_bucket_restricts_candidates(spark):
     assert ids == {10}  # 11 pruned by the bucket, never scored
 
 
+def test_curate_corpus_gates_dedups_and_near_dedups(spark):
+    from nr_rfc_dischargeobs_spark.extensions import curate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),                      # kept
+            (1, base + "!"),                # exact dup after normalize -> drop
+            (2, base + " lambda"),          # near-dup of 0 (jaccard 10/11) -> drop
+            (3, "short text"),              # quality gate: < 10 words
+            (4, "word " * 20),              # uniq_ratio 1/20 < 0.2 -> drop
+            (5, "one two three four five six seven eight nine ten"),  # kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in curate.curate_corpus(docs).collect()}
+    assert kept == {0, 5}
+
+
 def test_ngram_stats_counts_all_occurrences(spark):
     docs = spark.createDataFrame(
         [(0, "a b a b c"), (1, "a b x")], ["doc_id", "text"]
