@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_fingerprint": extensions.text_fingerprint,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
         "ext_text_facet_stats": extensions.text_facet_stats,
+        "ext_text_length_profile": extensions.text_length_profile,
         # extensions: composed curation pipeline
         "ext_curate_corpus": extensions.curate_corpus_plan,
         # extensions: multimodal
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_fingerprint": extensions.TEXT_FINGERPRINT_SQL,
         "ext_text_ngram_stats": extensions.TEXT_NGRAM_STATS_SQL,
         "ext_text_facet_stats": extensions.TEXT_FACET_STATS_SQL,
+        "ext_text_length_profile": extensions.TEXT_LENGTH_PROFILE_SQL,
         "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,

@@ -167,6 +167,29 @@ def facet_stats(
     )
 
 
+def length_profile(
+    docs: DataFrame,
+    facet: str = "source",
+    length_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-facet document-length distribution: exact interpolated
+    percentiles + count — the dataset-card length histogram.
+
+    Exact ``percentile`` (sort-based, linear interpolation — matches any
+    engine bit-for-bit) is the verification path; at fleet scale swap in
+    ``percentile_approx`` per facet and keep this as the audit query.
+    """
+    x = F.col(length_col).cast("double")
+    return docs.groupBy(facet).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.percentile(x, F.lit(q)).alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ],
+    )
+
+
 def fingerprint(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

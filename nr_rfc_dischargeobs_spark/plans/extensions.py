@@ -414,6 +414,20 @@ SELECT lang, source, COUNT(*) AS n_docs,
 FROM documents GROUP BY lang, source
 """
 
+def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (exact interpolation)."""
+    return textops.length_profile(load(spark, sf_dir, "documents"))
+
+
+TEXT_LENGTH_PROFILE_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
+FROM documents GROUP BY source
+"""
+
 # ---------------------------------------------------------------- curation
 
 
