@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_year_rollover_disambiguation": events.year_rollover_disambiguation,
         # scalar functions + formula DSL
         "fn_unit_conversion": events.unit_conversion,
+        "fn_json_props_stats": events.json_props_stats,
         "fn_formula_estimate": events.formula_estimate,
         # extensions: dedup (§2.10)
         "ext_dedup_exact_clusters": extensions.dedup_exact_clusters,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,
         "fn_unit_conversion": events.UNIT_CONVERSION_SQL,
+        "fn_json_props_stats": events.JSON_PROPS_STATS_SQL,
         "fn_formula_estimate": events.formula_estimate_sql(),
         "ext_dedup_exact_clusters": extensions.DEDUP_EXACT_CLUSTERS_SQL,
         "ext_dedup_minhash_signatures": extensions.DEDUP_MINHASH_SIGNATURES_SQL,

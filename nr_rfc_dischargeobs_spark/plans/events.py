@@ -708,6 +708,34 @@ SELECT event_id,
 FROM events WHERE event_type = 'purchase'
 """
 
+# ---------------------------------------------------------------- JSON
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 extension surface: typed JSON extraction with ``from_json`` (a
+    generated parser with an explicit schema — no schema inference scan),
+    aggregated per event type.  Sums of integers are exact."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_t", F.from_json(F.col("props"), "struct<k: bigint>")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("props_t.k").alias("n_k"),
+        F.sum("props_t.k").alias("sum_k"),
+        F.min("props_t.k").alias("min_k"),
+        F.max("props_t.k").alias("max_k"),
+    )
+
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type,
+       COUNT(CAST(props->>'k' AS BIGINT)) AS n_k,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
 # ---------------------------------------------------------------- formula DSL
 
 ESTIMATE_FORMULA = "(0.02*{click}^2+0.5*{view}-1.5).clip(lower=0.001)"
