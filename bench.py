@@ -25,7 +25,12 @@ HEADLINE = None  # None = all queries()
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # -Xlog:disable: JVM unified logging (GC warnings etc.) writes to
+    # STDOUT and would corrupt the one-JSON-line contract.
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()

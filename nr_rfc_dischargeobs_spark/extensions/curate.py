@@ -38,6 +38,8 @@ def curate_corpus(
     max_words: int = 5000,
     min_uniq: float = 0.2,
     bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     text: str = "text",
     doc_id: str = "doc_id",
@@ -66,9 +68,14 @@ def curate_corpus(
     )
     survivors = gated.join(exact_kept, doc_id)
 
-    # near-dup: banded MinHash candidates, Jaccard-verified, drop higher id
-    shingles = dd.shingle_rows(survivors, text=text, doc_id=doc_id, n=1)
-    sigs = dd.minhash_signatures(shingles, bands=bands, doc_id=doc_id)
+    # near-dup: banded MinHash candidates, Jaccard-verified, drop higher id.
+    # Trigram shingles + r=2 bands: unigrams over a small vocabulary give
+    # every pair high baseline overlap (candidates ≈ n²); trigrams make
+    # overlap track real similarity and r=2 suppresses the rest as s².
+    shingles = dd.shingle_rows(survivors, text=text, doc_id=doc_id, n=shingle_n)
+    sigs = dd.minhash_signatures(
+        shingles, bands=bands, rows_per_band=rows_per_band, doc_id=doc_id
+    )
     candidates = dd.lsh_candidate_pairs(sigs, bands=bands, doc_id=doc_id)
     sizes = shingles.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (

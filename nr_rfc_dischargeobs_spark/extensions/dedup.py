@@ -81,18 +81,47 @@ def band_hash(band: int, shingle: Column) -> Column:
 
 
 def minhash_signatures(
-    shingles: DataFrame, bands: int = 4, doc_id: str = "doc_id"
+    shingles: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 1,
+    doc_id: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc min-hash signature, one column per band (``mh0..mh{b-1}``).
+    """Per-doc banded min-hash signature, one column per band
+    (``mh0..mh{b-1}``).
 
-    One groupBy over the shingle rows computes every band's min at once —
-    bands add agg expressions, not passes.
+    ``rows_per_band`` (r) is the LSH precision dial: a band collides only
+    when ALL r of its min-hashes agree, so the candidate probability for
+    true Jaccard s is 1−(1−s^r)^bands.  r=1 on a low-diversity corpus
+    (small vocabulary, high baseline overlap) buckets nearly every pair —
+    Σ|bucket|² ≈ n² — while r≥2 suppresses the sub-threshold mass
+    exponentially.  One groupBy computes all bands×r mins at once; band
+    signatures are hashes of their row concatenation.
     """
+    n_hashes = bands * rows_per_band
     aggs = [
-        F.min(band_hash(b, F.col("shingle"))).alias(f"mh{b}")
-        for b in range(bands)
+        F.min(band_hash(h, F.col("shingle"))).alias(f"__h{h}")
+        for h in range(n_hashes)
     ]
-    return shingles.groupBy(doc_id).agg(*aggs)
+    per_hash = shingles.groupBy(doc_id).agg(*aggs)
+    if rows_per_band == 1:
+        return per_hash.select(
+            doc_id, *[F.col(f"__h{b}").alias(f"mh{b}") for b in range(bands)]
+        )
+    return per_hash.select(
+        doc_id,
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"__h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"mh{b}")
+            for b in range(bands)
+        ],
+    )
 
 
 def lsh_candidate_pairs(

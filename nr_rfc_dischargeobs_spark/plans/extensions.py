@@ -458,13 +458,24 @@ WITH q AS (
   SELECT doc_id, text, n_words, uniq_ratio FROM fp
   QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
 ), sh AS (
-  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])))) AS shingle
   FROM ek
+), hmin AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
+         MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
+  FROM sh GROUP BY doc_id
 ), sig AS (
   SELECT doc_id,
-         MIN(md5('0|' || shingle)) AS mh0, MIN(md5('1|' || shingle)) AS mh1,
-         MIN(md5('2|' || shingle)) AS mh2, MIN(md5('3|' || shingle)) AS mh3
-  FROM sh GROUP BY doc_id
+         md5(h0 || '|' || h1) AS mh0, md5(h2 || '|' || h3) AS mh1,
+         md5(h4 || '|' || h5) AS mh2, md5(h6 || '|' || h7) AS mh3
+  FROM hmin
 ), lng AS (
   SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig UNION ALL
   SELECT doc_id, 'mh1', mh1 FROM sig UNION ALL

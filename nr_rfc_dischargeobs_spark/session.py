@@ -56,6 +56,13 @@ def get_spark(
         # micros, matching DuckDB's own nanos→micros truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # local[] runs driver AND all 32 executor threads in ONE JVM —
+        # Spark's 1g default heap starves 32 concurrent tasks (GC-locker
+        # stalls, then OOM).  Size it like the executor fleet it stands for.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         # local[] has no dedicated driver; keep result transfers bounded.
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
