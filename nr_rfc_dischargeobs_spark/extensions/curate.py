@@ -43,6 +43,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     text: str = "text",
     doc_id: str = "doc_id",
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """Returns the kept documents: (doc_id, n_words, uniq_ratio).
 
@@ -72,7 +73,12 @@ def curate_corpus(
     # Trigram shingles + r=2 bands: unigrams over a small vocabulary give
     # every pair high baseline overlap (candidates ≈ n²); trigrams make
     # overlap track real similarity and r=2 suppresses the rest as s².
+    # the shingle table feeds signatures, sizes, and both sides of the
+    # intersection join; caching it trades memory for 4 subtree re-scans
+    # (at fleet scale, materialize it as a table instead)
     shingles = dd.shingle_rows(survivors, text=text, doc_id=doc_id, n=shingle_n)
+    if cache_shingles:
+        shingles = shingles.persist()
     sigs = dd.minhash_signatures(
         shingles, bands=bands, rows_per_band=rows_per_band, doc_id=doc_id
     )

@@ -434,7 +434,9 @@ FROM documents GROUP BY source
 def curate_corpus_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate → exact dedup →
     MinHash-LSH candidates → Jaccard-verified near-dup drop."""
-    return curate.curate_corpus(load(spark, sf_dir, "documents"))
+    return curate.curate_corpus(
+        load(spark, sf_dir, "documents"), cache_shingles=True
+    )
 
 
 CURATE_CORPUS_SQL = r"""
