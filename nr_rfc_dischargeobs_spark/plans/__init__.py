@@ -39,6 +39,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # Self-sufficient on ANY session (the driver passes its own): without
+    # this runtime conf, scanning TIMESTAMP(NANOS) parquet throws
+    # PARQUET_TYPE_ILLEGAL.  Idempotent, runtime-settable SQL conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — double division would lose ulps above 2^53 ns
