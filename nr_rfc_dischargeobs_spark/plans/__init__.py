@@ -39,10 +39,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    # Self-sufficient on ANY session (the driver passes its own): without
-    # this runtime conf, scanning TIMESTAMP(NANOS) parquet throws
-    # PARQUET_TYPE_ILLEGAL.  Idempotent, runtime-settable SQL conf.
+    # Self-sufficient on ANY session (the driver passes its own); both are
+    # runtime-settable, idempotent SQL confs:
+    # - without nanosAsLong, scanning TIMESTAMP(NANOS) parquet throws
+    #   PARQUET_TYPE_ILLEGAL;
+    # - the engine's timestamp semantics are naive-UTC (SURVEY.md §1.2) —
+    #   a session in any other zone would render/parse timestamp literals
+    #   shifted relative to the DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — double division would lose ulps above 2^53 ns
