@@ -78,7 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_ngram_stats": extensions.text_ngram_stats,
         "ext_text_facet_stats": extensions.text_facet_stats,
         "ext_text_length_profile": extensions.text_length_profile,
-        # extensions: composed curation pipeline
+        # extensions: sampling + composed curation pipeline
+        "ext_sample_split": extensions.sample_deterministic_split,
         "ext_curate_corpus": extensions.curate_corpus_plan,
         # extensions: multimodal
         "ext_mm_blob_stats": extensions.mm_blob_stats,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_ngram_stats": extensions.TEXT_NGRAM_STATS_SQL,
         "ext_text_facet_stats": extensions.TEXT_FACET_STATS_SQL,
         "ext_text_length_profile": extensions.TEXT_LENGTH_PROFILE_SQL,
+        "ext_sample_split": extensions.SAMPLE_DETERMINISTIC_SPLIT_SQL,
         "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,

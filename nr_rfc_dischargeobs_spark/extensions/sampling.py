@@ -1,0 +1,59 @@
+"""Deterministic sampling / dataset splits.
+
+Training pipelines need splits that are (a) reproducible across runs,
+engines, and partitionings, (b) stable under corpus growth (a doc's split
+never changes when other docs arrive), and (c) free of coordination — no
+``rand()`` (non-deterministic under retries), no ``row_number`` over a
+global sort (a full-shuffle barrier at 100 TB).
+
+``hash_bucket`` maps a key to [0, 65536) via the first 16 bits of
+``md5(salt|key)`` — byte-portable to any engine with md5 — and splits are
+threshold comparisons on that bucket.  Salting gives independent splits
+from the same keys (change the salt, get a fresh assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+BUCKETS = 1 << 16
+
+
+def hash_bucket(key: Column, salt: str = "split") -> Column:
+    """[0, 65536) bucket from md5(salt|key) — pure generated expressions
+    (md5 + instr arithmetic), identical in any engine."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    out = F.lit(0)
+    for i in range(4):
+        nibble = F.instr(F.lit(HEX), F.substring(h, i + 1, 1)) - 1
+        out = out + nibble * (16 ** (3 - i))
+    return out
+
+
+def hash_bucket_sql(key_sql: str, salt: str = "split") -> str:
+    """The DuckDB-dialect twin of :func:`hash_bucket` (strpos == instr)."""
+    h = f"md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR))"
+    parts = [
+        f"(strpos('{HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    train_frac: float = 0.9,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label each row 'train'/'val' by key hash — scan-fused, shuffle-free,
+    stable under appends."""
+    threshold = int(train_frac * BUCKETS)
+    bucket = hash_bucket(F.col(key), salt)
+    return df.withColumn(
+        out_col,
+        F.when(bucket < threshold, F.lit("train")).otherwise(F.lit("val")),
+    )

@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions import curate, dedup, multimodal, similarity, text as textops
+from ..extensions import (
+    curate,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
 from . import load
 
 # ---------------------------------------------------------------- dedup
@@ -426,6 +433,26 @@ SELECT source, COUNT(*) AS n_docs,
        quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
        quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
 FROM documents GROUP BY source
+"""
+
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 hash split of documents: per-split doc counts and char totals
+    (stable under appends, identical in any engine)."""
+    split = sampling.deterministic_split(
+        load(spark, sf_dir, "documents"), "doc_id", train_frac=0.9
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+SAMPLE_DETERMINISTIC_SPLIT_SQL = f"""
+SELECT CASE WHEN {sampling.hash_bucket_sql('doc_id')} < {int(0.9 * sampling.BUCKETS)}
+            THEN 'train' ELSE 'val' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars
+FROM documents GROUP BY 1
 """
 
 # ---------------------------------------------------------------- curation

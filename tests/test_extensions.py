@@ -138,6 +138,30 @@ def test_lsh_bucket_restricts_candidates(spark):
     assert ids == {10}  # 11 pruned by the bucket, never scored
 
 
+def test_deterministic_split_is_stable_under_appends(spark):
+    from nr_rfc_dischargeobs_spark.extensions import sampling
+
+    small = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    big = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    s1 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(small, "doc_id").collect()
+    }
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(big, "doc_id").collect()
+    }
+    assert all(s2[k] == v for k, v in s1.items())  # appends never reassign
+    frac = sum(1 for v in s2.values() if v == "train") / len(s2)
+    assert 0.8 < frac < 1.0  # roughly the requested 0.9
+    # a different salt gives an independent assignment
+    s3 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(big, "doc_id", salt="v2").collect()
+    }
+    assert s3 != s2
+
+
 def test_curate_corpus_gates_dedups_and_near_dedups(spark):
     from nr_rfc_dischargeobs_spark.extensions import curate
 
