@@ -95,12 +95,19 @@ def rising_falling(
         pdf = pd.concat(chunks, ignore_index=True)
         if not len(pdf):
             return
-        yield pd.concat(
-            [
-                rising_falling_recurrence_pdf(g)
-                for _, g in pdf.groupby("station_id", sort=False)
-            ],
-            ignore_index=True,
+        # one sorted pass with station-boundary resets instead of a pandas
+        # groupby: building ~|stations| per-group frames costs more than
+        # the recurrence itself
+        pdf = pdf.sort_values(["station_id", "hour"], ignore_index=True)
+        station = pdf["station_id"].to_numpy()
+        vals = pdf["hrly_max"].to_numpy(copy=True)
+        maxs = pdf["hrly_max"].to_numpy()
+        last = pdf["hrly_last"].to_numpy()
+        for i in range(1, len(vals)):
+            if station[i] == station[i - 1] and maxs[i] <= vals[i - 1]:
+                vals[i] = last[i]
+        yield pd.DataFrame(
+            {"station_id": station, "hour": pdf["hour"], "value": vals}
         )
 
     return prepared.repartition("station_id").mapInPandas(
