@@ -30,6 +30,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": tpch.forecast_revenue,
         "tpch_q14_promo_revenue": tpch.promo_revenue,
         "tpch_q18_large_volume_customer": tpch.large_volume_customer,
+        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q10_returned_item_report": tpch.returned_item_report,
+        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
+        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -97,6 +107,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6_forecast_revenue": tpch.FORECAST_REVENUE_SQL,
         "tpch_q14_promo_revenue": tpch.PROMO_REVENUE_SQL,
         "tpch_q18_large_volume_customer": tpch.LARGE_VOLUME_CUSTOMER_SQL,
+        "tpch_q4_order_priority_exists": tpch.ORDER_PRIORITY_EXISTS_SQL,
+        "tpch_q7_volume_shipping": tpch.VOLUME_SHIPPING_SQL,
+        "tpch_q8_market_share": tpch.MARKET_SHARE_SQL,
+        "tpch_q10_returned_item_report": tpch.RETURNED_ITEM_REPORT_SQL,
+        "tpch_q12_line_priority_counts": tpch.LINE_PRIORITY_COUNTS_SQL,
+        "tpch_q13_customer_order_distribution": tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "tpch_q15_top_supplier": tpch.TOP_SUPPLIER_SQL,
+        "tpch_q19_disjunctive_revenue": tpch.DISJUNCTIVE_REVENUE_SQL,
+        "tpch_q21_waiting_suppliers": tpch.WAITING_SUPPLIERS_SQL,
+        "tpch_q22_idle_rich_customers": tpch.IDLE_RICH_CUSTOMERS_SQL,
         "p1_p3_projection_timerange": events.PROJECTION_TIMERANGE_SQL,
         "p2_semi_join_stations": events.SEMI_JOIN_STATIONS_SQL,
         "p4_dict_remap": events.DICT_REMAP_SQL,

@@ -311,3 +311,524 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 100
 """
+
+
+# --- wider relational spine ------------------------------------------------
+# The driver tables are a simplified TPC-H (no partsupp, no commit/receipt
+# dates, no shipmode/container/phone columns), so the classic queries that
+# need those columns are re-cut to the available schema while keeping the
+# PLAN SHAPE the query exists to exercise: existential semi-join (Q4),
+# nation-pair theta filter (Q7), conditional market share (Q8), outer-join
+# distribution (Q13), scalar-subquery max (Q15), disjunctive pushdown (Q19),
+# exists + not-exists (Q21), anti-join with scalar threshold (Q22).
+
+
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: order-priority count with EXISTS semi-join.
+
+    The EXISTS subquery is a LEFT SEMI join on ``l_orderkey`` — Spark never
+    materializes the duplicate-heavy right side, and at 100 TB the semi-join
+    shuffles only the orderkey column of the flagged rows.  The final count
+    groups on a 5-value key, so it's all map-side partial aggregation.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    flagged = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral trade volume between two nations by year.
+
+    Both nation dims and both sides' key tables (supplier, customer)
+    broadcast; lineitem⋈orders is the only shuffle.  The nation-pair
+    disjunction is applied after the broadcasts — at scale the filter runs
+    inside the same codegen stage as the joins, no extra pass.
+    """
+    li = _scaled_lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(exact.sum_scaled(_rev(), 10000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  EXTRACT(year FROM l_shipdate) AS l_year,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of a region's STANDARD-part market.
+
+    Six-way join where everything except lineitem⋈orders broadcasts; the
+    share is a conditional sum over the same exact-integer revenue, so the
+    ratio is engine-reproducible.  Plan shape at 100 TB: one fact-table
+    pass, five broadcast hash joins, two-row-per-year final aggregate.
+    """
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            exact.scaled(F.col("l_extendedprice"))
+            * (F.lit(100) - exact.scaled(F.col("l_discount")))
+        ).alias("rev"),
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cnation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    snation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("rev")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (nation_rev.cast("double") / F.sum("rev")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_SQL = f"""
+SELECT
+  EXTRACT(year FROM o_orderdate) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5' THEN {_REV_SQL} END) AS DOUBLE)
+    / SUM({_REV_SQL}) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD'
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned-item revenue.
+
+    lineitem filters on returnflag at the scan (pushed to parquet), joins
+    orders on the shuffled key, then customer and nation broadcast.  The
+    groupBy key includes the customer attributes so no second join is needed
+    to decorate the winners; top-20 is a TakeOrdered, no global sort.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _scaled_lineitem(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact.sum_scaled(_rev(), 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REPORT_SQL = f"""
+SELECT
+  c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def line_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: high/low-priority line counts per line status.
+
+    (The driver schema has no ``l_shipmode``; ``l_linestatus`` stands in as
+    the grouping key — the shape under test is join + dual conditional
+    count.)  Both counts come from one pass over the joined rows; the
+    3-value group key keeps the shuffle a few bytes per task.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+LINE_PRIORITY_COUNTS_SQL = """
+SELECT
+  l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of order counts per customer.
+
+    Left outer join keeps order-less customers (their count is 0), then a
+    second aggregation histograms the counts.  Both shuffles are on
+    high-cardinality keys that AQE coalesces; the histogram output is tiny.
+    """
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum quarterly revenue.
+
+    The scalar subquery MAX is computed on the SCALED-INTEGER revenue and
+    joined back by integer equality — exact, so Spark and the oracle agree
+    on which supplier(s) tie for the max even when the double rendering
+    would be within an ulp.  The one-row max broadcasts.
+    """
+    li = _scaled_lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev100"))
+    max_rev = rev.agg(F.max("rev100").alias("max_rev100"))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("rev100") == F.col("max_rev100"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev100").cast("double") / 10000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS rev100
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev100 AS DOUBLE) / 10000 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev100 = (SELECT MAX(rev100) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under OR'd (brand, size, quantity) groups.
+
+    The disjunction spans both tables, so Catalyst pushes the per-table
+    residuals (brand/size to part, quantity bounds to lineitem) and
+    evaluates the cross-table OR inside the broadcast-join stage — one
+    lineitem pass regardless of how many predicate groups there are.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        exact.scaled(F.col("l_quantity")).alias("q100"),
+        (
+            exact.scaled(F.col("l_extendedprice"))
+            * (F.lit(100) - exact.scaled(F.col("l_discount")))
+        ).alias("rev"),
+    )
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("q100").between(100, 1100)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("q100").between(1000, 2000)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("q100").between(2000, 3000)
+        )
+    )
+    return joined.filter(grp).agg(
+        exact.sum_scaled(F.col("rev"), 10000).alias("revenue")
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND CAST(ROUND(l_quantity * 100, 0) AS BIGINT) BETWEEN 100 AND 1100)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND CAST(ROUND(l_quantity * 100, 0) AS BIGINT) BETWEEN 1000 AND 2000)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(l_quantity * 100, 0) AS BIGINT) BETWEEN 2000 AND 3000)
+"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: sole-blame suppliers on multi-supplier orders.
+
+    (Re-cut to the driver schema: ``l_returnflag = 'R'`` stands in for the
+    late-delivery predicate.)  EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI,
+    both equi-joined on ``l_orderkey`` with the ``suppkey <>`` residual
+    evaluated inside the join — the shape Spark plans as two shuffle joins
+    on the same key, so the exchange is reused between them.
+    """
+    f_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "l_returnflag",
+    )
+    has_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole_blame = has_other.join(
+        l2.filter(F.col("l_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_anti",
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_blame.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no urgent order.
+
+    (Every customer in the driver data has ≥1 order, so the NOT EXISTS side
+    is restricted to 1-URGENT orders to keep the anti-join discriminating.)
+    The scalar average is the exact-integer mean (sum/100/count — identical
+    op order in the oracle, so the threshold double is bit-equal and no
+    boundary customer flips sides); it broadcasts as a one-row cross join.
+    NOT EXISTS is a LEFT ANTI join against the filtered orders key column.
+    """
+    customer = load(spark, sf_dir, "customer")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .select(exact.scaled(F.col("c_acctbal")).alias("b100"))
+        .agg(exact.avg_scaled("b100").alias("avg_bal"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact.sum_scaled(
+                exact.scaled(F.col("c_acctbal"))
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS numcust,
+  {exact.sum_scaled_sql(exact.scaled_sql('c_acctbal'))} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {exact.avg_scaled_sql(exact.scaled_sql('c_acctbal'))}
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -77,3 +77,33 @@ def test_no_python_eval_outside_the_recurrence(spark):
         ):
             offenders.append(name)
     assert offenders == []
+
+
+def test_q21_exists_and_not_exists_are_semi_and_anti_joins(spark):
+    plan = _formatted(tpch.waiting_suppliers(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # supplier decoration broadcasts; only the orderkey joins may shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_star_joins_broadcast_every_dimension(spark):
+    plan = _formatted(tpch.volume_shipping(spark, SF))
+    # supplier, customer, and both nation copies broadcast → ≥4 BHJ;
+    # lineitem⋈orders is the only join allowed to shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q15_scalar_max_broadcasts_one_row(spark):
+    plan = _formatted(tpch.top_supplier(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the max side reduces to a single row before the join: no shuffle of rev
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_still_prunes_columns(spark):
+    plan = _formatted(tpch.disjunctive_revenue(spark, SF))
+    # only the five referenced lineitem columns are read
+    for col in ("l_orderkey", "l_shipdate", "l_returnflag", "l_tax"):
+        assert f"{col}#" not in plan.split("Scan parquet")[1][:400]
