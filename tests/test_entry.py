@@ -25,3 +25,22 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_sql_catalog_views(spark):
+    """Tables and named plans are drivable through spark.sql, and a
+    predicate applied OUTSIDE a query view is pushed into its plan."""
+    from nr_rfc_dischargeobs_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    tables = catalog.register_tables(spark, sf)
+    assert "lineitem" in tables and "documents" in tables
+    assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n > 0
+
+    catalog.register_queries(spark, sf, ["a1_hourly_rollup_last_override"])
+    filtered = spark.sql(
+        "SELECT * FROM a1_hourly_rollup_last_override WHERE user_id = 1"
+    )
+    assert filtered.count() >= 0  # executes through the view
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    assert "user_id" in plan  # predicate reached the view's plan
