@@ -40,6 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
         "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
         "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "tpch_q9_product_type_profit": tpch.product_type_profit,
+        "tpch_q11_important_stock": tpch.important_stock,
+        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
+        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
+        "tpch_q20_excess_shippers": tpch.excess_shippers,
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -117,6 +123,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_disjunctive_revenue": tpch.DISJUNCTIVE_REVENUE_SQL,
         "tpch_q21_waiting_suppliers": tpch.WAITING_SUPPLIERS_SQL,
         "tpch_q22_idle_rich_customers": tpch.IDLE_RICH_CUSTOMERS_SQL,
+        "tpch_q2_min_cost_supplier": tpch.MIN_COST_SUPPLIER_SQL,
+        "tpch_q9_product_type_profit": tpch.PRODUCT_TYPE_PROFIT_SQL,
+        "tpch_q11_important_stock": tpch.IMPORTANT_STOCK_SQL,
+        "tpch_q16_parts_supplier_relationship": tpch.PARTS_SUPPLIER_RELATIONSHIP_SQL,
+        "tpch_q17_small_quantity_revenue": tpch.SMALL_QUANTITY_REVENUE_SQL,
+        "tpch_q20_excess_shippers": tpch.EXCESS_SHIPPERS_SQL,
         "p1_p3_projection_timerange": events.PROJECTION_TIMERANGE_SQL,
         "p2_semi_join_stations": events.SEMI_JOIN_STATIONS_SQL,
         "p4_dict_remap": events.DICT_REMAP_SQL,

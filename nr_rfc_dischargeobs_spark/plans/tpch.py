@@ -832,3 +832,376 @@ WHERE c_acctbal > (
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: min-cost supplier per part (correlated-MIN subquery).
+
+    The driver schema has no partsupp, so lineitem is the part↔supplier
+    bridge: a (part, supplier) "offer" is the MIN scaled extendedprice over
+    their lineitems.  Winners are the offers equal to the per-part minimum
+    among EUROPE suppliers — the classic correlated scalar-min, planned as
+    agg + self-join instead of a per-row subquery: one shuffle on
+    (partkey, suppkey), then a partkey-partial reagg that reuses that
+    partitioning, then a broadcast join of the tiny min table back.
+    Dimension joins (region→nation→supplier, filtered part) all broadcast.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    supplier = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", exact.scaled(F.col("l_extendedprice")).alias("p100")
+    )
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("p100").alias("offer100"))
+    )
+    min_offer = offers.groupBy("p_partkey").agg(F.min("offer100").alias("min100"))
+    return (
+        offers.join(
+            F.broadcast(min_offer.withColumnRenamed("p_partkey", "mp_partkey")),
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("offer100") == F.col("min100")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("offer100").cast("double") / 100).alias("offer"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN({exact.scaled_sql('l_extendedprice')}) AS offer100
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(offer100 AS DOUBLE) / 100 AS offer
+FROM offers o
+WHERE offer100 = (SELECT MIN(offer100) FROM offers i
+                  WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation × order year.
+
+    Cost is re-cut to ``p_retailprice * l_quantity`` (no partsupp supplycost
+    in the driver schema); profit = disc revenue − cost, both exact scaled
+    BIGINT at the same 10^4 factor so their difference sums exactly.  part
+    (name-filtered), supplier, nation broadcast; the only real shuffle is
+    lineitem⋈orders on orderkey, then a tiny (nation, year) final agg.
+    """
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", exact.scaled(F.col("p_retailprice")).alias("rp100"))
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        exact.scaled(F.col("l_quantity")).alias("q100"),
+        exact.scaled(F.col("l_extendedprice")).alias("p100"),
+        exact.scaled(F.col("l_discount")).alias("d100"),
+    )
+    amount = _rev() - F.col("rp100") * F.col("q100")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(exact.sum_scaled(amount, 10000).alias("sum_profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = f"""
+SELECT
+  n_name,
+  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+  CAST(SUM({_REV_SQL}
+           - {exact.scaled_sql('p_retailprice')}
+             * {exact.scaled_sql('l_quantity')}) AS DOUBLE) / 10000
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts holding an outsized share of one nation's
+    shipped value (group-agg HAVING against a global scalar subquery).
+
+    Value is re-cut to summed scaled extendedprice over NATION_7 suppliers'
+    lineitems (no partsupp).  The global total is a one-row agg broadcast
+    via crossJoin; the HAVING comparison stays in exact integer space
+    (value*1000 > total) so no engine disagrees on boundary parts.  One
+    shuffle on partkey; at 100 TB the nation filter (broadcast semi-join)
+    cuts the scan's row volume ~25× before it.
+    """
+    supplier = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            exact.scaled(F.col("l_extendedprice")).alias("p100"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    by_part = li.groupBy("l_partkey").agg(F.sum("p100").alias("value100"))
+    total = li.agg(F.sum("p100").alias("total100"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value100") * 1000 > F.col("total100"))
+        .select(
+            "l_partkey", (F.col("value100").cast("double") / 100).alias("value")
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+IMPORTANT_STOCK_SQL = f"""
+WITH nli AS (
+  SELECT l_partkey, {exact.scaled_sql('l_extendedprice')} AS p100
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_7')
+)
+SELECT l_partkey, CAST(SUM(p100) AS DOUBLE) / 100 AS value
+FROM nli
+GROUP BY l_partkey
+HAVING SUM(p100) * 1000 > (SELECT SUM(p100) FROM nli)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier count per (brand, type, size),
+    excluding disqualified suppliers (NOT IN anti-join).
+
+    lineitem is the part↔supplier bridge; negative-balance suppliers play
+    the "customer complaints" exclusion role.  part and the exclusion list
+    broadcast; countDistinct(suppkey) shuffles once on the 3-part group key.
+    """
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").like("MEDIUM%"))
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+PARTS_SUPPLIER_RELATIONSHIP_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from small-quantity orders of one brand
+    (correlated AVG subquery).
+
+    The ``l_quantity < 0.2 * avg(l_quantity per part)`` predicate is kept in
+    exact integers: ``5 * n * q100 < sum_q100`` — algebraically identical,
+    division-free, so no boundary row flips between engines.  Planned as
+    per-part agg + broadcast join-back (the filtered part set is small)
+    rather than a per-row subquery; two passes over only the brand's rows.
+    """
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            exact.scaled(F.col("l_quantity")).alias("q100"),
+            exact.scaled(F.col("l_extendedprice")).alias("p100"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("q100").alias("sum_q100"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter(F.lit(5) * F.col("n") * F.col("q100") < F.col("sum_q100"))
+        .agg((F.sum("p100").cast("double") / 100 / 7.0).alias("avg_yearly"))
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH bli AS (
+  SELECT l_partkey, {exact.scaled_sql('l_quantity')} AS q100,
+         {exact.scaled_sql('l_extendedprice')} AS p100
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#23' AND p_type = 'SMALL')
+), per_part AS (
+  SELECT l_partkey AS pk, SUM(q100) AS sum_q100, COUNT(*) AS n
+  FROM bli GROUP BY 1
+)
+SELECT CAST(SUM(p100) AS DOUBLE) / 100 / 7.0 AS avg_yearly
+FROM bli JOIN per_part ON l_partkey = pk
+WHERE 5 * n * q100 < sum_q100
+"""
+
+
+def excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers who shipped more than half of some red
+    part's 1996 volume (nested-IN membership chain).
+
+    Q20's availqty-vs-half-of-shipped test is re-cut to lineitem-only:
+    qualify (part, supplier) pairs where 2 × pair volume > part's total 1996
+    volume, then semi-join suppliers of NATION_3 against the qualifying
+    supplier keys.  All set membership becomes semi-joins; the per-pair and
+    per-part aggs share one shuffle pass over the year's red-part rows.
+    """
+    red_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li96 = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey", "l_suppkey", exact.scaled(F.col("l_quantity")).alias("q100")
+        )
+        .join(
+            F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+    )
+    pair_qty = li96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q100").alias("pair_q100")
+    )
+    part_qty = li96.groupBy("l_partkey").agg(F.sum("q100").alias("part_q100"))
+    qualifying = (
+        pair_qty.join(
+            part_qty.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk")
+        )
+        .filter(F.lit(2) * F.col("pair_q100") > F.col("part_q100"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+EXCESS_SHIPPERS_SQL = f"""
+WITH li96 AS (
+  SELECT l_partkey, l_suppkey, {exact.scaled_sql('l_quantity')} AS q100
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+), pair_qty AS (
+  SELECT l_partkey, l_suppkey, SUM(q100) AS pair_q100
+  FROM li96 GROUP BY 1, 2
+), part_qty AS (
+  SELECT l_partkey AS pk, SUM(q100) AS part_q100
+  FROM li96 GROUP BY 1
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM pair_qty
+                    JOIN part_qty ON l_partkey = pk
+                    WHERE 2 * pair_q100 > part_q100)
+ORDER BY s_name
+"""
