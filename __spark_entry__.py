@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nr_rfc_dischargeobs_spark.plans import events, extensions, tpch
+from nr_rfc_dischargeobs_spark.plans import analytics, events, extensions, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_melt_wide_to_long": events.melt_wide_to_long,
         "a7_distinct_partition_keys": events.distinct_partition_keys,
         "a8_last_valid_per_station": events.last_valid_per_station,
+        # analytics: windows / sessions / as-of / range / rollup
+        "an_topk_per_group": analytics.topk_per_group,
+        "an_sessionize_gap30m": analytics.sessionize,
+        "an_asof_join_view_purchase": analytics.asof_join,
+        "an_range_join_binned": analytics.range_join_binned,
+        "an_rollup_subtotals": analytics.rollup_subtotals,
         # windows
         "w1_ffill_hourly_gaps": events.ffill_hourly_gaps,
         "w2_suppress_repeat_labels": events.suppress_repeat_labels,
@@ -147,6 +153,11 @@ def oracle_sql() -> dict[str, str]:
         "a6_melt_wide_to_long": events.melt_wide_to_long_sql(),
         "a7_distinct_partition_keys": events.DISTINCT_PARTITION_KEYS_SQL,
         "a8_last_valid_per_station": events.LAST_VALID_PER_STATION_SQL,
+        "an_topk_per_group": analytics.TOPK_PER_GROUP_SQL,
+        "an_sessionize_gap30m": analytics.SESSIONIZE_SQL,
+        "an_asof_join_view_purchase": analytics.ASOF_JOIN_SQL,
+        "an_range_join_binned": analytics.RANGE_JOIN_BINNED_SQL,
+        "an_rollup_subtotals": analytics.ROLLUP_SUBTOTALS_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,
