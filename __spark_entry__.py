@@ -12,7 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nr_rfc_dischargeobs_spark.plans import analytics, events, extensions, tpch
+from nr_rfc_dischargeobs_spark.plans import (
+    analytics,
+    events,
+    extensions,
+    timeseries,
+    tpch,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -73,6 +79,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "an_asof_join_view_purchase": analytics.asof_join,
         "an_range_join_binned": analytics.range_join_binned,
         "an_rollup_subtotals": analytics.rollup_subtotals,
+        # time-series statistics
+        "ts_moving_avg_1h": timeseries.moving_avg_1h,
+        "ts_interpolate_hourly": timeseries.interpolate_hourly,
+        "ts_trapezoid_volume": timeseries.trapezoid_volume,
+        "ts_zscore_anomaly": timeseries.zscore_anomaly,
+        "ts_completeness_daily": timeseries.completeness_daily,
+        "ts_value_histogram": timeseries.value_histogram,
+        "ts_dow_hour_profile": timeseries.dow_hour_profile,
         # windows
         "w1_ffill_hourly_gaps": events.ffill_hourly_gaps,
         "w2_suppress_repeat_labels": events.suppress_repeat_labels,
@@ -158,6 +172,13 @@ def oracle_sql() -> dict[str, str]:
         "an_asof_join_view_purchase": analytics.ASOF_JOIN_SQL,
         "an_range_join_binned": analytics.RANGE_JOIN_BINNED_SQL,
         "an_rollup_subtotals": analytics.ROLLUP_SUBTOTALS_SQL,
+        "ts_moving_avg_1h": timeseries.MOVING_AVG_1H_SQL,
+        "ts_interpolate_hourly": timeseries.INTERPOLATE_HOURLY_SQL,
+        "ts_trapezoid_volume": timeseries.TRAPEZOID_VOLUME_SQL,
+        "ts_zscore_anomaly": timeseries.ZSCORE_ANOMALY_SQL,
+        "ts_completeness_daily": timeseries.COMPLETENESS_DAILY_SQL,
+        "ts_value_histogram": timeseries.VALUE_HISTOGRAM_SQL,
+        "ts_dow_hour_profile": timeseries.DOW_HOUR_PROFILE_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,
