@@ -3,7 +3,9 @@ incremental batch semantics, re-founded on file streams + watermarks."""
 
 from .ingest import (
     hourly_stream_rollup,
+    session_stream_rollup,
     stream_conformed_csv,
+    stream_dedup,
     stream_upsert_into_store,
 )
 from .stateful import rising_falling_stream
@@ -11,6 +13,8 @@ from .stateful import rising_falling_stream
 __all__ = [
     "hourly_stream_rollup",
     "rising_falling_stream",
+    "session_stream_rollup",
     "stream_conformed_csv",
+    "stream_dedup",
     "stream_upsert_into_store",
 ]

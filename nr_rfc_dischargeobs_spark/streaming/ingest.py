@@ -73,6 +73,59 @@ def hourly_stream_rollup(
     )
 
 
+def stream_dedup(
+    obs: DataFrame,
+    watermark: str = "48 hours",
+    keys: tuple[str, ...] = ("station_id", "obs_time", "datatype"),
+    ts: str = "obs_time",
+) -> DataFrame:
+    """A4's streaming twin: exactly-once keys across micro-batches.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by the late-data horizon (48 h ×
+    key arrival rate), not by stream history — the property that lets the
+    dedup run forever.  Within one batch the batch A4 semantics apply; a
+    duplicate arriving in a LATER micro-batch (the reference's re-pulled
+    2-day window) is dropped here instead of being re-merged downstream.
+    """
+    return obs.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def session_stream_rollup(
+    obs: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "48 hours",
+    key: str = "station_id",
+    ts: str = "obs_time",
+    value: str = "value",
+) -> DataFrame:
+    """Gap-based session windows in streaming — the incremental twin of the
+    batch ``an_sessionize_gap30m`` plan (lag→flag→cumsum).
+
+    ``session_window`` merges events closer than ``gap`` into one growing
+    window per key; a session finalizes (appends downstream) once the
+    watermark passes its close.  State per key is the one open session —
+    O(keys), not O(events).
+    """
+    return (
+        obs.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap).alias("w"))
+        .agg(
+            F.count(value).alias("n_obs"),
+            F.avg(value).alias("avg_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_obs",
+            "avg_value",
+        )
+    )
+
+
 def stream_upsert_into_store(
     conformed: DataFrame,
     store,

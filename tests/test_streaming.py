@@ -159,3 +159,83 @@ def test_stateful_recurrence_matches_batch_across_microbatches(
     # spot-check the recurrence actually fired: S1 hour2 falls (9<=7? no —
     # 9 <= vals[1]; vals[1]=7 after rewrite → 9>7 keeps max 9.0)
     assert got[("S1", "2024-06-01 02:00:00")] == 9.0
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """A duplicate key arriving in a later micro-batch is dropped by
+    dropDuplicatesWithinWatermark (the batch path would re-merge it)."""
+    from nr_rfc_dischargeobs_spark.streaming import stream_dedup
+
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    def drain(name, rows):
+        _write_landing_file(landing / name, rows)
+        conformed = stream_conformed_csv(
+            spark, str(landing), schemas.WSC_SCHEMA, conform_wsc
+        ).filter(F.col("datatype") == "Q")
+        q = (
+            stream_dedup(conformed)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("b1.csv", ['S1,2024-06-01T10:00:00-07:00,,,,,"100.0",,,'])
+    # same (station, slot, datatype) again + one genuinely new slot
+    drain(
+        "b2.csv",
+        [
+            'S1,2024-06-01T10:00:00-07:00,,,,,"999.0",,,',
+            'S1,2024-06-01T10:05:00-07:00,,,,,"110.0",,,',
+        ],
+    )
+    got = {
+        str(r["obs_time"]): r["value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        "2024-06-01 10:00:00": 100.0,  # first arrival won; 999 dropped
+        "2024-06-01 10:05:00": 110.0,
+    }
+
+
+def test_session_stream_rollup_gap_split(spark, tmp_path):
+    """Observations 10 min apart merge into one session; a >30 min silence
+    starts a new one."""
+    from nr_rfc_dischargeobs_spark.streaming import session_stream_rollup
+
+    landing = tmp_path / "landing4"
+    landing.mkdir()
+    _write_landing_file(
+        landing / "b.csv",
+        [
+            'S1,2024-06-01T10:00:00-07:00,,,,,"10.0",,,',
+            'S1,2024-06-01T10:10:00-07:00,,,,,"20.0",,,',
+            'S1,2024-06-01T12:00:00-07:00,,,,,"30.0",,,',
+        ],
+    )
+    conformed = stream_conformed_csv(
+        spark, str(landing), schemas.WSC_SCHEMA, conform_wsc
+    ).filter(F.col("datatype") == "Q")
+    q = (
+        session_stream_rollup(conformed)
+        .writeStream.format("memory")
+        .queryName("session_rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["session_start"]): (r["n_obs"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM session_rollup_test").collect()
+    }
+    assert got["2024-06-01 10:00:00"] == (2, 15.0)
+    assert got["2024-06-01 12:00:00"] == (1, 30.0)
