@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_completeness_daily": timeseries.completeness_daily,
         "ts_value_histogram": timeseries.value_histogram,
         "ts_dow_hour_profile": timeseries.dow_hour_profile,
+        "ts_spike_flags": timeseries.spike_flags,
         # windows
         "w1_ffill_hourly_gaps": events.ffill_hourly_gaps,
         "w2_suppress_repeat_labels": events.suppress_repeat_labels,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_length_profile": extensions.text_length_profile,
         # extensions: sampling + composed curation pipeline
         "ext_sample_split": extensions.sample_deterministic_split,
+        "ext_sample_stratified": extensions.sample_stratified,
         "ext_curate_corpus": extensions.curate_corpus_plan,
         # extensions: multimodal
         "ext_mm_blob_stats": extensions.mm_blob_stats,
@@ -179,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_completeness_daily": timeseries.COMPLETENESS_DAILY_SQL,
         "ts_value_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_dow_hour_profile": timeseries.DOW_HOUR_PROFILE_SQL,
+        "ts_spike_flags": timeseries.SPIKE_FLAGS_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,
@@ -202,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_facet_stats": extensions.TEXT_FACET_STATS_SQL,
         "ext_text_length_profile": extensions.TEXT_LENGTH_PROFILE_SQL,
         "ext_sample_split": extensions.SAMPLE_DETERMINISTIC_SPLIT_SQL,
+        "ext_sample_stratified": extensions.SAMPLE_STRATIFIED_SQL,
         "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,

@@ -57,3 +57,46 @@ def deterministic_split(
         out_col,
         F.when(bucket < threshold, F.lit("train")).otherwise(F.lit("val")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by the row key's hash —
+    the training-mix rebalancer (downsample dominant languages/sources,
+    keep the rare ones whole).
+
+    Same guarantees as :func:`deterministic_split`: scan-fused expressions,
+    no shuffle, no rand(), membership stable under appends and retries —
+    a doc's fate depends only on (salt, key, its own stratum).
+    """
+    bucket = hash_bucket(F.col(key), salt)
+    threshold = F.lit(int(default_rate * BUCKETS))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(stratum) == value, F.lit(int(rate * BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def stratified_sample_sql(
+    key_sql: str,
+    stratum_sql: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "stratified",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`'s filter predicate."""
+    cases = " ".join(
+        f"WHEN {stratum_sql} = '{v}' THEN {int(r * BUCKETS)}"
+        for v, r in rates.items()
+    )
+    return (
+        f"{hash_bucket_sql(key_sql, salt)} < "
+        f"(CASE {cases} ELSE {int(default_rate * BUCKETS)} END)"
+    )

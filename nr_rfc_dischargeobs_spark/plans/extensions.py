@@ -455,6 +455,31 @@ SELECT CASE WHEN {sampling.hash_bucket_sql('doc_id')} < {int(0.9 * sampling.BUCK
 FROM documents GROUP BY 1
 """
 
+_STRATA_RATES = {"en": 0.25, "zh": 0.5}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalance: keep 25% of dominant 'en', 50% of 'zh', all
+    rare languages — per-language kept counts and char totals."""
+    kept = sampling.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        key="doc_id",
+        stratum="lang",
+        rates=_STRATA_RATES,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, COUNT(*) AS n_kept, SUM(length(text)) AS total_chars
+FROM documents
+WHERE {sampling.stratified_sample_sql("doc_id", "lang", _STRATA_RATES)}
+GROUP BY lang
+"""
+
 # ---------------------------------------------------------------- curation
 
 

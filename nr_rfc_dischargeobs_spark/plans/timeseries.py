@@ -357,3 +357,51 @@ SELECT isodow(ts) AS isodow, date_part('hour', ts) AS hr, COUNT(*) AS n,
        {exact.avg_scaled_sql(V100_SQL)} AS avg_value
 FROM events GROUP BY 1, 2
 """
+
+
+def spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC spike screen: flag observations that jump >2× AND >+5.00 over the
+    previous observation of the same series.
+
+    The range/rate-of-change check the reference's abandoned QC stub
+    (`discharge_obs_pd.py:228-235`) implies but never implements — the
+    standard first-pass hydrometric QC rule (sensor glitches read as
+    sudden spikes; real freshets rise fast but not 2× in one sample).
+    Pure integer comparisons on the scaled values: no float thresholds, no
+    boundary ambiguity.  One lag window = one exchange on the series key.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pv = F.lag("v100").over(w)
+    return (
+        ev.withColumn("pv100", pv)
+        .filter(
+            F.col("pv100").isNotNull()
+            & (F.col("v100") > 2 * F.col("pv100"))
+            & (F.col("v100") - F.col("pv100") > 500)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            (F.col("v100").cast("double") / 100).alias("value"),
+            (F.col("pv100").cast("double") / 100).alias("prev_value"),
+        )
+    )
+
+
+SPIKE_FLAGS_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, {V100_SQL} AS v100
+  FROM events
+), lagged AS (
+  SELECT *, LAG(v100) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS pv100
+  FROM base
+)
+SELECT event_id, user_id, ts_us,
+       CAST(v100 AS DOUBLE) / 100 AS value,
+       CAST(pv100 AS DOUBLE) / 100 AS prev_value
+FROM lagged
+WHERE pv100 IS NOT NULL AND v100 > 2 * pv100 AND v100 - pv100 > 500
+"""

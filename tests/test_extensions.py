@@ -162,6 +162,31 @@ def test_deterministic_split_is_stable_under_appends(spark):
     assert s3 != s2
 
 
+def test_stratified_sample_rates_and_stability(spark):
+    from nr_rfc_dischargeobs_spark.extensions import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    small = spark.createDataFrame(rows[:200], ["doc_id", "lang"])
+    big = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.25}
+    k1 = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            small, "doc_id", "lang", rates
+        ).collect()
+    }
+    k2 = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            big, "doc_id", "lang", rates
+        ).collect()
+    }
+    assert k1 == {i for i in k2 if i < 200}  # appends never reassign
+    en = sum(1 for i in k2 if i % 2 == 0) / 200
+    assert 0.15 < en < 0.35  # ~25% of 'en' kept
+    assert sum(1 for i in k2 if i % 2 == 1) == 200  # all 'fr' kept
+
+
 def test_curate_corpus_gates_dedups_and_near_dedups(spark):
     from nr_rfc_dischargeobs_spark.extensions import curate
 
