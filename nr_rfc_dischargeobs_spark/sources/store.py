@@ -112,6 +112,38 @@ class ObservationStore:
             & (F.col("obs_time") < F.lit(end).cast("timestamp"))
         ).drop("year_month")
 
+    # ------------------------------------------------------- maintenance
+
+    def compact(
+        self, months: list[str] | None = None, target_files: int = 1
+    ) -> None:
+        """Small-file compaction — this store's OPTIMIZE.
+
+        Append-mode ingest cycles (each hourly cron run, each streaming
+        micro-batch) leave one file per cycle per touched partition; at
+        fleet scale the file count, not the byte count, becomes the scan
+        bottleneck (one task + one object-store GET per file).  Compaction
+        rewrites each hive partition into ``target_files`` parquet files —
+        pick it so files land near the 128M-1G sweet spot — touching ONLY
+        the selected months (dynamic partition overwrite; untouched months
+        never move).  Rows are spread across the target files by station
+        hash, so per-station data stays clustered for row-group skipping.
+        """
+        df = self.read()
+        if months is not None:
+            df = df.filter(F.col("year_month").isin(months))
+        spread = F.pmod(F.xxhash64(F.col("station_id")), F.lit(target_files))
+        (
+            df.repartition(
+                F.col("year_month"), F.col("datatype"), spread
+            )
+            .drop("year_month")
+            .transform(with_year_month)
+            .write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .parquet(self.root)
+        )
+
     # ------------------------------------------------------------ upsert
 
     def exists(self) -> bool:

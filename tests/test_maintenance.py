@@ -1,0 +1,101 @@
+"""Store maintenance (small-file compaction) and cross-engine hash
+portability — the operational guarantees behind the 100 TB posture."""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+import duckdb
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark.sources import ObservationStore
+from nr_rfc_dischargeobs_spark.sources.store import with_year_month
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        ["station_id", "obs_time", "datatype", "value", "qc_level", "source"],
+    )
+
+
+def _files_per_partition(root: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for d in Path(root).glob("year_month=*/datatype=*"):
+        out[str(d.relative_to(root))] = len(list(d.glob("*.parquet")))
+    return out
+
+
+def test_compact_coalesces_files_and_preserves_rows(spark, tmp_path):
+    store = ObservationStore(spark, str(tmp_path / "obs"))
+    mk = lambda m, v: [  # noqa: E731
+        ("S1", dt.datetime(2024, m, d, 12), "Q", v + d, "raw", "wsc")
+        for d in (1, 2)
+    ]
+    store.write(_obs(spark, mk(6, 0.0)))
+    # three append cycles — one extra file per cycle per partition
+    for i in range(1, 4):
+        (
+            with_year_month(_obs(spark, mk(6, i * 10.0)))
+            .write.partitionBy("year_month", "datatype")
+            .mode("append")
+            .parquet(store.root)
+        )
+    before = _files_per_partition(store.root)
+    assert before["year_month=202406/datatype=Q"] >= 4
+    rows_before = sorted(
+        (r["station_id"], r["obs_time"], r["value"])
+        for r in store.read().collect()
+    )
+
+    store.compact(months=["202406"])
+
+    after = _files_per_partition(store.root)
+    assert after["year_month=202406/datatype=Q"] == 1
+    rows_after = sorted(
+        (r["station_id"], r["obs_time"], r["value"])
+        for r in store.read().collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_compact_touches_only_selected_months(spark, tmp_path):
+    store = ObservationStore(spark, str(tmp_path / "obs2"))
+    rows = [
+        ("S1", dt.datetime(2024, m, 1, 12), "Q", 1.0, "raw", "wsc")
+        for m in (6, 7)
+    ]
+    store.write(_obs(spark, rows))
+    july = Path(store.root) / "year_month=202407" / "datatype=Q"
+    mtimes_before = {p.name for p in july.glob("*.parquet")}
+    store.compact(months=["202406"])
+    assert {p.name for p in july.glob("*.parquet")} == mtimes_before
+    assert store.read().count() == 2
+
+
+def test_hash_bucket_matches_duckdb_per_key(spark):
+    """The sampler's md5 bucket must be byte-identical per key across
+    engines — splits/strata computed by Spark and audited by any other
+    md5-capable engine must agree row by row."""
+    from nr_rfc_dischargeobs_spark.extensions import sampling
+
+    keys = [
+        "0", "1", "42", "doc-123", "", "Ünïcode-π", "a" * 300,
+        "08MF005|2024-06-01", "-17", "3.14",
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", sampling.hash_bucket(F.col("k"), salt="s").alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        lit = "'" + k.replace("'", "''") + "'"
+        [(want,)] = con.execute(
+            "SELECT " + sampling.hash_bucket_sql(lit, salt="s")
+        ).fetchall()
+        assert got[k] == want, k
+        assert 0 <= want < sampling.BUCKETS
