@@ -213,23 +213,19 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.unix_micros(F.col("ts")).alias("c_ts_us"),
-        (F.unix_micros(F.col("ts")) / hour_us).cast("long").alias("bucket"),
+        # integer `div`, not float division: exact bucket membership, and
+        # the two probe buckets below are then distinct BY CONSTRUCTION
+        F.expr(f"unix_micros(ts) div {hour_us}").alias("bucket"),
     )
+    p_bucket = F.expr(f"p_ts_us div {hour_us}")
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
             "event_id", "user_id", F.unix_micros(F.col("ts")).alias("p_ts_us")
         )
         .withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    ((F.col("p_ts_us") - hour_us) / hour_us).cast("long"),
-                    (F.col("p_ts_us") / hour_us).cast("long"),
-                )
-            ),
+            "bucket", F.explode(F.array(p_bucket - 1, p_bucket))
         )
-        .dropDuplicates(["event_id", "bucket"])
     )
     hit = (F.col("c_ts_us") >= F.col("p_ts_us") - hour_us) & (
         F.col("c_ts_us") < F.col("p_ts_us")
