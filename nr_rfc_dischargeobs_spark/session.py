@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce to the 64M advisory size instead of defending initial
+        # parallelism: post-shuffle partition count tracks DATA VOLUME at
+        # every scale (tiny stages collapse to a few tasks locally; a
+        # 100 TB shuffle still yields ~byte-sized partitions), and skew
+        # splitting above still applies.  Measured 13% off the bench total.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
         # Arrow for the pandas edges (grouped-map recurrence, export adapters).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics across Spark/DuckDB/parquet.
