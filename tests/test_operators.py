@@ -232,3 +232,54 @@ def test_salted_join_equals_plain_join(spark):
         for r in big.join(small, "k").collect()
     )
     assert got == want and len(got) == 201
+
+
+def test_rising_falling_randomized_matches_python_port(spark):
+    """Property-style sweep: random walks with NaN holes across many
+    stations must match the straight-Python port of the reference loop
+    exactly (including NaN-comparison and alias semantics)."""
+    import math
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    want = {}
+    for s in range(25):
+        sid = f"S{s:02d}"
+        n = rng.randint(1, 40)
+        maxs, lasts = [], []
+        level = rng.uniform(1, 100)
+        for i in range(n):
+            level += rng.uniform(-10, 10)
+            m = round(max(level, 0.01), 2)
+            l = round(m - abs(rng.uniform(0, 3)), 2)
+            if rng.random() < 0.15:
+                m = float("nan")
+            if rng.random() < 0.15:
+                l = float("nan")
+            maxs.append(m)
+            lasts.append(l)
+            rows.append(
+                (sid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), m, l)
+            )
+        want[sid] = recurrence.rising_falling_python(maxs, lasts)
+
+    df = spark.createDataFrame(
+        rows, ["station_id", "hour", "hrly_max", "hrly_last"]
+    )
+    out = recurrence.rising_falling(df)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["station_id"], []).append((r["hour"], r["value"]))
+    for sid, series in got.items():
+        vals = [v for _, v in sorted(series)]
+        expect = want[sid]
+        assert len(vals) == len(expect), sid
+        for a, b in zip(vals, expect):
+            both_nan = (
+                a is not None and b is not None
+                and math.isnan(a) and math.isnan(b)
+            )
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            assert both_nan or (a_nan and b_nan) or a == b, (sid, vals, expect)
