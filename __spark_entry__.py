@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_simhash": extensions.dedup_simhash,
         "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
         "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
+        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
         # extensions: similarity search
         "ext_sim_cosine_topk": extensions.sim_cosine_topk,
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_dedup_simhash": extensions.DEDUP_SIMHASH_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,
         "ext_dedup_embedding_neardup": extensions.DEDUP_EMBEDDING_NEARDUP_SQL,
+        "ext_dedup_cc_clusters": extensions.DEDUP_CC_CLUSTERS_SQL,
         "ext_sim_cosine_topk": extensions.SIM_COSINE_TOPK_SQL,
         "ext_sim_lsh_bucketed_topk": extensions.SIM_LSH_BUCKETED_TOPK_SQL,
         "ext_sim_ivf_topk": extensions.SIM_IVF_TOPK_SQL,

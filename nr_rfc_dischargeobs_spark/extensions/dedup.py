@@ -225,3 +225,69 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node, component).
+
+    The cluster-level upgrade to ``curate``'s per-edge min-id rule: every
+    member of a duplicate CLUSTER maps to the cluster's minimum id, even
+    when the pair graph is a chain (A~B, B~C but never A~C).
+
+    Iterative min-label propagation: each round, every node takes the min
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds — near-dup clusters are shallow (stars/chains of a few hops), so
+    a handful of rounds suffices.  Scale notes baked in:
+
+    - each round is one join + one aggregation on the node key — the same
+      single-exchange shape as every other operator here;
+    - ``localCheckpoint`` truncates the lineage each round, so the plan
+      does not grow with iterations (the classic iterative-Spark trap);
+    - convergence is checked distributed (any-changed via ``limit(1)``),
+      no label set ever collects to the driver;
+    - for adversarial diameters (long chains at web scale) the alternating
+      large-star/small-star variant halves diameter per round; the loop
+      structure is identical.
+    """
+    # materialize the (usually expensive) edge derivation ONCE — the loop
+    # re-reads the symmetric edge list every round, and without this the
+    # whole upstream pair pipeline would re-execute per iteration
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels, sym["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

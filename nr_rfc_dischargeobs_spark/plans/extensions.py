@@ -133,6 +133,34 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
 """
 
 
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard ≥ 0.6 pair graph: every doc in
+    a duplicate cluster labeled with the cluster's min doc_id (transitive —
+    a chain A~B~C is ONE cluster even though A,C never pair directly)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    edges = dedup.jaccard_pairs(docs, threshold=0.6, n=1)
+    return dedup.connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+DEDUP_CC_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_JACCARD_PAIRS_SQL.strip().rstrip()}
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a
+)
+SELECT src AS doc_id, MIN(node) AS component_id
+FROM reach GROUP BY src
+"""
+
+
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ 0.3, vec_id < 150)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)

@@ -311,3 +311,17 @@ def test_frame_sample_plan(spark):
         frames.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert sorted(frames[0]) == [0, 10, 20, 30]
     assert sorted(frames[1]) == [0]
+
+
+def test_connected_components_transitive_chain(spark):
+    from nr_rfc_dischargeobs_spark.extensions import dedup
+
+    # chain 1-2-3 (no direct 1-3 edge) is ONE component; 10-11 another
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
