@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "an_asof_join_view_purchase": analytics.asof_join,
         "an_range_join_binned": analytics.range_join_binned,
         "an_rollup_subtotals": analytics.rollup_subtotals,
+        "an_funnel_conversion": analytics.funnel_conversion,
+        "an_retention_cohorts": analytics.retention_cohorts,
         # time-series statistics
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
         "ts_interpolate_hourly": timeseries.interpolate_hourly,
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         "an_asof_join_view_purchase": analytics.ASOF_JOIN_SQL,
         "an_range_join_binned": analytics.RANGE_JOIN_BINNED_SQL,
         "an_rollup_subtotals": analytics.ROLLUP_SUBTOTALS_SQL,
+        "an_funnel_conversion": analytics.FUNNEL_CONVERSION_SQL,
+        "an_retention_cohorts": analytics.RETENTION_COHORTS_SQL,
         "ts_moving_avg_1h": timeseries.MOVING_AVG_1H_SQL,
         "ts_interpolate_hourly": timeseries.INTERPOLATE_HOURLY_SQL,
         "ts_trapezoid_volume": timeseries.TRAPEZOID_VOLUME_SQL,

@@ -254,6 +254,118 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user, one summary row.
+
+    Step timestamps are nested conditional minima over the SAME user
+    partition — three whole-partition windows but one exchange and one
+    sort; the per-user frame then reduces to global step counts.  No
+    self-joins: at 100 TB the events table is touched once.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    stepped = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t3", t3)
+    per_user = stepped.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER w AS t1,
+         epoch_us(ts) AS ts_us, event_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+), s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM stepped
+), s3 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_viewed,
+       COUNT(t2) AS n_clicked_after_view,
+       COUNT(t3) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each later week they return (offset in weeks from the cohort week).
+
+    Two aggregations on the user key (first-week, then distinct activity
+    weeks) and one broadcastable join of per-user cohorts back onto the
+    per-user-week activity — cohort tables are O(users), never O(events).
+    Week arithmetic is integer: epoch_us div one-week-in-µs, so cohort and
+    offset are engine-exact.
+    """
+    week_us = 7 * 24 * 3_600 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {week_us}").alias("week")
+    )
+    weeks = ev.distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort", (F.col("week") - F.col("cohort")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id
+)
+SELECT c.cohort, w.week - c.cohort AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_active
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over documents: (lang, source), (lang), ().
 
