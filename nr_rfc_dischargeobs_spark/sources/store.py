@@ -28,8 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.upsert import priority_upsert_long
-
 PARTITION_COLS = ["year_month", "datatype"]
 KEY_COLS = ["station_id", "obs_time", "datatype", "qc_level"]
 
@@ -51,14 +49,26 @@ class ObservationStore:
 
     # ------------------------------------------------------------- write
 
-    def write(self, obs: DataFrame, mode: str = "overwrite") -> None:
+    def write(
+        self, obs: DataFrame, mode: str = "overwrite", spread: int = 8
+    ) -> None:
         """S10: partitioned write.  With ``partitionOverwriteMode=dynamic``
         (session default) an 'overwrite' only replaces partitions present
         in ``obs`` — the Spark-native form of the reference's per-month
-        file replacement."""
+        file replacement.
+
+        Rows are clustered to ``spread`` writer tasks per hive partition by
+        station hash: repartitioning on the partition columns alone would
+        funnel each month through ONE task (a serial write for a month-sized
+        partition); spreading keeps writes parallel while per-station data
+        stays clustered within each file for row-group skipping.  Tune
+        ``spread`` so partition_bytes/spread lands near 128M-1G; ``compact``
+        can re-tighten later.
+        """
+        salt = F.pmod(F.xxhash64(F.col("station_id")), F.lit(spread))
         (
             with_year_month(obs)
-            .repartition(*[F.col(c) for c in PARTITION_COLS])
+            .repartition(*[F.col(c) for c in PARTITION_COLS], salt)
             .write.partitionBy(*PARTITION_COLS)
             .mode(mode)
             .parquet(self.root)
@@ -155,7 +165,12 @@ class ObservationStore:
         except Exception:
             return False
 
-    def upsert(self, incoming: DataFrame, existing_wins: bool = True) -> None:
+    def upsert(
+        self,
+        incoming: DataFrame,
+        existing_wins: bool = True,
+        spread: int = 8,
+    ) -> None:
         """J3 coalescing merge: for keys present in both, the existing value
         wins (reference ``combine_first`` semantics — set
         ``existing_wins=False`` for the corrected late-data behavior).
@@ -164,6 +179,15 @@ class ObservationStore:
         and dynamically overwritten; untouched months never move.  This is
         the cron-batch MERGE; the streaming tier reuses it per micro-batch
         (``streaming/ingest.py``).
+
+        The merge+write is ONE shuffle: rows are hash-distributed once by
+        (month, datatype, station-salt) — every key's rows land together
+        because all three are functions of the key — then the per-key
+        winner is picked by a window over that SAME partitioning (Catalyst
+        elides the second exchange) and files are written without any
+        further repartition.  Semantics match ``priority_upsert_long``
+        (first non-null from the winning side); at a month-sized partition
+        this halves the shuffled bytes of the naive merge-then-write.
         """
         incoming = with_year_month(incoming)
         if not self.exists():
@@ -173,13 +197,35 @@ class ObservationStore:
             r["year_month"]
             for r in incoming.select("year_month").distinct().collect()
         ]
-        existing = self.read().filter(F.col("year_month").isin(months)).drop(
-            "year_month"
+        existing = with_year_month(
+            self.read().filter(F.col("year_month").isin(months)).drop(
+                "year_month"
+            )
         )
-        frames = (
-            [existing, incoming.drop("year_month")]
-            if existing_wins
-            else [incoming.drop("year_month"), existing]
+        pri_e, pri_i = (0, 1) if existing_wins else (1, 0)
+        unioned = existing.withColumn(
+            "__prio", F.lit(pri_e)
+        ).unionByName(incoming.withColumn("__prio", F.lit(pri_i)))
+        arranged = unioned.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("station_id")), F.lit(spread))
+        ).repartition(
+            F.col("year_month"), F.col("datatype"), F.col("__salt")
         )
-        merged = priority_upsert_long(frames, KEY_COLS)
-        self.write(merged, mode="overwrite")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("year_month", "datatype", "__salt").orderBy(
+            *[F.col(k) for k in KEY_COLS],
+            F.col("value").isNull().asc(),
+            F.col("__prio").asc(),
+        )
+        key = F.struct(*[F.col(k) for k in KEY_COLS])
+        merged = (
+            arranged.withColumn("__prev", F.lag(key).over(w))
+            .filter(F.col("__prev").isNull() | (key != F.col("__prev")))
+            .drop("__prev", "__prio", "__salt")
+        )
+        (
+            merged.write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .parquet(self.root)
+        )
