@@ -193,6 +193,23 @@ class ObservationStore:
         if not self.exists():
             self.write(incoming.drop("year_month"), mode="overwrite")
             return
+        merged = self.merged_frame(incoming, existing_wins, spread)
+        (
+            merged.write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .parquet(self.root)
+        )
+
+    def merged_frame(
+        self,
+        incoming: DataFrame,
+        existing_wins: bool = True,
+        spread: int = 8,
+    ) -> DataFrame:
+        """The upsert's merge plan (exposed for plan-shape tests): incoming
+        must already carry ``year_month``.  Exactly one Exchange — the
+        write-ready (month, datatype, salt) distribution — with the per-key
+        winner window riding the same partitioning."""
         months = [
             r["year_month"]
             for r in incoming.select("year_month").distinct().collect()
@@ -219,13 +236,8 @@ class ObservationStore:
             F.col("__prio").asc(),
         )
         key = F.struct(*[F.col(k) for k in KEY_COLS])
-        merged = (
+        return (
             arranged.withColumn("__prev", F.lag(key).over(w))
             .filter(F.col("__prev").isNull() | (key != F.col("__prev")))
             .drop("__prev", "__prio", "__salt")
-        )
-        (
-            merged.write.partitionBy(*PARTITION_COLS)
-            .mode("overwrite")
-            .parquet(self.root)
         )

@@ -99,3 +99,49 @@ def test_hash_bucket_matches_duckdb_per_key(spark):
         ).fetchall()
         assert got[k] == want, k
         assert 0 <= want < sampling.BUCKETS
+
+
+def test_upsert_merge_plan_has_single_exchange(spark, tmp_path):
+    """The fused merge+write distribution: exactly one Exchange, with the
+    winner-pick window riding the same (month, datatype, salt)
+    partitioning — a regression here doubles the shuffled bytes of every
+    ingest cycle."""
+    import re
+
+    store = ObservationStore(spark, str(tmp_path / "obs3"))
+    store.write(
+        _obs(spark, [("S1", dt.datetime(2024, 6, 1, 12), "Q", 1.0, "raw", "wsc")])
+    )
+    incoming = with_year_month(
+        _obs(spark, [("S1", dt.datetime(2024, 6, 2, 12), "Q", 2.0, "raw", "wsc")])
+    )
+    plan = (
+        store.merged_frame(incoming)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    nodes = [m.group(1) for m in re.finditer(r"^\(\d+\) (\w+)", plan, re.M)]
+    assert sum(n == "Exchange" for n in nodes) == 1
+    assert sum(n == "Window" for n in nodes) == 1
+
+
+def test_upsert_rewrites_only_incoming_months(spark, tmp_path):
+    store = ObservationStore(spark, str(tmp_path / "obs4"))
+    rows = [
+        ("S1", dt.datetime(2024, m, 1, 12), "Q", float(m), "raw", "wsc")
+        for m in (5, 6, 7)
+    ]
+    store.write(_obs(spark, rows))
+    may = Path(store.root) / "year_month=202405" / "datatype=Q"
+    july = Path(store.root) / "year_month=202407" / "datatype=Q"
+    before = {p.name: p.stat().st_mtime for d in (may, july) for p in d.glob("*.parquet")}
+    store.upsert(
+        _obs(spark, [("S2", dt.datetime(2024, 6, 2, 12), "Q", 9.0, "raw", "wsc")])
+    )
+    after = {p.name: p.stat().st_mtime for d in (may, july) for p in d.glob("*.parquet")}
+    assert after == before  # untouched months never move
+    assert store.read().count() == 4
