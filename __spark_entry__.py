@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extensions: multimodal
         "ext_mm_blob_stats": extensions.mm_blob_stats,
         "ext_mm_frame_sample": extensions.mm_frame_sample,
+        "ext_mm_resize_dims": extensions.mm_resize_dims,
         "ext_mm_decode_features": extensions.mm_decode_features,
     }
 
@@ -215,5 +216,6 @@ def oracle_sql() -> dict[str, str]:
         "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,
+        "ext_mm_resize_dims": extensions.MM_RESIZE_DIMS_SQL,
         # ext_mm_decode_features: intentionally no oracle (Python codec stub)
     }

@@ -121,3 +121,36 @@ def frame_sample_plan(
             )
         ).alias("frame_idx"),
     )
+
+
+def resize_dims(
+    media: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    box: int = 256,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Resize planning: target dimensions fitting a ``box``×``box`` square,
+    aspect preserved — pure integer arithmetic on metadata columns
+    (``(short_side * box) div long_side``), exact in any engine.
+
+    Like ``frame_sample_plan``, planning is split from pixel work: the
+    per-image resample belongs in the ``decode_features`` mapInPandas stage
+    (PIL's ``Image.resize`` at the ``mode="real"`` call site); the plan
+    tier never touches bytes, so a 100 TB media table plans its resize
+    pass from kilobytes of metadata."""
+    w, h = F.col(width_col), F.col(height_col)
+    landscape = w >= h
+    new_w = F.when(landscape, F.lit(box)).otherwise(
+        F.greatest(F.expr(f"({width_col} * {box}) div {height_col}"), F.lit(1))
+    )
+    new_h = F.when(~landscape, F.lit(box)).otherwise(
+        F.greatest(F.expr(f"({height_col} * {box}) div {width_col}"), F.lit(1))
+    )
+    return media.select(
+        F.col(doc_id),
+        w.alias("width"),
+        h.alias("height"),
+        new_w.alias("target_width"),
+        new_h.alias("target_height"),
+    )

@@ -614,6 +614,31 @@ FROM documents
 """
 
 
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over synthetic image dims (derived deterministically
+    from doc metadata): fit 256×256, aspect preserved, integer-exact."""
+    media = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (640 + F.col("doc_id") % 640).alias("width"),
+        (360 + F.col("n_chars") % 360).alias("height"),
+    )
+    return multimodal.resize_dims(media)
+
+
+MM_RESIZE_DIMS_SQL = """
+WITH media AS (
+  SELECT doc_id, 640 + doc_id % 640 AS width, 360 + n_chars % 360 AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN width >= height THEN 256
+            ELSE GREATEST((width * 256) // height, 1) END AS target_width,
+       CASE WHEN width < height THEN 256
+            ELSE GREATEST((height * 256) // width, 1) END AS target_height
+FROM media
+"""
+
+
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature stage (deterministic fake codec) —
     rows-only check: the sha256-derived features are not SQL-expressible."""
