@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_value_histogram": timeseries.value_histogram,
         "ts_dow_hour_profile": timeseries.dow_hour_profile,
         "ts_spike_flags": timeseries.spike_flags,
+        "ts_percentile_summary": timeseries.percentile_summary,
         # windows
         "w1_ffill_hourly_gaps": events.ffill_hourly_gaps,
         "w2_suppress_repeat_labels": events.suppress_repeat_labels,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_value_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_dow_hour_profile": timeseries.DOW_HOUR_PROFILE_SQL,
         "ts_spike_flags": timeseries.SPIKE_FLAGS_SQL,
+        "ts_percentile_summary": timeseries.PERCENTILE_SUMMARY_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,

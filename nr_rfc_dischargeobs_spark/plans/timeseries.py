@@ -359,6 +359,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value percentiles — exact interpolated quantiles on
+    the scaled-integer grid.
+
+    Exact ``percentile`` (sort-based) is the audit query; the fleet-scale
+    twin is ``percentile_approx`` (t-digest sketch, mergeable across
+    partitions) with this as its verification.  Quantile inputs are the
+    v100 integers, so the only doubles are the two interpolation endpoints
+    — identical in every engine.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", exact.scaled(F.col("value")).alias("v100")
+    )
+    x = F.col("v100").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            (F.percentile(x, F.lit(q)) / 100).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.9, 0.99)
+        ],
+    )
+
+
+PERCENTILE_SUMMARY_SQL = f"""
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(CAST({V100_SQL} AS DOUBLE), 0.25) / 100 AS p25,
+       quantile_cont(CAST({V100_SQL} AS DOUBLE), 0.5) / 100 AS p50,
+       quantile_cont(CAST({V100_SQL} AS DOUBLE), 0.9) / 100 AS p90,
+       quantile_cont(CAST({V100_SQL} AS DOUBLE), 0.99) / 100 AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QC spike screen: flag observations that jump >2× AND >+5.00 over the
     previous observation of the same series.
