@@ -68,6 +68,11 @@ def curate_corpus(
         .select(doc_id)
     )
     survivors = gated.join(exact_kept, doc_id)
+    if cache_shingles:
+        # three consumers re-scan this subtree (shingles, and both ends of
+        # the final anti-join); same materialize-once trade as the shingle
+        # table — at fleet scale both are intermediate TABLES, not caches
+        survivors = survivors.persist()
 
     # near-dup: banded MinHash candidates, Jaccard-verified, drop higher id.
     # Trigram shingles + r=2 bands: unigrams over a small vocabulary give

@@ -239,3 +239,49 @@ def test_session_stream_rollup_gap_split(spark, tmp_path):
     }
     assert got["2024-06-01 10:00:00"] == (2, 15.0)
     assert got["2024-06-01 12:00:00"] == (1, 30.0)
+
+
+def test_watermark_drops_data_later_than_horizon(spark, tmp_path):
+    """An event arriving with event-time older than the watermark horizon
+    (48 h behind the stream's max seen) is dropped by the windowed
+    aggregation — the streaming analog of the reference's 2-day lookback
+    simply never re-pulling older data."""
+    landing = tmp_path / "landing5"
+    landing.mkdir()
+    out_dir = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "ckpt_wm")
+
+    def drain(name, rows):
+        _write_landing_file(landing / name, rows)
+        conformed = stream_conformed_csv(
+            spark, str(landing), schemas.WSC_SCHEMA, conform_wsc
+        ).filter(F.col("datatype") == "Q")
+        q = (
+            hourly_stream_rollup(conformed)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 advances the watermark to 2024-06-10 − 48 h
+    drain("b1.csv", ['S1,2024-06-10T12:00:00-07:00,,,,,"10.0",,,'])
+    # batch 2: one row inside the horizon, one 5 days stale
+    drain(
+        "b2.csv",
+        [
+            'S1,2024-06-09T12:00:00-07:00,,,,,"20.0",,,',
+            'S1,2024-06-05T12:00:00-07:00,,,,,"99.0",,,',
+        ],
+    )
+    # force remaining finalized windows out with a third batch far ahead
+    drain("b3.csv", ['S1,2024-06-20T12:00:00-07:00,,,,,"30.0",,,'])
+    hours = {
+        str(r["hour"]): r["avg_value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert "2024-06-09 12:00:00" in hours  # inside horizon: kept
+    assert "2024-06-05 12:00:00" not in hours  # stale: dropped
