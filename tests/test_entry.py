@@ -44,3 +44,15 @@ def test_sql_catalog_views(spark):
     assert filtered.count() >= 0  # executes through the view
     plan = filtered._jdf.queryExecution().optimizedPlan().toString()
     assert "user_id" in plan  # predicate reached the view's plan
+
+
+def test_registry_consistency():
+    """Every oracle key maps to a registered query; the only oracle-less
+    query is the deliberately rows-only decode stub."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) - set(q) == set()
+    assert set(q) - set(o) == {"ext_mm_decode_features"}
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in o.values())
