@@ -51,10 +51,10 @@ WITH sh AS (
   FROM documents
 )
 SELECT doc_id,
-       MIN(md5('0|' || shingle)) AS mh0,
-       MIN(md5('1|' || shingle)) AS mh1,
-       MIN(md5('2|' || shingle)) AS mh2,
-       MIN(md5('3|' || shingle)) AS mh3
+       MIN(substr(md5(shingle) || md5('x' || shingle), 1, 8)) AS mh0,
+       MIN(substr(md5(shingle) || md5('x' || shingle), 9, 8)) AS mh1,
+       MIN(substr(md5(shingle) || md5('x' || shingle), 17, 8)) AS mh2,
+       MIN(substr(md5(shingle) || md5('x' || shingle), 25, 8)) AS mh3
 FROM sh GROUP BY doc_id
 """
 
@@ -71,7 +71,9 @@ WITH sh AS (
   SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
   FROM documents WHERE doc_id < 100
 ), sig AS (
-  SELECT doc_id, MIN(md5('0|' || shingle)) AS mh0, MIN(md5('1|' || shingle)) AS mh1
+  SELECT doc_id,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 9, 8)) AS mh1
   FROM sh GROUP BY doc_id
 ), long AS (
   SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig
@@ -548,10 +550,14 @@ WITH q AS (
   FROM ek
 ), hmin AS (
   SELECT doc_id,
-         MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-         MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
-         MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
-         MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
+         MIN(substr(md5(shingle) || md5('x' || shingle), 1, 8)) AS h0,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 9, 8)) AS h1,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 17, 8)) AS h2,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 25, 8)) AS h3,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 33, 8)) AS h4,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 41, 8)) AS h5,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 49, 8)) AS h6,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 57, 8)) AS h7
   FROM sh GROUP BY doc_id
 ), sig AS (
   SELECT doc_id,

@@ -19,7 +19,11 @@ def corpus(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog"),
         (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
-        (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+        # near dup of 0: appended word keeps trigram Jaccard at 7/8, so a
+        # 4-band r=1 LSH miss has probability (1/8)^4 ≈ 2e-4 (a mid-word
+        # EDIT would drop trigram Jaccard to 0.4 — collision then a coin
+        # flip, and the assertion below luck-dependent)
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
         (3, "completely different content about spark engines"),
         (4, "The Quick  Brown Fox jumps over the lazy dog!"),  # fmt-only dup
     ]
