@@ -56,3 +56,28 @@ def test_registry_consistency():
     assert set(q) - set(o) == {"ext_mm_decode_features"}
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in o.values())
+
+
+def test_results_identical_across_shuffle_partitionings(spark):
+    """The exact-arithmetic discipline's core promise: identical results
+    (bit-for-bit, not approximately) under different partition counts —
+    what makes a 100 TB run reproducible under AQE re-plans and retries."""
+    import __spark_entry__ as e
+
+    queries = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "tpch_q1_pricing_summary",
+        "a1_hourly_rollup_last_override",
+        "ts_zscore_anomaly",
+        "ext_dedup_minhash_signatures",
+    ):
+        results = []
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            try:
+                rows = sorted(map(tuple, queries[name](spark, sf).collect()))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+            results.append(rows)
+        assert results[0] == results[1], name
