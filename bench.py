@@ -38,31 +38,44 @@ def main() -> None:
 
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not first-touch JIT.
-    queries[names[0]](spark, sf_dir).count()
+    try:
+        queries[names[0]](spark, sf_dir).count()
+    except Exception:
+        pass
 
     # Best of two passes per query: single-shot numbers on a shared local
     # JVM carry ±20% scheduler/GC noise; the min is the plan's cost.
+    # A failing query must never kill the run — the one-JSON-line contract
+    # survives, the failure lands on stderr and as a null timing.
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for _ in range(2):
         for name in names:
+            if name in failed:
+                continue
             t0 = time.time()
-            queries[name](spark, sf_dir).count()
+            try:
+                queries[name](spark, sf_dir).count()
+            except Exception as ex:  # noqa: BLE001 — report, don't die
+                print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+                failed.append(name)
+                timings.pop(name, None)
+                continue
             elapsed = round(time.time() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
