@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sim_cosine_topk": extensions.sim_cosine_topk,
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
         "ext_sim_ivf_topk": extensions.sim_ivf_topk,
+        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
         # extensions: text analysis
         "ext_text_token_counts": extensions.text_token_counts,
         "ext_text_quality_scores": extensions.text_quality_scores,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_sim_cosine_topk": extensions.SIM_COSINE_TOPK_SQL,
         "ext_sim_lsh_bucketed_topk": extensions.SIM_LSH_BUCKETED_TOPK_SQL,
         "ext_sim_ivf_topk": extensions.SIM_IVF_TOPK_SQL,
+        "ext_sim_kmeans_clusters": extensions.SIM_KMEANS_CLUSTERS_SQL,
         "ext_text_token_counts": extensions.TEXT_TOKEN_COUNTS_SQL,
         "ext_text_quality_scores": extensions.TEXT_QUALITY_SCORES_SQL,
         "ext_text_lang_id": extensions.text_lang_id_sql(),

@@ -263,3 +263,76 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_lite(
+    prepared: DataFrame, k: int = 8, iters: int = 1
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings — the coarse
+    quantizer trainer for :func:`ivf_topk` (returns a ``prepare``-shaped
+    centroid frame).
+
+    Engine-exact by construction, like everything else here:
+
+    - seeds are the first ``k`` vector ids (deterministic, no rand());
+    - assignment distance is the exact-BIGINT ``n + cn − 2·dot``, ties to
+      the smaller cluster id;
+    - the centroid update re-quantizes each per-dimension mean back onto
+      the integer grid (``rescale_ratio``), so every iteration's state is
+      integers and two engines (or two partitionings) can never drift.
+
+    Scale shape per iteration: centroids broadcast (k ≤ thousands), the
+    corpus never shuffles for assignment (scan + broadcast join + per-vec
+    argmin window keyed by vec_id), and the update is one posexplode +
+    aggregation keyed by (cluster, dim) — k×dim rows out.  Clusters that
+    lose all members drop out (standard Lloyd's degeneracy; the next
+    assignment simply uses fewer lists).
+    """
+    from ..functions import exact
+
+    cents = prepared.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("q").alias("cq"),
+        F.col("n").alias("cn"),
+    )
+    for _ in range(iters):
+        scored = prepared.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "q",
+            (
+                F.col("n") + F.col("cn") - 2 * dot(F.col("q"), F.col("cq"))
+            ).alias("d"),
+            "cid",
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("cid").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid")
+        )
+        dims = assigned.select(
+            "cid", F.posexplode(F.col("q")).alias("pos", "e")
+        )
+        means = dims.groupBy("cid", "pos").agg(
+            exact.rescale_ratio(F.sum("e"), F.count("e"), 1).alias("me")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "me"))
+                ).alias("pm")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("pm"), lambda s: s["me"]).alias("cq"),
+            )
+            .withColumn("cn", sq_norm(F.col("cq")))
+        )
+    return cents.select(
+        F.col("cid").alias("vec_id"),
+        F.col("cq").alias("q"),
+        F.col("cn").alias("n"),
+    )

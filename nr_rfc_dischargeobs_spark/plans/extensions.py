@@ -289,6 +289,54 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
 
 
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer training: one Lloyd's iteration (k=8, first-k
+    seeds) then assignment — per-cluster member counts.  The trained
+    centroids are what ``ivf_topk`` consumes at scale; training state is
+    re-quantized integers, so the oracle reproduces it exactly."""
+    prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
+    cents = similarity.kmeans_lite(prep, k=8, iters=1)
+    assigned = similarity.ivf_assign(prep, cents, nprobe=1)
+    return assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).select(F.col("list_id").alias("cluster_id"), "n_members")
+
+
+SIM_KMEANS_CLUSTERS_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), nv AS (SELECT vec_id, SUM(e * e) AS n FROM u GROUP BY 1),
+c0 AS (SELECT vec_id AS cid, e, i FROM u WHERE vec_id < 8),
+cn0 AS (SELECT cid, SUM(e * e) AS cn FROM c0 GROUP BY 1),
+d1 AS (
+  SELECT u.vec_id, c0.cid, nv.n + cn0.cn - 2 * SUM(u.e * c0.e) AS d
+  FROM u JOIN c0 ON u.i = c0.i
+  JOIN nv ON u.vec_id = nv.vec_id
+  JOIN cn0 ON c0.cid = cn0.cid
+  GROUP BY 1, 2, nv.n, cn0.cn
+), a1 AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), c1 AS (
+  SELECT a1.cid, u.i,
+         CAST(ROUND(CAST(SUM(u.e) * 1 AS DOUBLE) / COUNT(u.e), 0)
+              AS BIGINT) AS e
+  FROM a1 JOIN u ON a1.vec_id = u.vec_id GROUP BY 1, 2
+), cn1 AS (SELECT cid, SUM(e * e) AS cn FROM c1 GROUP BY 1),
+d2 AS (
+  SELECT u.vec_id, c1.cid, nv.n + cn1.cn - 2 * SUM(u.e * c1.e) AS d
+  FROM u JOIN c1 ON u.i = c1.i
+  JOIN nv ON u.vec_id = nv.vec_id
+  JOIN cn1 ON c1.cid = cn1.cid
+  GROUP BY 1, 2, nv.n, cn1.cn
+), a2 AS (
+  SELECT vec_id, cid FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members FROM a2 GROUP BY cid
+"""
+
+
 SIM_IVF_TOPK_SQL = f"""
 WITH ucent AS (
 {_UNNEST_Q.format(pred="vec_id < 8")}

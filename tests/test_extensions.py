@@ -329,3 +329,23 @@ def test_connected_components_transitive_chain(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_kmeans_lite_finds_planted_centroids(spark):
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    # two tight groups around (100,0) and (0,100); seeds = first 2 vecs
+    vecs = [
+        (0, [101, 1]), (2, [99, -1]), (4, [100, 2]),
+        (1, [1, 99]), (3, [-1, 101]), (5, [0, 100]),
+    ]
+    prepared = spark.createDataFrame(
+        [(i, q, sum(e * e for e in q)) for i, q in vecs],
+        ["vec_id", "q", "n"],
+    )
+    cents = {
+        r["vec_id"]: r["q"]
+        for r in similarity.kmeans_lite(prepared, k=2, iters=2).collect()
+    }
+    assert cents[0] == [100, 1]   # mean of (101,1),(99,-1),(100,2) rounded
+    assert cents[1] == [0, 100]   # mean of (1,99),(-1,101),(0,100)
