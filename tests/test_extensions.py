@@ -349,3 +349,46 @@ def test_kmeans_lite_finds_planted_centroids(spark):
     }
     assert cents[0] == [100, 1]   # mean of (101,1),(99,-1),(100,2) rounded
     assert cents[1] == [0, 100]   # mean of (1,99),(-1,101),(0,100)
+
+
+def test_kmeans_trained_ivf_beats_arbitrary_seed_recall(spark):
+    """End-to-end quantizer story: IVF with ONE Lloyd's round over seed
+    centroids recalls at least as much of brute-force top-1 as IVF on the
+    raw seeds — training can only tighten the lists on clustered data."""
+    import random
+
+    rng = random.Random(11)
+    # three planted blobs in 8-d so training genuinely moves centroids
+    def blob(center, n, base):
+        return [
+            (base + j, [round(c + rng.uniform(-0.05, 0.05), 3) for c in center])
+            for j in range(n)
+        ]
+
+    centers = [[1, 0, 0, 0, 0, 0, 0, 0],
+               [0, 1, 0, 0, 0, 0, 0, 0],
+               [0, 0, 1, 0, 0, 0, 0, 0]]
+    rows = blob(centers[0], 12, 0) + blob(centers[1], 12, 12) + blob(centers[2], 12, 24)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    prep = similarity.prepare(df)
+    queries = prep.filter(F.col("vec_id") % 12 == 5)
+    corpus = prep.filter(F.col("vec_id") % 12 != 5)
+
+    def top1(cents, nprobe):
+        return {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.ivf_topk(
+                queries, corpus, cents, k=1, nprobe=nprobe
+            ).collect()
+        }
+
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(queries, corpus, k=1).collect()
+    }
+    seeds = prep.filter(F.col("vec_id") < 3)  # all from blob 0 — bad lists
+    trained = similarity.kmeans_lite(prep, k=3, iters=2)
+    recall_seed = sum(top1(seeds, 1).get(q) == n for q, n in bf.items())
+    recall_trained = sum(top1(trained, 1).get(q) == n for q, n in bf.items())
+    assert recall_trained == len(bf)  # trained lists: perfect top-1 recall
+    assert recall_trained >= recall_seed
