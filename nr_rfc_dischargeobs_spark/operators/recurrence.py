@@ -38,9 +38,12 @@ def rising_falling_recurrence_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     (``dischargeobs_write_xl.py:123-127``), vectorizable no further because
     step i reads step i-1's *output*."""
     pdf = pdf.sort_values("hour").reset_index(drop=True)
-    vals = pdf["hrly_max"].to_numpy(copy=True)  # the alias target
-    last = pdf["hrly_last"].to_numpy()
-    maxs = pdf["hrly_max"].to_numpy()
+    # plain Python lists in the loop: per-element numpy indexing costs ~1µs
+    # in boxing alone, which dominates a loop this tight (measured ~2× the
+    # whole operator's wall at 2000 station-years)
+    vals = pdf["hrly_max"].tolist()  # the alias target
+    last = pdf["hrly_last"].tolist()
+    maxs = pdf["hrly_max"].tolist()
     for i in range(1, len(vals)):
         # reference compares against vals[i-1] (possibly rewritten), and
         # NaN comparisons are False → keep the max — both preserved here.
