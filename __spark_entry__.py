@@ -26,8 +26,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _ordered(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Append a fully deterministic ORDER BY over every output column.
+
+    The driver's value-hash compare must see both engines' rows in one
+    canonical order.  Spark's default sort is ascending NULLS FIRST, which
+    ``_ordered_sql`` mirrors with DuckDB's ``ORDER BY ALL NULLS FIRST``.
+    Sorting the *final* (post-aggregation, usually small) result adds one
+    driver-visible exchange on already-reduced data — it never reorders the
+    heavy part of the plan.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        try:
+            return df.orderBy(*[df[c] for c in df.columns])
+        except Exception:  # unorderable column type (map) — hash is rows-only
+            return df
+
+    return run
+
+
+def _ordered_sql(sql: str) -> str:
+    """DuckDB twin of :func:`_ordered` — wrap and sort by every column."""
+    return (
+        "SELECT * FROM (\n"
+        + sql.rstrip().rstrip(";")
+        + "\n) __q ORDER BY ALL NULLS FIRST"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Every callable is wrapped in :func:`_ordered`, and every oracle in
+    :func:`_ordered_sql`, so both sides emit a canonical row order.
+    """
+    return {k: _ordered(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (S6 scans + joins + aggs)
         "tpch_q1_pricing_summary": tpch.pricing_summary,
@@ -134,6 +174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
+    return {k: _ordered_sql(v) for k, v in _raw_oracle_sql().items()}
+
+
+def _raw_oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1_pricing_summary": tpch.PRICING_SUMMARY_SQL,
         "tpch_q3_shipping_priority": tpch.SHIPPING_PRIORITY_SQL,

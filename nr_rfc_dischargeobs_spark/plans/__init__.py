@@ -8,6 +8,8 @@ exercise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -39,15 +41,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    # Self-sufficient on ANY session (the driver passes its own); both are
+    # Self-sufficient on ANY session (the driver passes its own); all are
     # runtime-settable, idempotent SQL confs:
     # - without nanosAsLong, scanning TIMESTAMP(NANOS) parquet throws
     #   PARQUET_TYPE_ILLEGAL;
     # - the engine's timestamp semantics are naive-UTC (SURVEY.md §1.2) —
     #   a session in any other zone would render/parse timestamp literals
-    #   shifted relative to the DuckDB oracle.
+    #   shifted relative to the DuckDB oracle;
+    # - perf confs mirror session.py: a foreign session's default 200
+    #   shuffle partitions cost ~170 extra empty tasks per exchange at
+    #   sf0.01-0.1, which dominates the per-query wall clock of a sweep.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — double division would lose ulps above 2^53 ns

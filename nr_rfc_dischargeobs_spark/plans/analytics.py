@@ -111,9 +111,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ), numbered AS (
   SELECT user_id, ts_us,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_no
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -384,7 +384,8 @@ def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROLLUP_SUBTOTALS_SQL = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY ROLLUP (lang, source)
 """

@@ -730,7 +730,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_STATS_SQL = """
 SELECT event_type,
        COUNT(CAST(props->>'k' AS BIGINT)) AS n_k,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type

@@ -493,7 +493,7 @@ def text_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_FACET_STATS_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*)
          AS avg_tokens
 FROM documents GROUP BY lang, source
@@ -529,7 +529,7 @@ SAMPLE_DETERMINISTIC_SPLIT_SQL = f"""
 SELECT CASE WHEN {sampling.hash_bucket_sql('doc_id')} < {int(0.9 * sampling.BUCKETS)}
             THEN 'train' ELSE 'val' END AS split,
        COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 
@@ -552,7 +552,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_STRATIFIED_SQL = f"""
-SELECT lang, COUNT(*) AS n_kept, SUM(length(text)) AS total_chars
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents
 WHERE {sampling.stratified_sample_sql("doc_id", "lang", _STRATA_RATES)}
 GROUP BY lang

@@ -270,13 +270,13 @@ WITH base AS (
 )
 SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(v100) AS DOUBLE) / 100 / COUNT(v100) AS mean_value,
-       SUM(CASE WHEN CAST(n - 1 AS HUGEINT)
-                     * (CAST(n * v100 - s AS HUGEINT)
-                        * CAST(n * v100 - s AS HUGEINT))
-                > CAST(4 * n AS HUGEINT)
-                  * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
-                     - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
-           THEN 1 ELSE 0 END) AS n_anomalies
+       CAST(SUM(CASE WHEN CAST(n - 1 AS HUGEINT)
+                          * (CAST(n * v100 - s AS HUGEINT)
+                             * CAST(n * v100 - s AS HUGEINT))
+                     > CAST(4 * n AS HUGEINT)
+                       * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+                          - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM stats GROUP BY user_id
 """
 
