@@ -10,9 +10,15 @@ references with optional clipping, e.g.
 Grammar (this module, recursive descent):
 
     expr     := term (('+' | '-') term)*
-    term     := power (('*' | '/') power)*
-    power    := unary ('^' power)?          # right-assoc, binds tighter than */
-    unary    := '-' unary | postfix
+    term     := unary (('*' | '/') unary)*
+    unary    := '-' unary | power
+    power    := postfix ('^' unary)?        # right-assoc; binds tighter than
+                                            # a LEADING unary minus, exactly
+                                            # like Python ** (the reference
+                                            # interpreter is eval after
+                                            # '^'→'**'): -2^2 == -(2^2) == -4,
+                                            # while 2^-3 parses the signed
+                                            # exponent
     postfix  := primary ('.clip(' 'lower=' NUMBER ')')*
     primary  := NUMBER | '{' STATION '}' | '(' expr ')'
 
@@ -126,24 +132,26 @@ class _Parser:
         return node
 
     def term(self):
-        node = self.power()
+        node = self.unary()
         while self.peek() == ("op", "*") or self.peek() == ("op", "/"):
             _, op = self.take()
-            node = BinOp(op, node, self.power())
-        return node
-
-    def power(self):
-        node = self.unary()
-        if self.peek() == ("op", "^"):
-            self.take()
-            node = BinOp("^", node, self.power())  # right-assoc
+            node = BinOp(op, node, self.unary())
         return node
 
     def unary(self):
         if self.peek() == ("op", "-"):
             self.take()
             return Neg(self.unary())
-        return self.postfix()
+        return self.power()
+
+    def power(self):
+        node = self.postfix()
+        if self.peek() == ("op", "^"):
+            self.take()
+            # right-assoc via unary: the exponent may itself be signed or a
+            # further power (2^-3, 2^3^2), but a LEADING minus stays outside
+            node = BinOp("^", node, self.unary())
+        return node
 
     def postfix(self):
         node = self.primary()
@@ -201,7 +209,14 @@ def to_column(formula: str, resolver=None) -> Column:
         if isinstance(node, Neg):
             return -build(node.operand)
         if isinstance(node, Clip):
-            return F.greatest(build(node.operand), F.lit(node.lower))
+            # NOT plain greatest(): both Spark and DuckDB GREATEST skip
+            # nulls, which would turn a missing gauge input into the clip
+            # floor (a fabricated 0.001 m³/s where the reference pandas
+            # .clip keeps NaN).  Null in → null out, like every other op.
+            op = build(node.operand)
+            return F.when(
+                op.isNull(), F.lit(None).cast("double")
+            ).otherwise(F.greatest(op, F.lit(node.lower)))
         assert isinstance(node, BinOp)
         if node.op == "^" and _small_int_exponent(node.right) is not None:
             # unroll small integer powers to multiplication: libm pow() is
@@ -244,7 +259,12 @@ def to_sql(formula: str, resolver=None) -> str:
         if isinstance(node, Neg):
             return f"(-{build(node.operand)})"
         if isinstance(node, Clip):
-            return f"GREATEST({build(node.operand)}, {node.lower!r})"
+            # null-preserving twin of to_column's Clip (GREATEST skips nulls)
+            op = build(node.operand)
+            return (
+                f"(CASE WHEN ({op}) IS NULL THEN NULL "
+                f"ELSE GREATEST({op}, {node.lower!r}) END)"
+            )
         assert isinstance(node, BinOp)
         if node.op == "^":
             n = _small_int_exponent(node.right)

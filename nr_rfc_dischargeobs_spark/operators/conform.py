@@ -20,20 +20,29 @@ FT_TO_M = 3.28084  # feet per metre (discharge_obs_pd.py:65)
 
 
 def round_to_grid(ts: Column, grid_seconds: int = 300) -> Column:
-    """Round a timestamp to the nearest ``grid_seconds`` grid point
-    (half-up, like pandas ``dt.round``; ``discharge_obs_pd.py:143``).
+    """Round a timestamp to the nearest ``grid_seconds`` grid point with
+    ties going to the EVEN grid multiple — exact parity with pandas
+    ``dt.round('5min')`` (``discharge_obs_pd.py:143``), which rounds
+    half-to-even: 00:02:30 → 00:00:00 (slot 0, even) but 00:07:30 →
+    00:10:00 (slot 2, even).
 
     Implemented on the fractional epoch (``cast('double')`` keeps
-    sub-second precision) so results agree bit-for-bit with any engine
-    computing ``floor((epoch + grid/2) / grid) * grid``.  Pure arithmetic —
-    stays inside whole-stage codegen, no shuffle.
+    sub-second precision exactly — microsecond epochs stay under 2^53):
+    quotient ``d = floor(epoch/grid)``, remainder ``r``; above half rounds
+    up, below half rounds down, exactly half keeps whichever of ``d``/
+    ``d+1`` is even.  Pure arithmetic — stays inside whole-stage codegen,
+    no shuffle.
     """
     half = grid_seconds / 2.0
-    return F.timestamp_seconds(
-        (F.floor((ts.cast("double") + half) / grid_seconds) * grid_seconds).cast(
-            "long"
-        )
+    epoch = ts.cast("double")
+    d = F.floor(epoch / grid_seconds)
+    r = epoch - d * grid_seconds
+    slot = d + (
+        F.when(r > half, F.lit(1))
+        .when(r < half, F.lit(0))
+        .otherwise(F.pmod(d, F.lit(2)))
     )
+    return F.timestamp_seconds((slot * grid_seconds).cast("long"))
 
 
 def floor_to_grid(ts: Column, grid_seconds: int = 300) -> Column:

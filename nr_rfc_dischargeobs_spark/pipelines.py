@@ -62,7 +62,12 @@ def update_hourly(
 
     Returns (station_id, hour, value, n_obs) on the dense spine.
     """
-    obs = store.read_range(start, end).filter(F.col("datatype") == datatype)
+    # strict-exclusive start, preserving the reference EP2 quirk
+    # (``inst_data.index > startdate``, dischargeobs_write_xl.py:302): a row
+    # stamped exactly at ``start`` belongs to the PREVIOUS update window
+    obs = store.read_range(start, end, inclusive_start=False).filter(
+        F.col("datatype") == datatype
+    )
     hourly = rollup.hourly_rollup_with_final_override(
         obs, "station_id", "obs_time", "value", decimals=decimals
     )

@@ -279,16 +279,28 @@ def dedup_5min_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_5MIN_GRID_SQL = """
+-- half-to-even grid rounding, the twin of operators/conform.round_to_grid
+-- (pandas dt.round parity): exactly-half remainders keep the EVEN slot
+WITH slotted AS (
+  SELECT user_id, event_id, value,
+         FLOOR(epoch(ts) / 300) AS d,
+         epoch(ts) - FLOOR(epoch(ts) / 300) * 300 AS r
+  FROM events
+), rounded AS (
+  SELECT user_id, event_id, value,
+         CAST(to_timestamp(
+           CAST((d + CASE WHEN r > 150 THEN 1
+                          WHEN r < 150 THEN 0
+                          ELSE CAST(d AS BIGINT) % 2 END) * 300 AS BIGINT)
+         ) AS TIMESTAMP) AS slot
+  FROM slotted
+)
 SELECT user_id, slot, event_id, value
 FROM (
-  SELECT user_id,
-         CAST(to_timestamp(FLOOR((epoch(ts) + 150) / 300) * 300) AS TIMESTAMP) AS slot,
-         event_id, value,
-         ROW_NUMBER() OVER (
-           PARTITION BY user_id,
-             CAST(to_timestamp(FLOOR((epoch(ts) + 150) / 300) * 300) AS TIMESTAMP)
-           ORDER BY event_id) AS rn
-  FROM events
+  SELECT user_id, slot, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, slot ORDER BY event_id)
+           AS rn
+  FROM rounded
 ) WHERE rn = 1
 """
 

@@ -70,6 +70,11 @@ class ObservationStore:
             with_year_month(obs)
             .repartition(*[F.col(c) for c in PARTITION_COLS], salt)
             .write.partitionBy(*PARTITION_COLS)
+            # per-WRITE dynamic overwrite: correctness must not depend on
+            # how the caller's session was built — with Spark's default
+            # STATIC mode an 'overwrite' of one month would truncate every
+            # other partition in the store
+            .option("partitionOverwriteMode", "dynamic")
             .mode(mode)
             .parquet(self.root)
         )
@@ -110,15 +115,28 @@ class ObservationStore:
         elimination (a plain path read sees files, not the bucket spec)."""
         return self.spark.table(table)
 
-    def read_range(self, start: str, end: str) -> DataFrame:
+    def read_range(
+        self, start: str, end: str, inclusive_start: bool = True
+    ) -> DataFrame:
         """S9: partition-pruned range read.  The year_month predicate is
         derivable from obs_time bounds; both filters are pushed — the
         month one prunes directories, the obs_time one prunes row groups.
+
+        ``inclusive_start=False`` gives the reference EP2's strict-exclusive
+        lower bound (``inst_data.index > startdate``,
+        ``dischargeobs_write_xl.py:302``): an observation stamped exactly at
+        ``start`` is excluded.  The upper bound is always exclusive.
         """
+        start_lit = F.lit(start).cast("timestamp")
+        start_pred = (
+            F.col("obs_time") >= start_lit
+            if inclusive_start
+            else F.col("obs_time") > start_lit
+        )
         return self.read().filter(
             (F.col("year_month") >= F.date_format(F.lit(start).cast("timestamp"), "yyyyMM"))
             & (F.col("year_month") <= F.date_format(F.lit(end).cast("timestamp"), "yyyyMM"))
-            & (F.col("obs_time") >= F.lit(start).cast("timestamp"))
+            & start_pred
             & (F.col("obs_time") < F.lit(end).cast("timestamp"))
         ).drop("year_month")
 
@@ -150,6 +168,7 @@ class ObservationStore:
             .drop("year_month")
             .transform(with_year_month)
             .write.partitionBy(*PARTITION_COLS)
+            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(self.root)
         )
@@ -196,6 +215,9 @@ class ObservationStore:
         merged = self.merged_frame(incoming, existing_wins, spread)
         (
             merged.write.partitionBy(*PARTITION_COLS)
+            # writer-level pin: see write() — a foreign session without the
+            # dynamic conf must not truncate untouched months on upsert
+            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(self.root)
         )

@@ -30,10 +30,41 @@ def test_evaluate_simple_cases():
     assert formula.evaluate("1+2*3", {}) == 7
     assert formula.evaluate("2^3^2", {}) == 512  # right-assoc
     assert formula.evaluate("(1+2)*3", {}) == 9
-    assert formula.evaluate("-2^2", {}) == 4  # unary binds the base: (-2)^2
+    # Python precedence (the reference interpreter is eval after '^'→'**'):
+    # ** binds tighter than a leading unary minus, so -2^2 == -(2^2)
+    assert formula.evaluate("-2^2", {}) == -4
+    assert formula.evaluate("(-2)^2", {}) == 4
+    assert formula.evaluate("2^-2", {}) == 0.25  # signed exponent still parses
     assert formula.evaluate("{A}/{B}", {"A": 6, "B": 3}) == 2
     assert formula.evaluate("(0-5).clip(lower=0.5)", {}) == 0.5
     assert formula.evaluate("{A}+1", {"A": None}) is None
+
+
+def test_clip_preserves_null(spark):
+    """Missing gauge input stays missing through .clip — plain GREATEST would
+    fabricate the clip floor (pandas ``Series([nan]).clip(lower=k)`` keeps
+    NaN).  Checks all three backends: Spark, DuckDB SQL, Python."""
+    import duckdb
+
+    f_str = "({A}*2).clip(lower=0.001)"
+    # Python interpreter
+    assert formula.evaluate(f_str, {"A": None}) is None
+    assert formula.evaluate(f_str, {"A": -5.0}) == 0.001
+    # Spark column
+    df = spark.createDataFrame(
+        [(None,), (-5.0,)], "A double"
+    ).select(formula.to_column(f_str).alias("v"))
+    got = sorted(r.v for r in df.collect() if r.v is not None)
+    nulls = sum(1 for r in df.select("v").collect() if r.v is None)
+    assert nulls == 1 and got == [0.001]
+    # DuckDB oracle SQL
+    sql = formula.to_sql(f_str, resolver=lambda n: "a")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {sql} FROM (VALUES (CAST(NULL AS DOUBLE)), (-5.0)) t(a)"
+    ).fetchall()
+    vals = sorted(v for (v,) in rows if v is not None)
+    assert sum(1 for (v,) in rows if v is None) == 1 and vals == [0.001]
 
 
 def test_parse_errors():

@@ -24,20 +24,26 @@ def ts(s: str) -> dt.datetime:
 
 
 def test_round_to_grid_nearest(spark):
-    df = spark.createDataFrame(
-        [
-            (ts("2024-01-01 00:02:29"),),  # below half → down
-            (ts("2024-01-01 00:02:30"),),  # exactly half → up (pandas round)
-            (ts("2024-01-01 00:07:31"),),  # above half → up
-        ],
-        ["t"],
-    )
+    import pandas as pd
+
+    stamps = [
+        "2024-01-01 00:02:29",  # below half → down
+        "2024-01-01 00:02:30",  # exactly half, even slot → stays DOWN
+        "2024-01-01 00:07:30",  # exactly half, odd slot → up to even
+        "2024-01-01 00:07:31",  # above half → up
+    ]
+    df = spark.createDataFrame([(ts(s),) for s in stamps], ["t"])
     out = [r[0] for r in df.select(conform.round_to_grid(F.col("t"))).collect()]
     assert out == [
         ts("2024-01-01 00:00:00"),
-        ts("2024-01-01 00:05:00"),
+        ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:10:00"),
         ts("2024-01-01 00:10:00"),
     ]
+    # bit-for-bit parity with the reference's pandas dt.round('5min')
+    # (half-to-even; discharge_obs_pd.py:143)
+    want = list(pd.Series(pd.to_datetime(stamps)).dt.round("5min"))
+    assert out == [w.to_pydatetime() for w in want]
 
 
 def test_dedup_keep_first_is_deterministic(spark):

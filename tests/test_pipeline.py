@@ -162,6 +162,17 @@ def test_store_partitioned_write_prune_and_upsert(spark, tmp_path):
     plan = june._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
 
+    # strict-exclusive start bound (reference EP2 quirk): rows stamped
+    # exactly at `start` drop out when inclusive_start=False
+    at_bound = "2024-06-15 10:00:00"
+    assert store.read_range(at_bound, "2024-07-01 00:00:00").count() == 2
+    assert (
+        store.read_range(
+            at_bound, "2024-07-01 00:00:00", inclusive_start=False
+        ).count()
+        == 0
+    )
+
     # idempotence: re-upserting the same data changes nothing
     store.upsert(first)
     assert store.read().count() == 3
@@ -183,6 +194,39 @@ def test_store_partitioned_write_prune_and_upsert(spark, tmp_path):
     assert vals[("S1", ts("2024-06-15 10:05:00"))] == 4.0  # hole filled
     # untouched month intact
     assert vals[("S1", ts("2024-07-01 10:00:00"))] == 2.0
+
+
+def test_store_upsert_safe_on_static_overwrite_session(spark, tmp_path):
+    """The writer-level ``partitionOverwriteMode=dynamic`` option must
+    protect untouched months even when the SESSION is configured with
+    Spark's default STATIC overwrite — a foreign session must not lose a
+    whole store to a routine one-month upsert (ADVICE r01, medium)."""
+    store = ObservationStore(spark, str(tmp_path / "obs_static"))
+    store.upsert(
+        _mk_obs(
+            spark,
+            [
+                ("S1", "2024-06-15 10:00:00", "Q", 1.0, "wsc"),
+                ("S1", "2024-07-01 10:00:00", "Q", 2.0, "wsc"),
+            ],
+        )
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        # touches ONLY June; July must survive the overwrite
+        store.upsert(
+            _mk_obs(spark, [("S1", "2024-06-15 10:05:00", "Q", 9.0, "wsc")])
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    vals = {
+        (r["station_id"], r["obs_time"]): r["value"]
+        for r in store.read().collect()
+    }
+    assert vals[("S1", ts("2024-07-01 10:00:00"))] == 2.0  # July intact
+    assert vals[("S1", ts("2024-06-15 10:05:00"))] == 9.0  # June merged
+    assert len(vals) == 3
 
 
 def test_store_incoming_wins_mode(spark, tmp_path):
