@@ -154,14 +154,23 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash16(
+def simhash64(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:
-    """16-bit SimHash from md5 nibbles of each (frequency-weighted) token.
+    """64-bit SimHash from md5 nibbles of each (frequency-weighted) token.
 
-    bit b reads nibble ``b div 4`` of md5(token); contribution is +1/-1 by
-    bit ``b mod 4`` of that nibble; the sign of the summed contribution sets
-    the output bit.  Pure integer expressions → identical in any engine.
+    bit b reads nibble ``b div 4`` of md5(token) (64 bits consume the first
+    16 of md5's 32 hex nibbles); contribution is +1/-1 by bit ``b mod 4`` of
+    that nibble; the sign of the summed contribution sets the output bit.
+    Pure integer expressions → identical in any engine.
+
+    64 bits, not fewer: a w-bit simhash birthday-collides at ~2^(w/2) docs,
+    so 16 bits saturates at a few hundred documents while 64 holds to
+    billions — the corpus-scale requirement.  Bit 63 is the sign bit of the
+    BIGINT result; its weight is written as the two's-complement literal
+    (−2^63) so the sum stays in range under ANSI overflow checking in both
+    engines, and the stored value is simply the signed interpretation of
+    the 64-bit pattern.
     """
     tok = docs.select(
         F.col(doc_id), F.explode(tokens(F.col(text))).alias("tok")
@@ -169,7 +178,7 @@ def simhash16(
     bits = tok.select(
         doc_id,
         "h",
-        F.explode(F.expr("sequence(0, 15)")).alias("bit"),
+        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
     ).withColumn(
         "contrib",
         F.expr(
@@ -177,15 +186,16 @@ def simhash16(
             " div shiftleft(1, CAST(bit % 4 AS INT)) % 2) - 1"
         ),
     )
+    weight = F.when(
+        F.col("bit") == 63, F.lit(-9223372036854775808)
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
     return (
         bits.groupBy(doc_id, "bit")
         .agg(F.sum("contrib").alias("s"))
         .groupBy(doc_id)
         .agg(
             F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(1, bit)")
-                ).otherwise(F.lit(0))
+                F.when(F.col("s") > 0, weight).otherwise(F.lit(0))
             ).alias("simhash")
         )
     )

@@ -66,12 +66,16 @@ def prepare(
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query.
+    """Exact top-k cosine neighbors for a BOUNDED query batch.
 
-    queries/corpus are ``prepare`` outputs.  The corpus side is broadcast
-    when it fits (typical for a re-ranking stage); otherwise Spark picks a
-    shuffle plan for the cross join and the window does a per-query top-k
-    with partial ordering map-side.
+    Contract: ``queries`` is a bounded batch (a re-rank candidate set, an
+    interactive request, a recall-oracle sample — thousands at most), and
+    it is explicitly broadcast.  The plan is then ONE pass over the corpus
+    — |Q|·|C| score evaluations but zero corpus shuffle, which scales
+    linearly in corpus size on any cluster.  This is the exact BASELINE
+    and the recall oracle for :func:`lsh_bucketed_topk` / :func:`ivf_topk`
+    (see tests); for data-sized query sets use those bucketed paths — an
+    unbounded all-pairs product is never the right registered plan.
     """
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -83,7 +87,7 @@ def brute_force_topk(
         F.col("q").alias("cv"),
         F.col("n").alias("cn"),
     )
-    scored = q.crossJoin(c).select(
+    scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
         cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
@@ -114,19 +118,43 @@ def sign_bucket(q: Column, bits: int = 4) -> Column:
 
 
 def lsh_bucketed_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 3, bits: int = 4
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    bits: int = 4,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's sign-sketch bucket.
 
-    Recall is tunable via ``bits`` (fewer bits → bigger buckets → higher
-    recall/cost); multi-probe (querying neighboring buckets) is the standard
-    extension.  The equality join on ``bucket`` keeps cost Σ|bucket_q|×|bucket_c|.
+    Two recall/cost dials:
+
+    - ``bits``: fewer bits → bigger buckets → higher recall AND cost;
+      ``bits=0`` is one bucket ≡ exact brute force (tested).
+    - ``probe_hamming``: MULTI-PROBE — each query also probes every bucket
+      within this Hamming distance of its own (sign sketches of near
+      neighbors differ in few bits, so the nearest misses sit in adjacent
+      buckets).  ``1`` probes ``1+bits`` buckets and is the standard
+      recall rescue at high ``bits``; the corpus side still lives in
+      exactly ONE bucket each, so candidate pairs stay unique and the
+      corpus never duplicates — only the (small) query side explodes.
+
+    The equality join on ``bucket`` keeps cost Σ|bucket_q|×|bucket_c|.
     """
+    probe = sign_bucket(F.col("q"), bits)
+    probes = [probe]
+    if probe_hamming >= 1:
+        probes += [probe.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    if probe_hamming >= 2:
+        probes += [
+            probe.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.col("n").alias("qn"),
-        sign_bucket(F.col("q"), bits).alias("bucket"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -235,12 +263,52 @@ def ivf_topk(
     )
 
 
+def lsh_neardup_pairs(
+    prepared: DataFrame, threshold: float = 0.3, bits: int = 4
+) -> DataFrame:
+    """Embedding near-duplicate pairs at corpus scale: candidate pairs are
+    restricted to the same sign-sketch bucket (equality self-join on the
+    bucket id), then exact-integer cosine filters them.
+
+    Cost is Σ|bucket|² instead of |corpus|² — the same candidate-bounding
+    idea as MinHash-LSH for text.  Recall is tuned by ``bits`` (fewer bits
+    → bigger buckets → higher recall/cost; ``bits=0`` is one bucket ≡ the
+    exact all-pairs result); multi-probe is the standard extension.
+    :func:`cosine_neardup_pairs` is the brute-force recall oracle, kept
+    for tests and bounded verifier passes only.
+    """
+    a = prepared.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n").alias("na"),
+        sign_bucket(F.col("q"), bits).alias("bucket"),
+    )
+    b = prepared.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n").alias("nb"),
+        sign_bucket(F.col("q"), bits).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(
+                dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_neardup_pairs(
     prepared: DataFrame, threshold: float = 0.3
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold over all pairs
-    (verifier-scale; route through ``lsh_bucketed_topk`` buckets first at
-    corpus scale)."""
+    """Exact all-pairs near-dup — the recall ORACLE for
+    :func:`lsh_neardup_pairs`.  O(n²); bounded test/verifier inputs only,
+    never a registered corpus-scale plan."""
     a = prepared.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),

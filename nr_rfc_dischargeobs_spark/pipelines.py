@@ -124,6 +124,7 @@ def model_export_frame(
 
 def coffee_instant_frame(
     hourly_max_last: DataFrame,
+    stations: list[str],
     derived: dict[str, str] | None = None,
 ) -> DataFrame:
     """EP2 COFFEE-instant tier (``dischargeobs_write_xl.py:80-144``): the A2
@@ -133,12 +134,15 @@ def coffee_instant_frame(
 
     Input: (station_id, hour, hrly_max, hrly_last) — from
     ``groupBy(station, hour).agg(max, max_by)`` over stage observations.
+
+    ``stations`` is the model station list from the DIMENSION table
+    (Model_Station_List.csv, ``dischargeobs_write_xl.py:92``) — the pivot's
+    explicit column list must come from metadata, never from a
+    ``distinct().collect()`` discovery pass over the fact table (a full
+    extra scan at 100 TB, and the reference's export column set is the
+    model list anyway, not whatever stations happen to have data).
     """
     values = recurrence.rising_falling(hourly_max_last)
-    stations = sorted(
-        r["station_id"]
-        for r in values.select("station_id").distinct().collect()
-    )
     wide = pivot.pivot_wide(
         values, "hour", "station_id", "value", values=stations, agg="first"
     )

@@ -81,13 +81,17 @@ def test_jaccard_scores_ordering(corpus):
 
 
 def test_simhash_near_dup_closer_than_unrelated(corpus):
-    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(corpus).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(corpus).collect()}
     assert sh[0] == sh[1]  # identical docs → identical simhash
 
     def hamming(a, b):
-        return bin(a ^ b).count("1")
+        # signed two's-complement longs → 64-bit patterns
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
     assert hamming(sh[0], sh[2]) <= hamming(sh[0], sh[3])
+    # 64-bit width: unrelated docs must be FAR apart (a 16-bit hash caps
+    # distance at 16, birthday-colliding at corpus scale)
+    assert hamming(sh[0], sh[3]) > 16
 
 
 def test_lang_id_markers(spark):
@@ -231,6 +235,93 @@ def test_facet_stats_exact_means(spark):
     }
     assert got[("en", "s1")] == (2, 3.0)
     assert got[("fr", "s2")] == (1, 1.0)
+
+
+def test_lsh_single_bucket_equals_brute_force(spark):
+    """bits=0 puts everything in ONE bucket, so the LSH path must reproduce
+    exact brute-force top-k — the recall/cost dial's endpoint (the LSH twin
+    of test_ivf_full_probe_equals_brute_force)."""
+    import random
+
+    rng = random.Random(13)
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = similarity.prepare(df.filter(F.col("vec_id") < 6))
+    c = similarity.prepare(df.filter(F.col("vec_id") >= 6))
+    lsh = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.lsh_bucketed_topk(q, c, k=3, bits=0).collect()
+    }
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(q, c, k=3).collect()
+    }
+    assert lsh == bf
+
+
+def test_lsh_bucketed_topk_recall_on_testdata(spark):
+    """Recall of the registered LSH path vs the brute-force oracle on the
+    real embeddings table (the discipline the IVF path already has)."""
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    c = emb.filter(F.col("vec_id") >= 20)
+    bf_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(q, c, k=1).collect()
+    }
+
+    def recall(bits: int, probe_hamming: int) -> float:
+        lsh_top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.lsh_bucketed_topk(
+                q, c, k=1, bits=bits, probe_hamming=probe_hamming
+            ).collect()
+        }
+        return sum(
+            lsh_top1.get(qid) == n for qid, n in bf_top1.items()
+        ) / len(bf_top1)
+
+    # measured on this data: 0.25 / 0.60 / 1.00 — floors with margin, and
+    # the multi-probe dial must be monotone
+    r0, r1, r2 = recall(4, 0), recall(4, 1), recall(4, 2)
+    assert r0 >= 0.2
+    assert r1 >= 0.5  # the registered configuration
+    assert r2 >= 0.9
+    assert r0 <= r1 <= r2
+
+
+def test_lsh_neardup_subset_and_single_bucket_recall(spark):
+    """The bucketed near-dup path must (a) emit only true near-dups —
+    a subset of the exact all-pairs oracle — and (b) reproduce the oracle
+    exactly at bits=0 (one bucket)."""
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+            F.col("vec_id") < 80
+        )
+    )
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.3, bits=4
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    one_bucket = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.3, bits=0
+        ).collect()
+    }
+    assert one_bucket == exact_pairs
 
 
 def test_ivf_full_probe_equals_brute_force(spark):

@@ -212,6 +212,30 @@ def test_rising_falling_matches_python_port(spark):
     assert want[2] == 4.5
 
 
+def test_coffee_instant_frame_stations_from_dim(spark):
+    """The export pivot's column list comes from the model DIMENSION list:
+    dim stations with no data still get their (all-null) column, stations
+    absent from the dim list are not exported, and derived formulas apply
+    after the recurrence."""
+    from nr_rfc_dischargeobs_spark import pipelines
+
+    hours = [ts(f"2024-01-01 0{i}:00:00") for i in range(3)]
+    rows = [
+        ("S1", h, v, v) for h, v in zip(hours, [1.0, 2.0, 3.0])
+    ] + [("S9", h, v, v) for h, v in zip(hours, [5.0, 5.0, 5.0])]
+    df = spark.createDataFrame(
+        rows, ["station_id", "hour", "hrly_max", "hrly_last"]
+    )
+    wide = pipelines.coffee_instant_frame(
+        df, stations=["S1", "S2"], derived={"D1": "{S1}*2"}
+    )
+    assert set(wide.columns) == {"hour", "S1", "S2", "D1"}  # S9 not exported
+    row = {r["hour"]: r for r in wide.collect()}
+    assert row[hours[1]]["S1"] == 2.0
+    assert row[hours[1]]["S2"] is None  # dim station without data
+    assert row[hours[1]]["D1"] == 4.0
+
+
 def test_rising_falling_alias_semantics_differ_from_copy(spark):
     # A copy-based (non-alias) implementation would compare max[i] to max[i-1]
     # and yield a different answer on this series — guard against "fixing" it.
