@@ -39,7 +39,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies, so oracle comparisons agree exactly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # Self-sufficient on ANY session (the driver passes its own); all are
     # runtime-settable, idempotent SQL confs:
@@ -63,7 +63,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
     )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division — double division would lose ulps above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) read as nanosecond longs: integer division —
+            # double division would lose ulps above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Naive (isAdjustedToUTC=false) parquet timestamps arrive as
+            # TIMESTAMP_NTZ, which unix_micros()/cast-to-numeric reject.  The
+            # session TZ is pinned UTC above, so NTZ→LTZ is value-identical
+            # (wall-clock == instant) and DuckDB's epoch_us oracle agrees.
+            # The reference's own data is tz-naive (discharge_obs_pd.py:66-67
+            # strips tz), so naive timestamps are the *normal* input here.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
