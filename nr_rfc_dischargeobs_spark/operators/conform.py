@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ts_seconds
+
 CFS_TO_CMS = 35.3147  # cubic feet/s per cubic metre/s (discharge_obs_pd.py:63)
 FT_TO_M = 3.28084  # feet per metre (discharge_obs_pd.py:65)
 
@@ -34,7 +36,7 @@ def round_to_grid(ts: Column, grid_seconds: int = 300) -> Column:
     no shuffle.
     """
     half = grid_seconds / 2.0
-    epoch = ts.cast("double")
+    epoch = ts_seconds(ts)
     d = F.floor(epoch / grid_seconds)
     r = epoch - d * grid_seconds
     slot = d + (
@@ -48,7 +50,7 @@ def round_to_grid(ts: Column, grid_seconds: int = 300) -> Column:
 def floor_to_grid(ts: Column, grid_seconds: int = 300) -> Column:
     """Truncate a timestamp down to its grid slot (tumbling-window key)."""
     return F.timestamp_seconds(
-        (F.floor(ts.cast("double") / grid_seconds) * grid_seconds).cast("long")
+        (F.floor(ts_seconds(ts) / grid_seconds) * grid_seconds).cast("long")
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import exact
+from ..functions.timeutil import ts_us, ts_us_sql
 from . import load
 
 V100_SQL = "CAST(ROUND(value * 100, 0) AS BIGINT)"
@@ -80,7 +81,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     gap_us = 30 * 60 * 1_000_000
     ev = load(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+        "user_id", ts_us(F.col("ts")).alias("ts_us"), "event_id"
     )
     order = [F.col("ts_us").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
@@ -140,7 +141,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        ts_us(F.col("ts")).alias("ts_us"),
         "event_type",
         F.when(
             F.col("event_type") == "view", exact.scaled(F.col("value"))
@@ -212,16 +213,16 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
-        F.unix_micros(F.col("ts")).alias("c_ts_us"),
+        ts_us(F.col("ts")).alias("c_ts_us"),
         # integer `div`, not float division: exact bucket membership, and
         # the two probe buckets below are then distinct BY CONSTRUCTION
-        F.expr(f"unix_micros(ts) div {hour_us}").alias("bucket"),
+        F.expr(f"{ts_us_sql('ts')} div {hour_us}").alias("bucket"),
     )
     p_bucket = F.expr(f"p_ts_us div {hour_us}")
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
-            "event_id", "user_id", F.unix_micros(F.col("ts")).alias("p_ts_us")
+            "event_id", "user_id", ts_us(F.col("ts")).alias("p_ts_us")
         )
         .withColumn(
             "bucket", F.explode(F.array(p_bucket - 1, p_bucket))
@@ -263,7 +264,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins: at 100 TB the events table is touched once.
     """
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+        "user_id", "event_type", ts_us(F.col("ts")).alias("ts_us")
     )
     w = Window.partitionBy("user_id")
     t1 = F.min(
@@ -340,7 +341,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     week_us = 7 * 24 * 3_600 * 1_000_000
     ev = load(spark, sf_dir, "events").select(
-        "user_id", F.expr(f"unix_micros(ts) div {week_us}").alias("week")
+        "user_id", F.expr(f"{ts_us_sql('ts')} div {week_us}").alias("week")
     )
     weeks = ev.distinct()
     cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))

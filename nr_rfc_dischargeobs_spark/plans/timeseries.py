@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import exact
+from ..functions.timeutil import ts_us
 from . import load
 
 V100_SQL = "CAST(ROUND(value * 100, 0) AS BIGINT)"
@@ -40,7 +41,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("ts"),
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        ts_us(F.col("ts")).alias("ts_us"),
         exact.scaled(F.col("value")).alias("v100"),
     )
 
@@ -108,7 +109,7 @@ def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = spine.join(hourly, ["user_id", "hr"], "left").withColumn(
-        "hr_us", F.unix_micros(F.col("hr"))
+        "hr_us", ts_us(F.col("hr"))
     )
     wprev = (
         Window.partitionBy("user_id")
