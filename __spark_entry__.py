@@ -68,30 +68,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is part of the driver contract: the correctness gate checks
+    # the FIRST 50 entries.  The first 50 here cover every distinct operator
+    # family (p/j/a/an/ts/w/fn + one-or-more representatives per extension
+    # family); the 22 TPC-H shapes — driver-green in both prior rounds and
+    # standard, lower-risk plans — plus the remaining extension variants
+    # follow.
     return {
-        # relational core (S6 scans + joins + aggs)
-        "tpch_q1_pricing_summary": tpch.pricing_summary,
-        "tpch_q3_shipping_priority": tpch.shipping_priority,
-        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
-        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
-        "tpch_q14_promo_revenue": tpch.promo_revenue,
-        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
-        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
-        "tpch_q7_volume_shipping": tpch.volume_shipping,
-        "tpch_q8_market_share": tpch.market_share,
-        "tpch_q10_returned_item_report": tpch.returned_item_report,
-        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
-        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
-        "tpch_q15_top_supplier": tpch.top_supplier,
-        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
-        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
-        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
-        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
-        "tpch_q9_product_type_profit": tpch.product_type_profit,
-        "tpch_q11_important_stock": tpch.important_stock,
-        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
-        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
-        "tpch_q20_excess_shippers": tpch.excess_shippers,
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -139,33 +122,58 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_unit_conversion": events.unit_conversion,
         "fn_json_props_stats": events.json_props_stats,
         "fn_formula_estimate": events.formula_estimate,
-        # extensions: dedup (§2.10)
+        # extension-family representatives (complete the driver's 50-window)
         "ext_dedup_exact_clusters": extensions.dedup_exact_clusters,
         "ext_dedup_minhash_signatures": extensions.dedup_minhash_signatures,
         "ext_dedup_lsh_pairs": extensions.dedup_lsh_pairs,
+        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
+        "ext_sim_cosine_topk": extensions.sim_cosine_topk,
+        "ext_sim_ivf_topk": extensions.sim_ivf_topk,
+        "ext_text_quality_scores": extensions.text_quality_scores,
+        "ext_sample_split": extensions.sample_deterministic_split,
+        "ext_curate_corpus": extensions.curate_corpus_plan,
+        "ext_mm_blob_stats": extensions.mm_blob_stats,
+        # ---- driver 50-row window ends here ----
+        # relational core (S6 scans + joins + aggs)
+        "tpch_q1_pricing_summary": tpch.pricing_summary,
+        "tpch_q3_shipping_priority": tpch.shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
+        "tpch_q14_promo_revenue": tpch.promo_revenue,
+        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
+        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q10_returned_item_report": tpch.returned_item_report,
+        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
+        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "tpch_q9_product_type_profit": tpch.product_type_profit,
+        "tpch_q11_important_stock": tpch.important_stock,
+        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
+        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
+        "tpch_q20_excess_shippers": tpch.excess_shippers,
+        # extensions: remaining dedup variants (§2.10)
         "ext_dedup_simhash": extensions.dedup_simhash,
         "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
         "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
-        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
-        # extensions: similarity search
-        "ext_sim_cosine_topk": extensions.sim_cosine_topk,
+        # extensions: remaining similarity search
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
-        "ext_sim_ivf_topk": extensions.sim_ivf_topk,
         "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
-        # extensions: text analysis
+        # extensions: remaining text analysis
         "ext_text_token_counts": extensions.text_token_counts,
-        "ext_text_quality_scores": extensions.text_quality_scores,
         "ext_text_lang_id": extensions.text_lang_id,
         "ext_text_fingerprint": extensions.text_fingerprint,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
         "ext_text_facet_stats": extensions.text_facet_stats,
         "ext_text_length_profile": extensions.text_length_profile,
-        # extensions: sampling + composed curation pipeline
-        "ext_sample_split": extensions.sample_deterministic_split,
+        # extensions: remaining sampling
         "ext_sample_stratified": extensions.sample_stratified,
-        "ext_curate_corpus": extensions.curate_corpus_plan,
         # extensions: multimodal
-        "ext_mm_blob_stats": extensions.mm_blob_stats,
         "ext_mm_frame_sample": extensions.mm_frame_sample,
         "ext_mm_resize_dims": extensions.mm_resize_dims,
         "ext_mm_decode_features": extensions.mm_decode_features,
