@@ -44,6 +44,26 @@ def ingest_instantaneous(
     store.upsert(unioned, existing_wins=existing_wins)
 
 
+def usgs_instantaneous_frame(
+    spark,
+    rfc_ids: list[str],
+    station_dim: DataFrame | None = None,
+    start_date: str | None = None,
+    end_date: str | None = None,
+    opener=None,
+) -> DataFrame:
+    """EP1's USGS leg end-to-end (``discharge_obs_pd.py:46-72``): NWIS IV
+    fetch with the 2-day pushdown window → WaterML-JSON shred →
+    ``conform_usgs``.  The result is one of the ``conformed`` inputs to
+    :func:`ingest_instantaneous`, completing the third source family."""
+    from .sources import conform_usgs, nwis
+
+    payload = nwis.fetch_iv(
+        nwis.rfc_to_site(rfc_ids), start_date, end_date, opener=opener
+    )
+    return conform_usgs(nwis.iv_dataframe(spark, payload), station_dim)
+
+
 # ------------------------------------------------------------------ EP2
 
 

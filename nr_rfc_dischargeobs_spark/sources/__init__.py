@@ -9,6 +9,7 @@ script writing a landing zone (the reference's model), or the engine-native
 fetch/parse source files in parallel (SURVEY.md §2.1 S1).
 """
 
+from . import nwis
 from .datamart_source import WscDataMartDataSource
 from .provincial import conform_provincial
 from .store import ObservationStore
@@ -23,4 +24,5 @@ __all__ = [
     "conform_swob",
     "conform_usgs",
     "conform_wsc",
+    "nwis",
 ]
