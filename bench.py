@@ -85,6 +85,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # n_queries disambiguates partial runs: "value" sums only the
+        # queries that ran, so a record with failures is NOT comparable to a
+        # full-sweep total unless n_queries says how many it covered.
+        "n_queries": len(timings),
         "queries": timings,
         "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
