@@ -173,6 +173,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_length_profile": extensions.text_length_profile,
         # extensions: remaining sampling
         "ext_sample_stratified": extensions.sample_stratified,
+        # extensions: curation round-3 additions
+        "ext_text_gopher_rules": extensions.text_gopher_rules,
+        "ext_text_repetition": extensions.text_repetition,
+        "ext_contamination_ngram": extensions.contamination_ngram,
+        "ext_pack_sequences": extensions.pack_sequences,
         # extensions: multimodal
         "ext_mm_frame_sample": extensions.mm_frame_sample,
         "ext_mm_resize_dims": extensions.mm_resize_dims,
@@ -269,6 +274,10 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_text_length_profile": extensions.TEXT_LENGTH_PROFILE_SQL,
         "ext_sample_split": extensions.SAMPLE_DETERMINISTIC_SPLIT_SQL,
         "ext_sample_stratified": extensions.SAMPLE_STRATIFIED_SQL,
+        "ext_text_gopher_rules": extensions.TEXT_GOPHER_RULES_SQL,
+        "ext_text_repetition": extensions.TEXT_REPETITION_SQL,
+        "ext_contamination_ngram": extensions.CONTAMINATION_NGRAM_SQL,
+        "ext_pack_sequences": extensions.PACK_SEQUENCES_SQL,
         "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,

@@ -1,0 +1,102 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (the concat-and-chunk layout every LLM pre-training loader uses —
+documents concatenated in a deterministic order and cut into
+``budget``-token blocks, so a document may straddle two blocks).
+
+The assignment is pure window arithmetic — a running token total per
+*packing shard* — so it is deterministic, engine-portable, and, unlike
+greedy first-fit (whose block boundaries depend recursively on every prior
+decision), expressible as one cumulative sum:
+
+    start    = Σ tokens of earlier docs in the shard   (exclusive cumsum)
+    seq_first = start div budget
+    seq_last  = (start + n_tokens - 1) div budget
+
+Scale shape (100 TB): a single global running sum would be one sorted
+partition — a non-starter.  Sharding by a portable key-hash first
+(``sampling.hash_bucket``) makes each shard an independent packing stream:
+the window partitions by shard, every executor packs its shards in
+parallel, and the shard count dials partition size (fleet runs use
+thousands; the global-order guarantee nobody needs at 100 TB is traded for
+linear scalability).  Membership is stable under corpus *re-partitioning*
+(order inside a shard is (doc_id), not file order); appends extend each
+shard's tail without moving earlier docs' offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket, hash_bucket_sql
+
+
+def pack_assignments(
+    docs: DataFrame,
+    budget: int = 512,
+    shards: int = 8,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_offset, seq_first, seq_last,
+    n_seqs) — all exact BIGINTs.  One shuffle on ``shard``."""
+    n_tokens = F.size(F.split(F.col(text), r"\s+")).cast("long")
+    base = docs.select(
+        F.col(doc_id),
+        (hash_bucket(F.col(doc_id), salt) % shards).cast("long").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(doc_id).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum("n_tokens").over(w)
+    start = (end - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        F.col(doc_id),
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((end - F.col("n_tokens")) / budget).alias("seq_first"),
+        F.floor((end - 1) / budget).alias("seq_last"),
+        (
+            F.floor((end - 1) / budget)
+            - F.floor((end - F.col("n_tokens")) / budget)
+            + 1
+        ).alias("n_seqs"),
+    )
+
+
+def pack_assignments_sql(
+    budget: int = 512,
+    shards: int = 8,
+    salt: str = "pack",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`pack_assignments` (same window arithmetic;
+    integer division floors identically on the non-negative offsets)."""
+    bucket = hash_bucket_sql("doc_id", salt)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         {bucket} % {shards} AS shard,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM {table}
+), summed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_end
+  FROM base
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(cum_end - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum_end - n_tokens) // {budget} AS BIGINT) AS seq_first,
+       CAST((cum_end - 1) // {budget} AS BIGINT) AS seq_last,
+       CAST((cum_end - 1) // {budget}
+            - (cum_end - n_tokens) // {budget} + 1 AS BIGINT) AS n_seqs
+FROM summed
+"""

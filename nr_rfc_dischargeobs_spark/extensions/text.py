@@ -82,7 +82,7 @@ def quality_scores(
     stop_hits = marker_hits(F.col(text), LANG_MARKERS["en"])
     return docs.select(
         F.col(doc_id),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         n_distinct.alias("n_distinct"),
         (n_distinct.cast("double") / n_words).alias("uniq_ratio"),
         ((n_chars - n_words + 1).cast("double") / n_words).alias(
@@ -203,4 +203,128 @@ def fingerprint(
     )
     return docs.select(
         F.col(doc_id), F.md5(F.trim(norm)).alias("fingerprint")
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality gates (Rae et al. 2021, §A1.1 — the public
+    heuristic battery every curation pipeline starts from): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, ellipsis-line
+    fraction, alphabetic-word fraction, stopword presence.  One boolean
+    flag per rule plus the conjunction, all from generated expressions —
+    scan-fused, no shuffle, no Python.
+
+    Thresholds are parameters (the paper's 50-word floor is sized for web
+    pages; the default here is lower so tiny test corpora exercise both
+    branches).  Ratios divide exact integer counts.
+    """
+    t = F.col(text)
+    words = _tokens(t)
+    n_words = F.size(words)
+    # total non-whitespace glyphs / word count == mean word length
+    mean_wl = (
+        F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_words
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.endswith("..."))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = marker_hits(t, LANG_MARKERS["en"])
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "ok_ellipsis_lines": (
+            ellipsis_lines.cast("double") / n_lines
+        )
+        < max_ellipsis_line_frac,
+        "ok_alpha_words": (alpha_words.cast("double") / n_words)
+        >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else (passed & c)
+    return docs.select(
+        F.col(doc_id),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        passed.alias("gopher_pass"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition screen (the duplicate-text family of
+    Gopher rules): the fraction of all word n-gram occurrences taken by the
+    single most frequent n-gram, plus the duplicate-line fraction.
+    Boilerplate and template spam score high; prose scores low.
+
+    Shape: explode all n-gram occurrences → two-level aggregate keyed by
+    (doc_id, gram) then doc_id — both shuffles carry partially-combined
+    counts, and per-key state is bounded by a single document's vocabulary,
+    so the plan is skew-safe at corpus scale.
+    """
+    toks = docs.select(
+        F.col(doc_id), _tokens(F.col(text)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    idx = ", ".join(f"get(__toks, i + {k})" for k in range(n))
+    grams = toks.select(
+        F.col(doc_id),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}),"
+                f" i -> concat_ws(' ', {idx}))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(doc_id, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rep = per_gram.groupBy(doc_id).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_n"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_gram_frac"),
+    )
+    lines = docs.select(
+        F.col(doc_id), F.split(F.col(text), r"\n").alias("__lines")
+    ).select(
+        F.col(doc_id),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct(F.col("__lines"))).alias("n_distinct_lines"),
+    )
+    return rep.join(lines, doc_id, "inner").select(
+        F.col(doc_id),
+        "n_grams",
+        "top_gram_n",
+        "top_gram_frac",
+        "n_lines",
+        (
+            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+            / F.col("n_lines")
+        ).alias("dup_line_frac"),
     )

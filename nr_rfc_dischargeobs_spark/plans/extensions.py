@@ -12,9 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extensions import (
+    contamination,
     curate,
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     text as textops,
@@ -725,3 +727,134 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check: the sha256-derived features are not SQL-expressible."""
     blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
     return multimodal.decode_features(blobs, mode="fake")
+
+
+# -------------------------------------------- curation round-3 additions
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates per document: one boolean per rule plus
+    the conjunction — the standard pre-training heuristic battery."""
+    return textops.gopher_rules(load(spark, sf_dir, "documents"))
+
+
+TEXT_GOPHER_RULES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+         string_split(text, chr(10)) AS lns
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(toks) AS mean_wl,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) / 3)
+           / len(toks) AS symbol_ratio,
+         CAST(len(list_filter(lns, x -> ends_with(x, '...'))) AS DOUBLE)
+           / len(lns) AS ellipsis_frac,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks,
+             x -> list_contains(['the','a','of','and','is','to'], x)))
+           AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       n_words >= 5 AND n_words <= 100000 AS ok_word_count,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+       symbol_ratio < 0.1 AS ok_symbol_ratio,
+       ellipsis_frac < 0.3 AS ok_ellipsis_lines,
+       alpha_frac >= 0.8 AS ok_alpha_words,
+       stop_hits >= 2 AS ok_stopwords,
+       (n_words >= 5 AND n_words <= 100000)
+         AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+         AND symbol_ratio < 0.1 AND ellipsis_frac < 0.3
+         AND alpha_frac >= 0.8 AND stop_hits >= 2 AS gopher_pass
+FROM m
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition screen: top-bigram occupancy + duplicate-line
+    fraction (the Gopher duplicate-text rule family)."""
+    return textops.repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), i AS (
+  SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+), g AS (
+  SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS gram FROM i
+), c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+), r AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         CAST(MAX(cnt) AS BIGINT) AS top_gram_n,
+         CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_gram_frac
+  FROM c GROUP BY 1
+), l AS (
+  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(string_split(text, chr(10)))
+              - len(list_distinct(string_split(text, chr(10))))
+           AS DOUBLE)
+           / len(string_split(text, chr(10))) AS dup_line_frac
+  FROM documents
+)
+SELECT doc_id, n_grams, top_gram_n, top_gram_frac, n_lines, dup_line_frac
+FROM r JOIN l USING (doc_id)
+"""
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (id ≥ 25) that share word
+    4-grams with the held-out benchmark slice (id < 25).  n is sized down
+    from the production-default 8 so the synthetic corpus exercises the
+    operator; the plan shape is n-independent."""
+    docs = load(spark, sf_dir, "documents")
+    return contamination.ngram_contamination(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=4,
+    )
+
+
+CONTAMINATION_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), i AS (
+  SELECT doc_id, toks, unnest(range(greatest(len(toks) - 4, 0) + 1)) AS i
+  FROM t
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i + 1:i + 4], ' ') AS gram
+  FROM i
+), bench AS (
+  SELECT DISTINCT gram, doc_id AS bench_doc_id FROM g WHERE doc_id < 25
+), corpus AS (
+  SELECT doc_id, gram FROM g WHERE doc_id >= 25
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM corpus GROUP BY 1
+), hits AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_contaminated,
+         CAST(COUNT(DISTINCT bench_doc_id) AS BIGINT) AS n_bench_docs
+  FROM corpus JOIN bench USING (gram) GROUP BY 1
+)
+SELECT doc_id, n_grams, n_contaminated, n_bench_docs,
+       CAST(n_contaminated AS DOUBLE) / n_grams AS contamination
+FROM hits JOIN totals USING (doc_id)
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document's (shard, offset,
+    block span) under a 256-token budget over 8 packing shards."""
+    return packing.pack_assignments(
+        load(spark, sf_dir, "documents"), budget=256, shards=8
+    )
+
+
+PACK_SEQUENCES_SQL = packing.pack_assignments_sql(budget=256, shards=8)

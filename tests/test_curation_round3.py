@@ -1,0 +1,175 @@
+"""Round-3 curation operators: sequence packing, contamination, Gopher
+rules, repetition — semantic tests on constructed corpora (the oracle
+harness separately hash-checks them against DuckDB on the driver tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark.extensions import contamination, packing, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_pack_offsets_are_contiguous_per_shard(spark):
+    docs = _docs(
+        spark, [(i, " ".join(["w"] * (10 + i))) for i in range(40)]
+    )
+    out = packing.pack_assignments(docs, budget=64, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # hash actually spreads
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in rows:
+            assert r.start_offset == expect  # concat layout: no gaps
+            expect += r.n_tokens
+
+
+def test_pack_block_spans_match_budget_arithmetic(spark):
+    docs = _docs(spark, [(i, " ".join(["w"] * 30)) for i in range(20)])
+    for r in packing.pack_assignments(docs, budget=64, shards=2).collect():
+        assert r.seq_first == r.start_offset // 64
+        assert r.seq_last == (r.start_offset + r.n_tokens - 1) // 64
+        assert r.n_seqs == r.seq_last - r.seq_first + 1
+        assert 1 <= r.n_seqs <= 2  # 30-token docs straddle at most once
+
+
+def test_pack_assignments_stable_under_append(spark):
+    """A doc's (shard, offset) never moves when later docs arrive — the
+    property that lets an incremental corpus re-pack only its tail."""
+    base = _docs(spark, [(i, " ".join(["w"] * (5 + i % 7))) for i in range(30)])
+    grown = _docs(
+        spark,
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(30)]
+        + [(100 + i, "x y z") for i in range(10)],
+    )
+    before = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in packing.pack_assignments(base, budget=32, shards=4).collect()
+    }
+    after = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in packing.pack_assignments(grown, budget=32, shards=4).collect()
+        if r.doc_id < 100
+    }
+    # appended ids sort after every existing id, so existing offsets hold
+    assert before == after
+
+
+# ------------------------------------------------------- contamination
+
+
+def test_contamination_flags_planted_benchmark_passage(spark):
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = _docs(
+        spark,
+        [
+            (10, "completely unrelated text about spark partitions here"),
+            (11, f"prefix words then {passage} and a suffix tail"),
+        ],
+    )
+    bench = _docs(spark, [(1, passage)])
+    out = contamination.ngram_contamination(corpus, bench, n=5).collect()
+    assert [r.doc_id for r in out] == [11]
+    r = out[0]
+    assert r.n_contaminated > 0 and r.n_bench_docs == 1
+    assert 0 < r.contamination <= 1
+
+
+def test_contamination_requires_n_consecutive_words(spark):
+    # shares every WORD with the benchmark but never 3 in a row
+    corpus = _docs(spark, [(10, "fox brown quick dog lazy over jumps")])
+    bench = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
+    assert (
+        contamination.ngram_contamination(corpus, bench, n=3).count() == 0
+    )
+
+
+# --------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_pass_and_fail_branches(spark):
+    good = (
+        "the quick brown fox is happy and ready to work over many fine "
+        "days of steady calm weather with good food and warm light"
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, good),
+            (2, "x y z"),  # too few words, no stopwords
+            (3, "### ### ### " + good),  # symbol-heavy prefix
+        ],
+    )
+    rows = {r.doc_id: r for r in text.gopher_rules(docs).collect()}
+    assert rows[1].gopher_pass
+    assert not rows[2].ok_word_count and not rows[2].ok_stopwords
+    assert not rows[2].gopher_pass
+    assert not rows[3].ok_symbol_ratio and not rows[3].gopher_pass
+
+
+def test_gopher_flags_are_conjunction(spark):
+    docs = _docs(spark, [(1, "some words appear here now then")])
+    r = text.gopher_rules(docs).collect()[0]
+    flags = [
+        r.ok_word_count, r.ok_mean_word_len, r.ok_symbol_ratio,
+        r.ok_ellipsis_lines, r.ok_alpha_words, r.ok_stopwords,
+    ]
+    assert r.gopher_pass == all(flags)
+
+
+# ---------------------------------------------------------- repetition
+
+
+def test_repetition_scores_boilerplate_high_prose_low(spark):
+    spam = " ".join(["buy now"] * 30)
+    prose = (
+        "each word here differs from every other token in this sentence "
+        "so bigram mass spreads thin across many distinct pairs"
+    )
+    docs = _docs(spark, [(1, spam), (2, prose)])
+    rows = {r.doc_id: r for r in text.repetition_stats(docs, n=2).collect()}
+    assert rows[1].top_gram_frac > 0.4  # "now buy"/"buy now" dominate
+    assert rows[2].top_gram_frac < 0.1
+    assert rows[1].top_gram_n > 20
+
+
+def test_repetition_counts_duplicate_lines(spark):
+    doc = "same line\nsame line\nsame line\nunique line"
+    rows = text.repetition_stats(
+        _docs(spark, [(1, doc)]), n=2
+    ).collect()
+    r = rows[0]
+    assert r.n_lines == 4
+    assert r.dup_line_frac == pytest.approx(0.5)  # 2 of 4 rows redundant
+
+
+# ------------------------------------------------- plan-shape contracts
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The corpus must never shuffle for the join: benchmark shingles are
+    broadcast (the 100 TB contract in extensions/contamination.py)."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext_plans
+
+    df = ext_plans.contamination_ngram(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing is one shuffle (on shard) end-to-end."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext_plans
+
+    df = ext_plans.pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # shard hash + AQE read, no more
