@@ -858,3 +858,48 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_SEQUENCES_SQL = packing.pack_assignments_sql(budget=256, shards=8)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with deterministic synthetic PII
+    (the driver corpus is word-salad; the injected addresses make the
+    detectors fire on real matches — same injection in the oracle)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7 or 604-555-1234"),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(docs)
+
+
+TEXT_PII_SCRUB_SQL = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at 10.0.'
+              || (doc_id % 256) || '.7 or 604-555-1234' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+             'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+         AS clean_text
+FROM salted
+"""

@@ -173,3 +173,38 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     df = ext_plans.pack_sequences(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # shard hash + AQE read, no more
+
+
+# ------------------------------------------------------------- pii scrub
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail alice@example.org or 604-555-0199 from 192.168.1.77"),
+            (2, "no sensitive content in this one"),
+        ],
+    )
+    rows = {r.doc_id: r for r in text.pii_scrub(docs).collect()}
+    r = rows[1]
+    assert (r.n_email, r.n_phone, r.n_ip) == (1, 1, 1)
+    assert "[EMAIL]" in r.clean_text and "[PHONE]" in r.clean_text
+    assert "[IP]" in r.clean_text
+    assert "alice@example.org" not in r.clean_text
+    assert "192.168.1.77" not in r.clean_text
+    clean2 = rows[2]
+    assert (clean2.n_email, clean2.n_phone, clean2.n_ip) == (0, 0, 0)
+    assert clean2.clean_text == "no sensitive content in this one"
+
+
+def test_pii_scrub_counts_before_redaction_order(spark):
+    # counts reflect the ORIGINAL text per class, independent of the
+    # redaction order: the email rule (applied first) consumes its whole
+    # match before the IP pass runs, and the \b guards keep the email's
+    # IP-shaped host prefix (digit→letter, no boundary) out of n_ip
+    docs = _docs(spark, [(1, "x user@10.0.0.1ab.com y 10.0.0.1 z")])
+    r = text.pii_scrub(docs).collect()[0]
+    assert r.n_email == 1
+    assert r.n_ip == 1  # only the bare, boundary-delimited IP
+    assert r.clean_text == "x [EMAIL] y [IP] z"
