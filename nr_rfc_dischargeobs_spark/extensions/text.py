@@ -203,7 +203,10 @@ def length_profile(
 
 
 def fingerprint(
-    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+    docs: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Normalized content fingerprint: lowercase, collapse whitespace, strip
     punctuation, md5 — robust to formatting-only edits (the md5-of-normalized
@@ -214,7 +217,9 @@ def fingerprint(
         " ",
     )
     return docs.select(
-        F.col(doc_id), F.md5(F.trim(norm)).alias("fingerprint")
+        F.col(doc_id),
+        *[F.col(c) for c in passthrough],
+        F.md5(F.trim(norm)).alias("fingerprint"),
     )
 
 
@@ -230,6 +235,7 @@ def gopher_rules(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style quality gates (Rae et al. 2021, §A1.1 — the public
     heuristic battery every curation pipeline starts from): word-count
@@ -292,6 +298,7 @@ def gopher_rules(
         passed = c if passed is None else (passed & c)
     return staged.select(
         F.col(doc_id),
+        *[F.col(c) for c in passthrough],
         n_words.cast("long").alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
         passed.alias("gopher_pass"),
@@ -371,7 +378,10 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def pii_scrub(
-    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+    docs: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """PII detection + redaction (the scrub stage of every corpus release):
     per-doc match counts for each pattern class and the redacted text.
@@ -390,4 +400,9 @@ def pii_scrub(
     clean = t
     for _, (pat, tag) in PII_PATTERNS.items():
         clean = F.regexp_replace(clean, pat, tag)
-    return docs.select(F.col(doc_id), *counts, clean.alias("clean_text"))
+    return docs.select(
+        F.col(doc_id),
+        *[F.col(c) for c in passthrough],
+        *counts,
+        clean.alias("clean_text"),
+    )

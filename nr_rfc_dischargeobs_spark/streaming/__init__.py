@@ -1,6 +1,7 @@
 """Structured Streaming tier (SURVEY.md §2.9): the reference's cron-polled
 incremental batch semantics, re-founded on file streams + watermarks."""
 
+from .documents import curate_document_stream, stream_documents_jsonl
 from .ingest import (
     hourly_stream_rollup,
     session_stream_rollup,
@@ -11,10 +12,12 @@ from .ingest import (
 from .stateful import rising_falling_stream
 
 __all__ = [
+    "curate_document_stream",
     "hourly_stream_rollup",
     "rising_falling_stream",
     "session_stream_rollup",
     "stream_conformed_csv",
     "stream_dedup",
+    "stream_documents_jsonl",
     "stream_upsert_into_store",
 ]

@@ -1,0 +1,78 @@
+"""Streaming document curation: the training-data ingest tier as a
+continuous pipeline.
+
+At fleet scale new corpus shards land continuously (crawl drops, partner
+feeds); the curation gates are scan-local generated expressions, so they
+lift onto Structured Streaming unchanged — one gate implementation, two
+drivers, exactly like the observation tier (``streaming/ingest.py``):
+
+- quality/Gopher gate + PII scrub: stateless projections/filters, applied
+  per micro-batch with zero state (the ``passthrough`` plumbing keeps the
+  lineage LINEAR — a gate implemented as a self-join would be a
+  stream-stream join accumulating unbounded state);
+- exact dedup: ``dropDuplicatesWithinWatermark`` on the normalized content
+  fingerprint — state bounded by the late-arrival horizon, not corpus
+  history, so the stream runs forever.  (Near-dup LSH stays a periodic
+  BATCH compaction over the landed output: candidate generation is a
+  corpus-wide self-join, not an incremental-state shape.)
+
+``Trigger.AvailableNow`` gives the cron-batch operational model: drain,
+checkpoint, exit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..extensions import text as tx
+
+DOC_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, "
+    "ingest_time timestamp"
+)
+
+
+def stream_documents_jsonl(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType | str = DOC_STREAM_SCHEMA,
+) -> DataFrame:
+    """File-source stream over a JSONL landing directory (the standard
+    interchange shape for document corpora).  The file source's
+    checkpointed file tracking gives exactly-once shard ingestion."""
+    return spark.readStream.schema(schema).json(landing_dir)
+
+
+def curate_document_stream(
+    docs: DataFrame,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    watermark: str = "24 hours",
+    ts: str = "ingest_time",
+    meta: tuple[str, ...] = ("lang", "source", "ingest_time"),
+) -> DataFrame:
+    """Gate → scrub → fingerprint-dedup, all streaming-safe, one linear
+    lineage (works identically on a batch frame — same gates, two drivers).
+
+    Returns the curated stream: (doc_id, *meta, n_words, text=redacted,
+    fingerprint).  A re-landed shard (same content, later arrival inside
+    the watermark) deduplicates on the content fingerprint even when its
+    doc_id differs — the crawl-replay case.
+    """
+    gated = tx.gopher_rules(
+        docs,
+        min_words=min_words,
+        max_words=max_words,
+        passthrough=("text", *meta),
+    ).filter(F.col("gopher_pass"))
+    scrubbed = tx.pii_scrub(
+        gated, passthrough=("n_words", *meta)
+    ).withColumnRenamed("clean_text", "text")
+    fingerprinted = tx.fingerprint(
+        scrubbed, passthrough=("n_words", "text", *meta)
+    )
+    return fingerprinted.withWatermark(
+        ts, watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])

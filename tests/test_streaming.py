@@ -285,3 +285,100 @@ def test_watermark_drops_data_later_than_horizon(spark, tmp_path):
     }
     assert "2024-06-09 12:00:00" in hours  # inside horizon: kept
     assert "2024-06-05 12:00:00" not in hours  # stale: dropped
+
+
+def test_document_stream_gates_scrubs_and_dedups_across_batches(
+    spark, tmp_path
+):
+    """Streaming curation: Gopher gate drops junk, PII is redacted, and a
+    re-landed shard (same content, new doc_id, later batch) dedups on the
+    content fingerprint across micro-batches."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.streaming import (
+        curate_document_stream,
+        stream_documents_jsonl,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    good = (
+        "the quick brown fox is happy and ready to work over many fine "
+        "days of steady calm weather and warm light mail bob@example.com"
+    )
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    land(
+        "shard1.jsonl",
+        [
+            {
+                "doc_id": 1,
+                "text": good,
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-01T10:00:00",
+            },
+            {
+                "doc_id": 2,
+                "text": "x y z",  # fails the Gopher gate
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-01T10:00:00",
+            },
+        ],
+    )
+    out_dir = str(tmp_path / "curated")
+
+    def run():
+        # parquet sink + shared checkpoint: the dedup state must survive
+        # across drains (the memory sink cannot recover a checkpoint)
+        stream = curate_document_stream(
+            stream_documents_jsonl(spark, str(landing))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.doc_id: r for r in spark.read.parquet(out_dir).collect()
+        }
+
+    first = run()
+    assert set(first) == {1}  # junk doc gated out
+    assert "[EMAIL]" in first[1].text  # scrubbed
+    assert "bob@example.com" not in first[1].text
+
+    # shard replay: identical content under a NEW doc_id, later batch —
+    # the fingerprint dedup must drop it; a genuinely new doc survives
+    land(
+        "shard2.jsonl",
+        [
+            {
+                "doc_id": 10,
+                "text": good,
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-01T11:00:00",
+            },
+            {
+                "doc_id": 11,
+                "text": (
+                    "a different and genuinely new document about the "
+                    "weather of fine days and the calm light of morning"
+                ),
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-01T11:00:00",
+            },
+        ],
+    )
+    both = run()
+    assert set(both) == {1, 11}  # replayed content dropped, new doc kept
