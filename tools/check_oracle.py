@@ -69,9 +69,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, missing_oracle = [], []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
@@ -105,8 +107,10 @@ def main() -> int:
                 )[:3]
                 print(f"      spark head: {shead}")
                 print(f"      duck  head: {dhead}")
-    print(f"{len(queries) - len(failures) - len(missing_oracle)} ok, "
-          f"{len(failures)} failed, {len(missing_oracle)} rows-only")
+    skipped = len(queries) - n_checked
+    print(f"{n_checked - len(failures) - len(missing_oracle)} ok, "
+          f"{len(failures)} failed, {len(missing_oracle)} rows-only"
+          + (f" ({skipped} not selected)" if skipped else ""))
     return 1 if failures else 0
 
 
