@@ -1,0 +1,132 @@
+"""Reproducible scale spot-runs behind the README's "Measured scale
+behavior" tables.
+
+Synthesizes corpora well beyond the driver testdata volume (10M-row events
+/ 1M documents by default) and times the headline operators on them,
+force-evaluating EVERY output column (``max(xxhash64(*cols))``) so
+Catalyst cannot prune the work being measured — a plain ``count()``
+silently optimizes scan-fused operators down to nothing.
+
+    python tools/scale_probe.py [--events N] [--docs N] [--out FILE]
+
+Prints one JSON object; re-run after operator changes and refresh the
+README numbers from it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from nr_rfc_dischargeobs_spark.session import get_spark  # noqa: E402
+
+
+def force(df: DataFrame) -> int:
+    """Evaluate the frame completely; return the row count."""
+    return df.select(
+        F.max(F.xxhash64(*df.columns)).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0].n
+
+
+def timed(results: dict, name: str, df: DataFrame) -> None:
+    t0 = time.time()
+    n = force(df)
+    results[name] = {"sec": round(time.time() - t0, 1), "rows": n}
+    print(f"  {results[name]['sec']:7.1f} s  {n:>12,} rows  {name}",
+          file=sys.stderr)
+
+
+def synth_events(spark, n: int) -> DataFrame:
+    """events-shaped table: n rows, ~n/666 series, 5-min-ish cadence."""
+    series = max(n // 666, 1)
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / series).cast("long") * 300
+        ).alias("ts"),
+        (F.col("id") % series).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.round(F.sin(F.col("id") / 97.0) * 50 + 50, 2)).alias("value"),
+    )
+
+
+def synth_docs(spark, n: int, tokens: int = 60) -> DataFrame:
+    """documents-shaped table: n docs of ~`tokens` pseudo-words."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, {tokens - 1}),"
+            " i -> substr(md5(concat(cast(id as string), '_',"
+            " cast(i % 17 as string))), 1, 5)))"
+        ).alias("text"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from nr_rfc_dischargeobs_spark.extensions import (
+        contamination,
+        dedup,
+        packing,
+        text,
+    )
+    from nr_rfc_dischargeobs_spark.operators import conform, rollup
+
+    spark = get_spark("scale-probe")
+    results: dict = {
+        "events_rows": args.events,
+        "docs_rows": args.docs,
+        "timings": {},
+    }
+    t = results["timings"]
+
+    print(f"events tier ({args.events:,} rows):", file=sys.stderr)
+    ev = synth_events(spark, args.events).localCheckpoint()
+    timed(t, "hourly_rollup_last_override", rollup.hourly_rollup_with_final_override(
+        ev.select("user_id", F.col("ts").alias("obs_time"),
+                  F.col("value")).withColumnRenamed("user_id", "station_id"),
+        "station_id", "obs_time", "value",
+    ))
+    timed(t, "dedup_5min_grid", conform.dedup_keep_first(
+        ev.withColumn("slot", conform.round_to_grid(F.col("ts"))),
+        ["user_id", "slot"], "event_id",
+    ))
+
+    print(f"documents tier ({args.docs:,} docs):", file=sys.stderr)
+    docs = synth_docs(spark, args.docs).localCheckpoint()
+    timed(t, "pack_assignments_1024shards",
+          packing.pack_assignments(docs, budget=2048, shards=1024))
+    timed(t, "gopher_rules", text.gopher_rules(docs))
+    timed(t, "pii_scrub", text.pii_scrub(docs))
+    timed(t, "repetition_stats", text.repetition_stats(docs, n=2))
+    timed(t, "quality_scores", text.quality_scores(docs))
+    timed(t, "exact_clusters", dedup.exact_clusters(docs))
+    bench_docs = docs.filter(F.col("doc_id") % 1000 == 0)
+    timed(t, "ngram_contamination_1k_bench",
+          contamination.ngram_contamination(docs, bench_docs, n=8))
+
+    out = json.dumps(results, indent=2)
+    if args.out:
+        Path(args.out).write_text(out + "\n")
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
