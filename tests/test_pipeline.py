@@ -394,3 +394,69 @@ def test_bucketed_store_eliminates_rollup_shuffle(spark, tmp_path):
         assert hourly.count() == 5
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ep1_all_three_source_families_land_together(spark, tmp_path):
+    """EP1 with WSC + provincial + USGS (NWIS leg via injected opener): the
+    three conformed families union into one upsert and coexist in the
+    partitioned store with their source lineage intact."""
+    import io
+    import json
+
+    from nr_rfc_dischargeobs_spark import pipelines
+
+    wsc = conform_wsc(
+        spark.createDataFrame(
+            [
+                ("S1", "2024-06-01T10:00:00-07:00", None, "", "", "",
+                 10.0, "", "", ""),
+            ],
+            schemas.WSC_SCHEMA,
+        )
+    ).filter(F.col("value").isNotNull())
+    prov = conform_provincial(
+        spark.createDataFrame(
+            [("P1", "", "", "", "", "2024-06-01 18:00:00", "", 6.0)],
+            schemas.PROVINCIAL_SCHEMA,
+        ),
+        spark.createDataFrame(
+            [("P1", "S2")], schemas.PROVINCIAL_STATIONS_SCHEMA
+        ),
+        "Q",
+    )
+    payload = {
+        "value": {
+            "timeSeries": [
+                {
+                    "sourceInfo": {"siteCode": [{"value": "1200015"}]},
+                    "variable": {
+                        "variableCode": [{"value": "00060"}],
+                        "noDataValue": -999999.0,
+                    },
+                    "values": [{"value": [{
+                        "value": "353.147",
+                        "dateTime": "2024-06-01T10:00:00.000-07:00",
+                    }]}],
+                }
+            ]
+        }
+    }
+    usgs = pipelines.usgs_instantaneous_frame(
+        spark,
+        ["12U015"],
+        start_date="2024-05-31",
+        end_date="2024-06-02",
+        opener=lambda url: io.BytesIO(json.dumps(payload).encode()),
+    )
+
+    store = ObservationStore(spark, str(tmp_path / "ep3src"))
+    pipelines.ingest_instantaneous(store, [wsc, prov, usgs])
+
+    rows = store.read().filter(F.col("value").isNotNull()).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == {"wsc", "prov", "usgs"}
+    u = by_source["usgs"][0]
+    assert u.station_id == "1200015" and u.datatype == "Q"
+    assert u.value == 10.0  # 353.147 cfs -> 10 m³/s
