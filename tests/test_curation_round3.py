@@ -208,3 +208,38 @@ def test_pii_scrub_counts_before_redaction_order(spark):
     assert r.n_email == 1
     assert r.n_ip == 1  # only the bare, boundary-delimited IP
     assert r.clean_text == "x [EMAIL] y [IP] z"
+
+
+# ----------------------------------------------- arrow re-rank kernel
+
+
+def test_arrow_brute_force_bit_matches_native(spark, sf_dir):
+    """The Arrow matmul kernel returns EXACTLY the native plan's rows —
+    same integer dots, same IEEE division, same tie-break — so either
+    kernel can serve as the other's oracle."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity as sim
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    emb = sim.prepare(load(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    nat = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim.brute_force_topk(queries, emb, k=7).collect()
+    }
+    arr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim.brute_force_topk_arrow(queries, emb, k=7).collect()
+    }
+    assert nat == arr
+    assert len(nat) == 20 * 7
+
+
+def test_arrow_brute_force_empty_query_batch(spark, sf_dir):
+    from nr_rfc_dischargeobs_spark.extensions import similarity as sim
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    emb = sim.prepare(load(spark, sf_dir, "embeddings"))
+    out = sim.brute_force_topk_arrow(
+        emb.filter(F.col("vec_id") < 0), emb, k=3
+    )
+    assert out.count() == 0
