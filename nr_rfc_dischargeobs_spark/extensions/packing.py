@@ -41,7 +41,11 @@ def pack_assignments(
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, start_offset, seq_first, seq_last,
     n_seqs) — all exact BIGINTs.  One shuffle on ``shard``."""
-    n_tokens = F.size(F.split(F.col(text), r"\s+")).cast("long")
+    # NULL text packs as zero tokens (occupies no block space) instead of
+    # poisoning its row with NULL offsets — mirrored in the SQL twin
+    n_tokens = F.coalesce(
+        F.size(F.split(F.col(text), r"\s+")).cast("long"), F.lit(0)
+    )
     base = docs.select(
         F.col(doc_id),
         (hash_bucket(F.col(doc_id), salt) % shards).cast("long").alias("shard"),
@@ -82,7 +86,8 @@ def pack_assignments_sql(
 WITH base AS (
   SELECT doc_id,
          {bucket} % {shards} AS shard,
-         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+         COALESCE(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT),
+                  0) AS n_tokens
   FROM {table}
 ), summed AS (
   SELECT doc_id, shard, n_tokens,

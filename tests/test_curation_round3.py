@@ -243,3 +243,32 @@ def test_arrow_brute_force_empty_query_batch(spark, sf_dir):
         emb.filter(F.col("vec_id") < 0), emb, k=3
     )
     assert out.count() == 0
+
+
+def test_pack_assignments_null_and_empty_text(spark):
+    """NULL text packs as zero tokens; empty string packs as one (the
+    whitespace-split convention) — neither poisons later offsets."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, ""), (4, "d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           packing.pack_assignments(docs, budget=8, shards=1).collect()}
+    assert out[2].n_tokens == 0
+    assert out[3].n_tokens == 1
+    assert out[2].start_offset is not None
+    # offsets stay contiguous through the null doc
+    assert out[4].start_offset == (
+        out[1].n_tokens + out[2].n_tokens + out[3].n_tokens
+    )
+
+
+def test_gopher_rules_null_text_fails_closed(spark):
+    """A NULL document never passes the gate (flags are NULL → the
+    conjunction is not TRUE) — fail-closed, the right polarity for a
+    quality filter."""
+    docs = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    r = text.gopher_rules(docs).collect()[0]
+    assert not r.gopher_pass  # NULL or False — never True
