@@ -22,4 +22,4 @@ declarative, partition-aware, and scales to a multi-executor cluster:
                   (SURVEY.md §2.9)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
