@@ -49,23 +49,29 @@ def ngram_contamination(
         )
         .distinct()
     )
-    totals = corpus_sh.groupBy(doc_id).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "gram", "inner")
-        .groupBy(doc_id)
+    # ONE corpus pass: broadcast LEFT join tags each corpus shingle with
+    # its benchmark hits (no match → one row with bench_doc_id NULL), and a
+    # single aggregation derives totals and hit counts together — the
+    # two-aggregation + rejoin formulation scans the corpus shingles twice
+    # and shuffles |corpus docs| extra rows for the totals side.
+    tagged = corpus_sh.join(F.broadcast(bench_sh), "gram", "left")
+    return (
+        tagged.groupBy(doc_id)
         .agg(
-            F.countDistinct("gram").alias("n_contaminated"),
+            F.countDistinct("gram").alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("bench_doc_id").isNotNull(), F.col("gram"))
+            ).alias("n_contaminated"),
             F.countDistinct("bench_doc_id").alias("n_bench_docs"),
         )
-    )
-    return hits.join(totals, doc_id, "inner").select(
-        F.col(doc_id),
-        "n_grams",
-        "n_contaminated",
-        "n_bench_docs",
-        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
-            "contamination"
-        ),
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            F.col(doc_id),
+            "n_grams",
+            "n_contaminated",
+            "n_bench_docs",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_grams")
+            ).alias("contamination"),
+        )
     )

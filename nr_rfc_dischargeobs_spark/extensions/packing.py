@@ -57,19 +57,26 @@ def pack_assignments(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     end = F.sum("n_tokens").over(w)
-    start = (end - F.col("n_tokens")).alias("start_offset")
+    start = end - F.col("n_tokens")
+    seq_first = F.floor(start / budget)
+    # a zero-token doc (NULL text) occupies no block: span = (first, first,
+    # 0).  Without the guard, end-1 = start-1 can be negative at a shard
+    # head, where Spark's floor() and the SQL twin's integer division
+    # disagree (floor(-1/b) = -1 vs truncation 0).
+    empty = F.col("n_tokens") == 0
+    seq_last = F.when(empty, seq_first).otherwise(
+        F.floor((end - 1) / budget)
+    )
     return base.select(
         F.col(doc_id),
         "shard",
         "n_tokens",
-        start,
-        F.floor((end - F.col("n_tokens")) / budget).alias("seq_first"),
-        F.floor((end - 1) / budget).alias("seq_last"),
-        (
-            F.floor((end - 1) / budget)
-            - F.floor((end - F.col("n_tokens")) / budget)
-            + 1
-        ).alias("n_seqs"),
+        start.alias("start_offset"),
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        F.when(empty, F.lit(0).cast("long"))
+        .otherwise(seq_last - seq_first + 1)
+        .alias("n_seqs"),
     )
 
 
@@ -79,8 +86,9 @@ def pack_assignments_sql(
     salt: str = "pack",
     table: str = "documents",
 ) -> str:
-    """DuckDB twin of :func:`pack_assignments` (same window arithmetic;
-    integer division floors identically on the non-negative offsets)."""
+    """DuckDB twin of :func:`pack_assignments` — same window arithmetic;
+    the zero-token CASE keeps both engines off the one negative operand
+    (cum_end - 1 at a shard head) where floor and truncation diverge."""
     bucket = hash_bucket_sql("doc_id", salt)
     return rf"""
 WITH base AS (
@@ -100,8 +108,11 @@ WITH base AS (
 SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
        CAST(cum_end - n_tokens AS BIGINT) AS start_offset,
        CAST((cum_end - n_tokens) // {budget} AS BIGINT) AS seq_first,
-       CAST((cum_end - 1) // {budget} AS BIGINT) AS seq_last,
-       CAST((cum_end - 1) // {budget}
-            - (cum_end - n_tokens) // {budget} + 1 AS BIGINT) AS n_seqs
+       CAST(CASE WHEN n_tokens = 0 THEN (cum_end - n_tokens) // {budget}
+                 ELSE (cum_end - 1) // {budget} END AS BIGINT) AS seq_last,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (cum_end - 1) // {budget}
+                      - (cum_end - n_tokens) // {budget} + 1
+            END AS BIGINT) AS n_seqs
 FROM summed
 """

@@ -275,11 +275,7 @@ def gopher_rules(
         F.filter(lines, lambda ln: ln.endswith("..."))
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
-    # IN-list membership per token — measured ~2x cheaper than the
-    # arrays_overlap formulation in marker_hits, same semantics
-    stop_hits = F.size(
-        F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
-    )
+    stop_hits = marker_hits_tokens(words, LANG_MARKERS["en"])
     flags = {
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
         "ok_mean_word_len": (mean_wl >= min_mean_word_len)

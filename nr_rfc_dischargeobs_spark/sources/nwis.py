@@ -168,7 +168,8 @@ def iv_dataframe(spark: SparkSession, payload: dict) -> DataFrame:
     rows = [
         (
             r["site_no"],
-            datetime.fromisoformat(r["datetime"]),
+            # 3.10's fromisoformat rejects the 'Z' suffix (3.11+ accepts)
+            datetime.fromisoformat(r["datetime"].replace("Z", "+00:00")),
             r["discharge_cfs"],
             r["stage_ft"],
         )

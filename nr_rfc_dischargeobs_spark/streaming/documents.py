@@ -22,7 +22,7 @@ checkpoint, exit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -73,6 +73,16 @@ def curate_document_stream(
     fingerprinted = tx.fingerprint(
         scrubbed, passthrough=("n_words", "text", *meta)
     )
+    if not fingerprinted.isStreaming:
+        # batch backfill over a landed corpus: same gates, and the
+        # stream's first-arrival-wins dedup becomes keep-min-doc_id
+        # (dropDuplicatesWithinWatermark is streaming-only)
+        w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+        return (
+            fingerprinted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return fingerprinted.withWatermark(
         ts, watermark
     ).dropDuplicatesWithinWatermark(["fingerprint"])

@@ -272,3 +272,34 @@ def test_gopher_rules_null_text_fails_closed(spark):
     )
     r = text.gopher_rules(docs).collect()[0]
     assert not r.gopher_pass  # NULL or False — never True
+
+
+def test_pack_zero_token_shard_head_agrees_with_duckdb(spark, tmp_path):
+    """The case the floor-vs-truncate engines disagree on: a NULL-text doc
+    whose id sorts FIRST in its shard (cum_end-1 = -1). Both engines must
+    emit the pinned (seq_first, seq_first, 0) span."""
+    import duckdb
+
+    rows = [(i, None if i == 0 else "w " * 5) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # shards=1 forces the null doc (id 0) to the head of the only shard
+    got = {
+        r.doc_id: (r.start_offset, r.seq_first, r.seq_last, r.n_seqs)
+        for r in packing.pack_assignments(
+            docs, budget=8, shards=1
+        ).collect()
+    }
+    assert got[0] == (0, 0, 0, 0)  # empty doc: zero-width span, not -1
+
+    pq = tmp_path / "d.parquet"
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+    )
+    sql = packing.pack_assignments_sql(budget=8, shards=1)
+    want = {
+        r[0]: (r[3], r[4], r[5], r[6])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want

@@ -382,3 +382,27 @@ def test_document_stream_gates_scrubs_and_dedups_across_batches(
     )
     both = run()
     assert set(both) == {1, 11}  # replayed content dropped, new doc kept
+
+
+def test_document_curation_batch_twin(spark):
+    """The same curate_document_stream runs on a BATCH frame (backfill
+    posture): gates apply, and fingerprint dedup keeps the min doc_id."""
+    import datetime as _dt
+
+    from nr_rfc_dischargeobs_spark.streaming import curate_document_stream
+
+    good = (
+        "the quick brown fox is happy and ready to work over many fine "
+        "days of steady calm weather and warm light"
+    )
+    docs = spark.createDataFrame(
+        [
+            (5, good, "en", "crawl", _dt.datetime(2024, 6, 1, 10)),
+            (9, good, "en", "crawl", _dt.datetime(2024, 6, 1, 11)),  # dup
+            (7, "x y", "en", "crawl", _dt.datetime(2024, 6, 1, 10)),  # junk
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "ingest_time timestamp",
+    )
+    out = curate_document_stream(docs).collect()
+    assert [r.doc_id for r in out] == [5]  # junk gated, dup keeps min id
