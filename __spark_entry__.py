@@ -179,6 +179,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_contamination_ngram": extensions.contamination_ngram,
         "ext_pack_sequences": extensions.pack_sequences,
         "ext_text_pii_scrub": extensions.text_pii_scrub,
+        "ext_text_chunk_windows": extensions.text_chunk_windows,
+        "ext_text_top_terms": extensions.text_top_terms,
         # extensions: multimodal
         "ext_mm_frame_sample": extensions.mm_frame_sample,
         "ext_mm_resize_dims": extensions.mm_resize_dims,
@@ -280,6 +282,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_contamination_ngram": extensions.CONTAMINATION_NGRAM_SQL,
         "ext_pack_sequences": extensions.PACK_SEQUENCES_SQL,
         "ext_text_pii_scrub": extensions.TEXT_PII_SCRUB_SQL,
+        "ext_text_chunk_windows": extensions.TEXT_CHUNK_WINDOWS_SQL,
+        "ext_text_top_terms": extensions.TEXT_TOP_TERMS_SQL,
         "ext_curate_corpus": extensions.CURATE_CORPUS_SQL,
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,

