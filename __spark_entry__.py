@@ -173,6 +173,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_length_profile": extensions.text_length_profile,
         # extensions: remaining sampling
         "ext_sample_stratified": extensions.sample_stratified,
+        # time-series additions (family already represented in-window)
+        "ts_deseasonalized_residuals": timeseries.deseasonalized_residuals,
+        "ts_cusum_drift": timeseries.cusum_drift,
         # extensions: curation round-3 additions
         "ext_text_gopher_rules": extensions.text_gopher_rules,
         "ext_text_repetition": extensions.text_repetition,
@@ -251,6 +254,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ts_dow_hour_profile": timeseries.DOW_HOUR_PROFILE_SQL,
         "ts_spike_flags": timeseries.SPIKE_FLAGS_SQL,
         "ts_percentile_summary": timeseries.PERCENTILE_SUMMARY_SQL,
+        "ts_deseasonalized_residuals": timeseries.DESEASONALIZED_RESIDUALS_SQL,
+        "ts_cusum_drift": timeseries.CUSUM_DRIFT_SQL,
         "w1_ffill_hourly_gaps": events.FFILL_HOURLY_GAPS_SQL,
         "w2_suppress_repeat_labels": events.SUPPRESS_REPEAT_LABELS_SQL,
         "w3_year_rollover_disambiguation": events.YEAR_ROLLOVER_DISAMBIGUATION_SQL,

@@ -439,3 +439,109 @@ SELECT event_id, user_id, ts_us,
 FROM lagged
 WHERE pv100 IS NOT NULL AND v100 > 2 * pv100 AND v100 - pv100 > 500
 """
+
+
+def deseasonalized_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly: each event against its (weekday ×
+    hour-of-day) profile mean — the de-trended residual every operational
+    anomaly monitor starts from (the raw-value z-score flags rush-hour as
+    anomalous; this one doesn't).
+
+    The 168-row profile aggregates map-side and broadcasts back onto the
+    event scan, so the plan is one combine-friendly aggregation plus a
+    broadcast join — no event-table shuffle.  Expected values divide exact
+    integer sums in the same order as the oracle; residual = value −
+    expected over identical doubles.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (F.weekday(F.col("ts")) + 1).alias("isodow"),
+        F.hour(F.col("ts")).alias("hr"),
+        "v100",
+    )
+    profile = ev.groupBy("isodow", "hr").agg(
+        exact.avg_scaled("v100").alias("expected")
+    )
+    return ev.join(F.broadcast(profile), ["isodow", "hr"]).select(
+        "event_id",
+        "user_id",
+        "isodow",
+        "hr",
+        (F.col("v100").cast("double") / 100).alias("value"),
+        "expected",
+        (
+            F.col("v100").cast("double") / 100 - F.col("expected")
+        ).alias("residual"),
+    )
+
+
+DESEASONALIZED_RESIDUALS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, isodow(ts) AS isodow,
+         date_part('hour', ts) AS hr, {V100_SQL} AS v100
+  FROM events
+), profile AS (
+  SELECT isodow, hr, {exact.avg_scaled_sql("v100")} AS expected
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_id, user_id, isodow, hr,
+       CAST(v100 AS DOUBLE) / 100 AS value,
+       expected,
+       CAST(v100 AS DOUBLE) / 100 - expected AS residual
+FROM ev JOIN profile USING (isodow, hr)
+"""
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift tracking per series: the running sum of deviations from
+    the series mean — the classic level-shift detector (a flat series
+    hovers near 0; a step change ramps the statistic linearly).
+
+    Exact to the last bit: the deviation is kept as the INTEGER
+    ``n·v100 − Σv100`` (scaled by n to avoid a fractional mean), its
+    running sum stays integer, and ONE division at the end rescales.  Both
+    window frames partition on user_id, so Spark plans a single exchange
+    + sort for the whole query.  Magnitudes: |n·v100| ≤ n·max|v100| keeps
+    the running sum under 2^63 up to ~10⁸ events/series at this value
+    scale; beyond that, lift the accumulator to DECIMAL(38,0) like the
+    trapezoid-volume plan.
+    """
+    ev = _events(spark, sf_dir)
+    wseries = Window.partitionBy("user_id")
+    worder = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(wseries)
+    total = F.sum("v100").over(wseries)
+    dev_scaled = F.col("v100") * n - total
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (
+            F.sum(dev_scaled).over(worder).cast("double") / 100 / n
+        ).alias("cusum"),
+    )
+
+
+CUSUM_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, {V100_SQL} AS v100
+  FROM events
+), st AS (
+  SELECT event_id, user_id, ts_us,
+         v100 * COUNT(*) OVER w - SUM(v100) OVER w AS dev_scaled,
+         COUNT(*) OVER w AS n
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(dev_scaled) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100 / n AS cusum
+FROM st
+"""

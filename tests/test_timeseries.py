@@ -129,3 +129,52 @@ def test_single_exchange_shapes(spark):
         plan = _formatted(fn(spark, sf))
         assert plan.count("hashpartitioning(user_id") == 1, fn.__name__
         assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_deseasonalized_residuals_zero_for_flat_profile(spark, sf_dir):
+    """Residuals sum to ~0 within every (dow, hour) cell by construction."""
+    from nr_rfc_dischargeobs_spark.plans import timeseries as ts
+
+    import pyspark.sql.functions as F
+
+    df = ts.deseasonalized_residuals(spark, sf_dir)
+    cells = (
+        df.groupBy("isodow", "hr")
+        .agg(F.sum("residual").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert cells
+    for c in cells:
+        assert abs(c.s) < 1e-6 * c.n  # mean residual ~ 0 per cell
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    """A step change ramps the CUSUM statistic; the last point of any
+    series returns to ~0 (sum of deviations from the mean is zero)."""
+    import datetime as dt
+
+    from nr_rfc_dischargeobs_spark.plans import timeseries as ts
+    from nr_rfc_dischargeobs_spark.plans import TABLES  # noqa: F401
+
+    import pyspark.sql.functions as F
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 1,
+         "view", 10.0 if i < 50 else 20.0, "{}")
+        for i in range(100)
+    ]
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        out = sorted(
+            ts.cusum_drift(spark, d).collect(), key=lambda r: r.ts_us
+        )
+    # mean = 15: first half drifts -5 per step (min at the shift), then
+    # +5 per step back to exactly 0 at the end
+    assert out[49].cusum == -250.0  # 50 * (10-15)
+    assert abs(out[-1].cusum) < 1e-9
+    mid = min(r.cusum for r in out)
+    assert mid == -250.0
