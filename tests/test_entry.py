@@ -71,6 +71,13 @@ def test_results_identical_across_shuffle_partitionings(spark):
         "a1_hourly_rollup_last_override",
         "ts_zscore_anomaly",
         "ext_dedup_minhash_signatures",
+        # round-3 operators whose shapes could tempt partition-dependence:
+        # a windowed cumsum, a broadcast-join aggregate, an exact CUSUM,
+        # and a two-level tf/df ranking
+        "ext_pack_sequences",
+        "ext_contamination_ngram",
+        "ts_cusum_drift",
+        "ext_text_top_terms",
     ):
         results = []
         for parts in ("3", "32"):
