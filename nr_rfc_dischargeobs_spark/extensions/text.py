@@ -425,11 +425,15 @@ def chunk_windows(
         F.col(doc_id), F.split(F.col(text), r"\s+").alias("__toks")
     )
     n = F.size("__toks")
-    n_chunks = F.ceil(F.greatest(n - c, F.lit(0)) / s) + 1
+    # ONE definition of the last chunk index; the n_chunks output and the
+    # sequence bound both derive from it, so they cannot desynchronize
+    last_idx_sql = (
+        f"if(size(__toks) <= {c}, 0,"
+        f" cast(ceil((size(__toks) - {c}) / {s}) as int))"
+    )
+    n_chunks = F.expr(last_idx_sql) + 1
     chunks = F.expr(
-        f"transform(sequence(0,"
-        f" if(size(__toks) <= {c}, 0,"
-        f"    cast(ceil((size(__toks) - {c}) / {s}) as int))),"
+        f"transform(sequence(0, {last_idx_sql}),"
         f" i -> struct(i as chunk_id,"
         f" concat_ws(' ', slice(__toks, i * {s} + 1, {c})) as chunk))"
     )

@@ -502,10 +502,11 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n·v100 − Σv100`` (scaled by n to avoid a fractional mean), its
     running sum stays integer, and ONE division at the end rescales.  Both
     window frames partition on user_id, so Spark plans a single exchange
-    + sort for the whole query.  Magnitudes: |n·v100| ≤ n·max|v100| keeps
-    the running sum under 2^63 up to ~10⁸ events/series at this value
-    scale; beyond that, lift the accumulator to DECIMAL(38,0) like the
-    trapezoid-volume plan.
+    + sort for the whole query.  The accumulator follows the module's
+    DECIMAL(38,0)/HUGEINT discipline (like trapezoid volume): ``n·v100``
+    would pass 2^63 around 10⁸ events/series at this value scale, where
+    non-ANSI Spark wraps SILENTLY while DuckDB raises — the widened type
+    removes that divergence outright.
     """
     ev = _events(spark, sf_dir)
     wseries = Window.partitionBy("user_id")
@@ -516,7 +517,7 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1)).over(wseries)
     total = F.sum("v100").over(wseries)
-    dev_scaled = F.col("v100") * n - total
+    dev_scaled = F.col("v100").cast(DEC) * n - total
     return ev.select(
         "event_id",
         "user_id",
@@ -533,7 +534,8 @@ WITH ev AS (
   FROM events
 ), st AS (
   SELECT event_id, user_id, ts_us,
-         v100 * COUNT(*) OVER w - SUM(v100) OVER w AS dev_scaled,
+         CAST(v100 AS HUGEINT) * COUNT(*) OVER w
+           - SUM(v100) OVER w AS dev_scaled,
          COUNT(*) OVER w AS n
   FROM ev
   WINDOW w AS (PARTITION BY user_id)

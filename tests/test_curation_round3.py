@@ -336,19 +336,18 @@ def test_top_terms_ranks_distinctive_word_first(spark):
     docs = _docs(
         spark,
         [
-            (1, "common common rareword common"),
+            (1, "common common rareword rareword common"),
             (2, "common common common common"),
             (3, "common common other common"),
         ],
     )
     out = text.top_terms(docs, k=1).collect()
     by_doc = {r.doc_id: r for r in out}
-    # 'rareword' appears in 1 of 3 docs -> df=1, score 1*3/1=3 beats
-    # 'common' (tf=3, df=3 -> score 3)... tie! verify tie-break or pick
-    # clearer case: doc 1 rareword tf=1 df=1 score=3.0; common tf=3 df=3
-    # score=3.0 — alphabetical tie-break: 'common' < 'rareword'
-    assert by_doc[1].word in ("common", "rareword")
-    # doc 2 has only 'common'
+    # doc 1: 'rareword' tf=2 df=1 -> score 2*3/1 = 6.0 strictly beats
+    # 'common' tf=3 df=3 -> score 3.0; an inverted or df-blind scoring
+    # would rank 'common' first and fail here
+    assert by_doc[1].word == "rareword"
+    assert by_doc[1].score == 6.0
     assert by_doc[2].word == "common"
 
 
