@@ -120,6 +120,9 @@ def main() -> int:
     bench_docs = docs.filter(F.col("doc_id") % 1000 == 0)
     timed(t, "ngram_contamination_1k_bench",
           contamination.ngram_contamination(docs, bench_docs, n=8))
+    timed(t, "chunk_windows_64x32",
+          text.chunk_windows(docs, chunk_tokens=64, stride=32))
+    timed(t, "top_terms_k3", text.top_terms(docs, k=3))
 
     out = json.dumps(results, indent=2)
     if args.out:
