@@ -293,5 +293,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_mm_blob_stats": extensions.MM_BLOB_STATS_SQL,
         "ext_mm_frame_sample": extensions.MM_FRAME_SAMPLE_SQL,
         "ext_mm_resize_dims": extensions.MM_RESIZE_DIMS_SQL,
-        # ext_mm_decode_features: intentionally no oracle (Python codec stub)
+        "ext_mm_decode_features": extensions.MM_DECODE_FEATURES_SQL,
     }

@@ -11,39 +11,53 @@ Spark-side design (all real and tested):
   a generated ``sequence`` expression.
 
 The actual codec calls (PIL/librosa/av) are STUBBED — the libraries are not
-in this container.  ``decode_features`` ships a deterministic fake
-(``mode="fake"``, hashes of the payload) so the plumbing — schema,
-batching, partitioning — is exercised end-to-end; ``mode="real"`` raises
-``NotImplementedError`` at the exact call site a codec belongs.
+in this container.  ``decode_features`` ships a *deterministic byte-feature
+kernel* (``mode="bytes"``, default): a fixed header parse plus integer
+byte-statistics over the payload, exactly reproducible by a DuckDB twin
+with hex/substr blob arithmetic — so the whole mapInPandas stage is
+value-hash-oracled end to end, not just rows-counted.  ``mode="real"``
+raises ``NotImplementedError`` at the exact call site a codec belongs.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
-    FloatType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-FEATURE_DIM = 8
+#: Integer feature columns emitted by :func:`decode_features`; one BIGINT
+#: each so the driver's schema/value-hash compare is type-exact cross-engine
+#: (a real encoder's float vector has no such oracle).
+FEATURE_FIELDS = (
+    "header_u32",    # first 4 bytes big-endian (the "magic number" parse)
+    "byte_sum",
+    "byte_min",
+    "byte_max",
+    "n_control",     # bytes < 0x20
+    "n_high",        # bytes >= 0x80 (non-ASCII density)
+    "weighted_sum",  # sum((i+1) * byte[i]) — positional fingerprint
+    "even_sum",      # bytes at even offsets (strided-window moment)
+)
+
+FEATURE_DIM = len(FEATURE_FIELDS)
 
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("mime", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("features", ArrayType(FloatType())),
     ]
+    + [StructField(name, LongType()) for name in FEATURE_FIELDS]
 )
 
 
@@ -62,22 +76,48 @@ def to_blob_table(
     )
 
 
-def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a codec+encoder: FEATURE_DIM floats from
-    the payload's sha256 (stable across runs/engines/partitionings)."""
-    h = hashlib.sha256(payload).digest()
-    return [
-        int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32
-        for i in range(FEATURE_DIM)
-    ]
+def byte_features(payload: bytes) -> dict[str, int]:
+    """Deterministic stand-in for a codec+encoder: header parse + integer
+    byte statistics, vectorized over the payload.
+
+    Every value is an exact int64 so a DuckDB blob-arithmetic twin
+    reproduces it bit-for-bit (``MM_DECODE_FEATURES_SQL``).  The 4-byte
+    header is read big-endian, zero-padded when the payload is shorter.
+    ``weighted_sum`` stays within int64 for payloads below ~2.6e8 bytes
+    (255 * n² / 2 < 2⁶³); larger media should be chunked upstream —
+    documented bound, matching the DuckDB twin's BIGINT cast.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    header = 0
+    for i, bv in enumerate(payload[:4]):
+        header += bv << (8 * (3 - i))
+    if n == 0:
+        return dict.fromkeys(FEATURE_FIELDS, 0)
+    idx = np.arange(n, dtype=np.int64)
+    return {
+        "header_u32": header,
+        "byte_sum": int(arr.sum()),
+        "byte_min": int(arr.min()),
+        "byte_max": int(arr.max()),
+        "n_control": int((arr < 32).sum()),
+        "n_high": int((arr >= 128).sum()),
+        "weighted_sum": int(((idx + 1) * arr).sum()),
+        "even_sum": int(arr[::2].sum()),
+    }
 
 
-def decode_features(blobs: DataFrame, mode: str = "fake") -> DataFrame:
+def decode_features(blobs: DataFrame, mode: str = "bytes") -> DataFrame:
     """Decode + feature-extract over binary payloads via ``mapInPandas``.
 
-    ``mode="fake"``: deterministic hash features (plumbing test).
+    ``mode="bytes"``: deterministic integer byte-feature kernel
+    (:func:`byte_features`) — DuckDB-oracled, hash-matched.
     ``mode="real"``: where PIL/librosa/av decode goes — not available in
     this container, so it raises at the exact integration point.
+
+    NULL payloads are treated as empty (all-zero features); ``n_bytes``
+    passes through from the input column, so a NULL blob keeps a NULL
+    ``n_bytes`` in both engines.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,16 +127,18 @@ def decode_features(blobs: DataFrame, mode: str = "fake") -> DataFrame:
                     "codec decode requires image/audio libraries not present "
                     "in this environment; plug PIL/librosa/av here"
                 )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": pdf["n_bytes"],
-                    "features": [
-                        _fake_features(bytes(b)) for b in pdf["blob"]
-                    ],
-                }
-            )
+            feats = [
+                byte_features(b"" if b is None else bytes(b))
+                for b in pdf["blob"]
+            ]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+            }
+            for name in FEATURE_FIELDS:
+                out[name] = [f[name] for f in feats]
+            yield pd.DataFrame(out)
 
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -723,10 +723,57 @@ FROM media
 
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature stage (deterministic fake codec) —
-    rows-only check: the sha256-derived features are not SQL-expressible."""
+    """Arrow-batched decode/feature stage: deterministic byte-feature
+    kernel (header parse + integer byte statistics) — the one sanctioned
+    Python eval node besides A2, now value-hash-oracled by a DuckDB
+    hex-arithmetic twin instead of rows-only."""
     blobs = multimodal.to_blob_table(load(spark, sf_dir, "documents"))
-    return multimodal.decode_features(blobs, mode="fake")
+    return multimodal.decode_features(blobs, mode="bytes")
+
+
+# DuckDB twin of extensions/multimodal.byte_features: expand the UTF-8
+# payload to one row per byte via hex()/substr() arithmetic, then aggregate
+# the identical integer statistics.  LEFT JOIN keeps zero-length payloads
+# (zero byte rows) with all-zero features, matching the kernel's n == 0 arm.
+MM_DECODE_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), byt AS (
+  SELECT doc_id, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+         + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1 AS byte
+  FROM (SELECT doc_id, hx, unnest(range(n_bytes)) AS i FROM b)
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i=0 THEN byte*16777216 WHEN i=1 THEN byte*65536
+                       WHEN i=2 THEN byte*256 WHEN i=3 THEN byte
+                       ELSE 0 END) AS BIGINT) AS header_u32,
+         CAST(SUM(byte) AS BIGINT) AS byte_sum,
+         CAST(MIN(byte) AS BIGINT) AS byte_min,
+         CAST(MAX(byte) AS BIGINT) AS byte_max,
+         CAST(SUM(CASE WHEN byte < 32 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN byte >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high,
+         CAST(SUM((i + 1) * byte) AS BIGINT) AS weighted_sum,
+         CAST(SUM(CASE WHEN i % 2 = 0 THEN byte ELSE 0 END) AS BIGINT)
+           AS even_sum
+  FROM byt GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id, 'application/octet-stream' AS mime,
+       CAST(b.n_bytes AS BIGINT) AS n_bytes,
+       COALESCE(header_u32, 0) AS header_u32,
+       COALESCE(byte_sum, 0) AS byte_sum,
+       COALESCE(byte_min, 0) AS byte_min,
+       COALESCE(byte_max, 0) AS byte_max,
+       COALESCE(n_control, 0) AS n_control,
+       COALESCE(n_high, 0) AS n_high,
+       COALESCE(weighted_sum, 0) AS weighted_sum,
+       COALESCE(even_sum, 0) AS even_sum
+FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+"""
 
 
 # -------------------------------------------- curation round-3 additions

@@ -47,13 +47,14 @@ def test_sql_catalog_views(spark):
 
 
 def test_registry_consistency():
-    """Every oracle key maps to a registered query; the only oracle-less
-    query is the deliberately rows-only decode stub."""
+    """Every oracle key maps to a registered query, and every registered
+    query has a value-hash oracle — including the decode kernel (round-4:
+    the byte-feature kernel replaced the rows-only sha256 stub)."""
     import __spark_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
     assert set(o) - set(q) == set()
-    assert set(q) - set(o) == {"ext_mm_decode_features"}
+    assert set(q) - set(o) == set()
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in o.values())
 

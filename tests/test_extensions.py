@@ -369,22 +369,41 @@ def test_ivf_partial_probe_prunes_but_keeps_list_local_hits(spark):
     assert {r["neighbor_id"] for r in out} == {10}
 
 
-def test_multimodal_decode_fake_is_deterministic(corpus):
+def test_multimodal_decode_is_deterministic(corpus):
+    feat_cols = list(multimodal.FEATURE_FIELDS)
     blobs = multimodal.to_blob_table(corpus)
     out1 = {
-        r["doc_id"]: r["features"]
-        for r in multimodal.decode_features(blobs, mode="fake").collect()
+        r["doc_id"]: tuple(r[c] for c in feat_cols)
+        for r in multimodal.decode_features(blobs).collect()
     }
     out2 = {
-        r["doc_id"]: r["features"]
-        for r in multimodal.decode_features(
-            blobs.repartition(4), mode="fake"
-        ).collect()
+        r["doc_id"]: tuple(r[c] for c in feat_cols)
+        for r in multimodal.decode_features(blobs.repartition(4)).collect()
     }
     assert out1 == out2  # partition-layout independent
     assert len(out1[0]) == multimodal.FEATURE_DIM
     assert out1[0] == out1[1]  # same payload → same features
     assert out1[0] != out1[3]
+
+
+def test_multimodal_byte_features_kernel():
+    """Pin the kernel against hand-computed values, including the edges
+    the DuckDB twin must agree on: empty payload, <4-byte header,
+    non-ASCII bytes, NULL-as-empty."""
+    f = multimodal.byte_features(b"\x01\x02\x03\x04\x05")
+    assert f["header_u32"] == 0x01020304
+    assert f["byte_sum"] == 15
+    assert (f["byte_min"], f["byte_max"]) == (1, 5)
+    assert f["n_control"] == 5
+    assert f["n_high"] == 0
+    assert f["weighted_sum"] == 1 * 1 + 2 * 2 + 3 * 3 + 4 * 4 + 5 * 5
+    assert f["even_sum"] == 1 + 3 + 5
+    # header zero-pads short payloads (big-endian, left-aligned)
+    assert multimodal.byte_features(b"\xff")["header_u32"] == 0xFF000000
+    assert multimodal.byte_features(b"")["byte_sum"] == 0
+    assert multimodal.byte_features(b"")["header_u32"] == 0
+    hi = multimodal.byte_features("é".encode())
+    assert hi["n_high"] == 2  # UTF-8 'é' = 0xC3 0xA9, both >= 0x80
 
 
 def test_multimodal_real_mode_raises(corpus):
