@@ -25,10 +25,35 @@ shard's tail without moving earlier docs' offsets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import hash_bucket, hash_bucket_sql
+from .sampling import BUCKETS, hash_bucket, hash_bucket_sql
+
+
+def span_columns(budget: int) -> tuple[Column, Column, Column]:
+    """(seq_first, seq_last, n_seqs) expressions over columns
+    ``cum_end`` / ``n_tokens``.
+
+    Integer ``div``, not ``floor(long / int)``: Spark evaluates ``/`` on a
+    long as DOUBLE division, so ``floor`` is exact only below 2⁵³, while
+    the DuckDB twin's ``//`` is true integer division at any magnitude.
+    ``div`` keeps both engines exact to the full int64 range — pinned by
+    ``test_pack_span_exact_beyond_2_53``.
+    """
+    seq_first = F.expr(f"(cum_end - n_tokens) div {budget}")
+    # a zero-token doc (NULL text) occupies no block: span = (first, first,
+    # 0).  Without the guard, cum_end-1 can be negative at a shard head,
+    # where floor division and truncating division disagree.
+    empty = F.col("n_tokens") == 0
+    seq_last = F.when(empty, seq_first).otherwise(
+        F.expr(f"(cum_end - 1) div {budget}")
+    )
+    n_seqs = (
+        F.when(empty, F.lit(0).cast("long"))
+        .otherwise(seq_last - seq_first + 1)
+    )
+    return seq_first, seq_last, n_seqs
 
 
 def pack_assignments(
@@ -40,7 +65,19 @@ def pack_assignments(
     salt: str = "pack",
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, start_offset, seq_first, seq_last,
-    n_seqs) — all exact BIGINTs.  One shuffle on ``shard``."""
+    n_seqs) — all exact BIGINTs.  One shuffle on ``shard``.
+
+    ``shards`` is capped at 65536: :func:`sampling.hash_bucket` yields 16
+    bits, so a larger count would silently collapse to 65536 effective
+    shards.  Non-divisor counts carry the usual tiny modulo bias
+    (≤ 1/65536 per shard) — fine for load-spreading, stated here so nobody
+    mistakes the buckets for exactly uniform.
+    """
+    if not 1 <= shards <= BUCKETS:
+        raise ValueError(
+            f"shards must be in [1, {BUCKETS}]: hash_bucket yields 16 bits,"
+            f" so {shards} shards would alias to {BUCKETS}"
+        )
     # NULL text packs as zero tokens (occupies no block space) instead of
     # poisoning its row with NULL offsets — mirrored in the SQL twin
     n_tokens = F.coalesce(
@@ -56,27 +93,21 @@ def pack_assignments(
         .orderBy(F.col(doc_id).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    end = F.sum("n_tokens").over(w)
-    start = end - F.col("n_tokens")
-    seq_first = F.floor(start / budget)
-    # a zero-token doc (NULL text) occupies no block: span = (first, first,
-    # 0).  Without the guard, end-1 = start-1 can be negative at a shard
-    # head, where Spark's floor() and the SQL twin's integer division
-    # disagree (floor(-1/b) = -1 vs truncation 0).
-    empty = F.col("n_tokens") == 0
-    seq_last = F.when(empty, seq_first).otherwise(
-        F.floor((end - 1) / budget)
-    )
-    return base.select(
+    cum = base.select(
         F.col(doc_id),
         "shard",
         "n_tokens",
-        start.alias("start_offset"),
+        F.sum("n_tokens").over(w).alias("cum_end"),
+    )
+    seq_first, seq_last, n_seqs = span_columns(budget)
+    return cum.select(
+        F.col(doc_id),
+        "shard",
+        "n_tokens",
+        (F.col("cum_end") - F.col("n_tokens")).alias("start_offset"),
         seq_first.alias("seq_first"),
         seq_last.alias("seq_last"),
-        F.when(empty, F.lit(0).cast("long"))
-        .otherwise(seq_last - seq_first + 1)
-        .alias("n_seqs"),
+        n_seqs.alias("n_seqs"),
     )
 
 

@@ -76,7 +76,16 @@ def brute_force_topk(
     and the recall oracle for :func:`lsh_bucketed_topk` / :func:`ivf_topk`
     (see tests); for data-sized query sets use those bucketed paths — an
     unbounded all-pairs product is never the right registered plan.
+
+    Zero-norm vectors (all-zero embeddings) have no cosine direction and
+    are EXCLUDED from both sides — otherwise the score is a 0/0 that every
+    engine spells differently (Spark NULL, numpy NaN, ANSI error).  The
+    same filter lives in :func:`brute_force_topk_arrow` and the DuckDB
+    oracle, which is what keeps all three kernels each other's oracle on
+    degenerate inputs.
     """
+    queries = queries.filter(F.col("n") > 0)
+    corpus = corpus.filter(F.col("n") > 0)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
@@ -428,9 +437,17 @@ def brute_force_topk_arrow(
     |C|·|Q|.  The engine's UDF discipline (PLANS.md) is unchanged: every
     REGISTERED query plan stays native; this kernel is the opt-in re-rank
     path for fleet-scale candidate scoring.
+
+    Zero-norm vectors are excluded on both sides, mirroring
+    :func:`brute_force_topk` — without the filter this kernel's numpy
+    division would emit inf/NaN exactly where the native plan emits NULL,
+    breaking the bit-parity claim on degenerate inputs
+    (``test_arrow_kernel_zero_norm_parity``).
     """
     import numpy as np
 
+    queries = queries.filter(F.col("n") > 0)
+    corpus = corpus.filter(F.col("n") > 0)
     qrows = queries.select("vec_id", "q", "n").collect()  # bounded batch
     if not qrows:
         return corpus.sparkSession.createDataFrame(

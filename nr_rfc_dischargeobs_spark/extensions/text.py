@@ -418,11 +418,15 @@ def chunk_windows(
     One projection + explode, no shuffle: chunk boundaries are row-local
     arithmetic, so the operator runs at scan bandwidth and parallelizes
     with the corpus.  A short doc yields exactly one (possibly partial)
-    chunk, never zero — downstream joins keep every document.
+    chunk, never zero — downstream joins keep every document.  NULL text
+    is coalesced to '' first (one empty chunk) so the never-zero contract
+    holds for it too, instead of NULL propagating through the split and
+    the explode silently dropping the document.
     """
     c, s = chunk_tokens, stride
     toks = docs.select(
-        F.col(doc_id), F.split(F.col(text), r"\s+").alias("__toks")
+        F.col(doc_id),
+        F.split(F.coalesce(F.col(text), F.lit("")), r"\s+").alias("__toks"),
     )
     n = F.size("__toks")
     # ONE definition of the last chunk index; the n_chunks output and the

@@ -241,9 +241,11 @@ d AS (
   SELECT uq.vec_id AS query_id, uc.vec_id AS neighbor_id, SUM(uq.e * uc.e) AS dot
   FROM uq JOIN uc ON uq.i = uc.i GROUP BY 1, 2
 ), scored AS (
+  -- n > 0 mirrors the engine's zero-norm exclusion (no cosine direction)
   SELECT query_id, neighbor_id,
          CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS cosine
   FROM d JOIN nq ON query_id = nq.vec_id JOIN nc ON neighbor_id = nc.vec_id
+  WHERE nq.n > 0 AND nc.n > 0
 )
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -961,7 +963,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_CHUNK_WINDOWS_SQL = r"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+  -- COALESCE mirrors the engine: NULL text -> one empty chunk, never zero
+  SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS toks
+  FROM documents
 ), meta AS (
   SELECT doc_id, toks,
          CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -143,7 +143,13 @@ def iv_records(payload: dict) -> list[dict]:
         for block in series.get("values", []):
             for v in block.get("value", []):
                 raw = v.get("value")
-                val = None if raw in (None, "") else float(raw)
+                # IV feeds occasionally carry non-numeric placeholders
+                # ("Ice", "Eqp", "***") — a NULL observation, like the
+                # noDataValue sentinel, not a reason to abort the ingest
+                try:
+                    val = None if raw in (None, "") else float(raw)
+                except (TypeError, ValueError):
+                    val = None
                 if val is not None and nodata is not None and val == nodata:
                     val = None
                 key = (site, v["dateTime"])

@@ -234,6 +234,42 @@ def test_arrow_brute_force_bit_matches_native(spark, sf_dir):
     assert len(nat) == 20 * 7
 
 
+def test_arrow_kernel_zero_norm_parity(spark):
+    """Degenerate inputs where the kernels used to diverge: a zero-norm
+    vector gives Spark-NULL vs numpy-inf/NaN cosine.  Both kernels now
+    exclude zero-norm rows on both sides, so they stay bit-identical —
+    the 'either kernel is the other's oracle' claim on its worst case."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity as sim
+
+    emb = sim.prepare(
+        spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),       # query
+                (1, [0.0, 0.0]),       # zero-norm query: excluded
+                (10, [0.9, 0.1]),
+                (11, [0.0, 0.0]),      # zero-norm corpus row: excluded
+                (12, [0.5, -0.5]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    queries, corpus = emb.filter(F.col("vec_id") < 10), emb.filter(
+        F.col("vec_id") >= 10
+    )
+    nat = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim.brute_force_topk(queries, corpus, k=5).collect()
+    }
+    arr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim.brute_force_topk_arrow(queries, corpus, k=5).collect()
+    }
+    assert nat == arr
+    # only the non-degenerate query survives; its neighbors exclude 11
+    assert {q for q, _ in nat} == {0}
+    assert {n for n, _ in nat.values()} == {10, 12}
+
+
 def test_arrow_brute_force_empty_query_batch(spark, sf_dir):
     from nr_rfc_dischargeobs_spark.extensions import similarity as sim
     from nr_rfc_dischargeobs_spark.plans import load
@@ -305,6 +341,35 @@ def test_pack_zero_token_shard_head_agrees_with_duckdb(spark, tmp_path):
     assert got == want
 
 
+def test_pack_span_exact_beyond_2_53(spark):
+    """Offsets past 2⁵³ (where DOUBLE loses integer resolution) still
+    divide exactly: the span expressions use integer `div`, not
+    floor(long / int).  The chosen operands are ones double division gets
+    WRONG — the floor(double) variant is asserted wrong in the same breath
+    so the test is red under a regression to `/`."""
+    budget = 512
+    # cum_end just past a block boundary above 2**53: exact seq index is
+    # (cum_end - 1) // 512, which double arithmetic rounds off
+    cum_end = (1 << 55) + 3
+    n_tokens = 5
+    df = spark.createDataFrame(
+        [(cum_end, n_tokens)], "cum_end long, n_tokens long"
+    )
+    seq_first, seq_last, n_seqs = packing.span_columns(budget)
+    row = df.select(
+        seq_first.alias("f"), seq_last.alias("l"), n_seqs.alias("n")
+    ).collect()[0]
+    assert row.f == (cum_end - n_tokens) // budget
+    assert row.l == (cum_end - 1) // budget
+    assert row.n == row.l - row.f + 1
+    # and the double-division variant really is wrong here (the reason
+    # for `div`): floor((2**55 - 2) / 512.0) != (2**55 - 2) // 512
+    wrong = df.select(
+        F.floor((F.col("cum_end") - F.col("n_tokens")) / budget).alias("w")
+    ).collect()[0].w
+    assert wrong != row.f
+
+
 # ------------------------------------------------- chunking / top terms
 
 
@@ -330,6 +395,43 @@ def test_chunk_windows_short_doc_single_partial_chunk(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].chunk == "a b" and out[0].n_chunks == 1
+
+
+def test_chunk_windows_null_text_yields_one_empty_chunk(spark, tmp_path):
+    """The never-zero-chunks contract on its edge: NULL text coalesces to
+    '' and yields exactly ONE empty chunk (downstream joins keep the doc)
+    instead of being silently dropped by the explode — and the DuckDB twin
+    agrees row-for-row."""
+    import duckdb
+
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext_plans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    out = sorted(
+        text.chunk_windows(docs, chunk_tokens=2, stride=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1  # NULL doc kept, one chunk
+    assert by_doc[1][0].chunk == ""
+    # '' splits to [''] — one token, the whitespace-split convention
+    assert by_doc[1][0].n_tokens == 1 and by_doc[1][0].n_chunks == 1
+    assert len(by_doc[2]) == 2  # sanity: 3 tokens, c=2 s=1 → 2 chunks
+
+    pq = tmp_path / "d.parquet"
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    sql = ext_plans.TEXT_CHUNK_WINDOWS_SQL.replace("64", "2").replace("32", "1")
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_chunks, r.chunk_id, r.chunk) for r in out
+    )
+    assert got == want
 
 
 def test_top_terms_ranks_distinctive_word_first(spark):

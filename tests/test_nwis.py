@@ -116,6 +116,30 @@ def test_iv_records_pivots_params_wide_and_nulls_nodata():
     ] is None
 
 
+def test_iv_records_non_numeric_placeholder_becomes_null():
+    """NWIS IV feeds carry qualifier strings ('Ice', 'Eqp', '***') in the
+    value slot during freeze-ups/outages; one must become a NULL
+    observation — like the noDataValue sentinel — not a ValueError that
+    kills the whole required-posture USGS leg."""
+    payload = {
+        "value": {
+            "timeSeries": [
+                _series(
+                    "12401500",
+                    nwis.PARAM_DISCHARGE_CFS,
+                    [
+                        {"value": "Ice", "dateTime": "2024-01-10T08:00:00.000-08:00"},
+                        {"value": "354.0", "dateTime": "2024-01-10T08:15:00.000-08:00"},
+                    ],
+                )
+            ]
+        }
+    }
+    rows = {r["datetime"]: r for r in nwis.iv_records(payload)}
+    assert rows["2024-01-10T08:00:00.000-08:00"]["discharge_cfs"] is None
+    assert rows["2024-01-10T08:15:00.000-08:00"]["discharge_cfs"] == pytest.approx(354.0)
+
+
 def test_iv_dataframe_feeds_conformer_end_to_end(spark):
     """EP1 USGS leg end-to-end: payload → frame → conform_usgs → canonical
     long rows with converted units on US/Pacific wall-clock time."""
