@@ -180,6 +180,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_gopher_rules": extensions.text_gopher_rules,
         "ext_text_repetition": extensions.text_repetition,
         "ext_contamination_ngram": extensions.contamination_ngram,
+        "ext_contamination_spans": extensions.contamination_spans,
         "ext_pack_sequences": extensions.pack_sequences,
         "ext_text_pii_scrub": extensions.text_pii_scrub,
         "ext_text_chunk_windows": extensions.text_chunk_windows,
@@ -285,6 +286,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_text_gopher_rules": extensions.TEXT_GOPHER_RULES_SQL,
         "ext_text_repetition": extensions.TEXT_REPETITION_SQL,
         "ext_contamination_ngram": extensions.CONTAMINATION_NGRAM_SQL,
+        "ext_contamination_spans": extensions.CONTAMINATION_SPANS_SQL,
         "ext_pack_sequences": extensions.PACK_SEQUENCES_SQL,
         "ext_text_pii_scrub": extensions.TEXT_PII_SCRUB_SQL,
         "ext_text_chunk_windows": extensions.TEXT_CHUNK_WINDOWS_SQL,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingle_rows
+from .dedup import shingle_rows, tokens
 
 
 def ngram_contamination(
@@ -31,12 +31,20 @@ def ngram_contamination(
     n: int = 8,
     text: str = "text",
     doc_id: str = "doc_id",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """(doc_id, n_grams, n_contaminated, n_bench_docs, contamination)
     per corpus doc that collides with the benchmark at all.
 
     ``contamination`` = contaminated distinct n-grams / doc's distinct
     n-grams, exact integer counts divided once.
+
+    ``broadcast_benchmark``: the default explicit broadcast hint is the
+    right plan while the benchmark side fits an executor (eval suites are
+    MBs) — and a HINT is not governed by ``autoBroadcastJoinThreshold``,
+    so there is no silent automatic fallback.  If a fleet's combined
+    benchmark set outgrows memory, pass ``False`` for the shuffle-join
+    plan; results are identical (``test_contamination_shuffle_fallback``).
     """
     corpus_sh = shingle_rows(corpus, text=text, doc_id=doc_id, n=n).select(
         F.col(doc_id), F.md5(F.col("shingle")).alias("gram")
@@ -61,7 +69,9 @@ def ngram_contamination(
     bench_g = bench_sh.groupBy("gram").agg(
         F.collect_set("bench_doc_id").alias("__bdocs")
     )
-    tagged = corpus_sh.join(F.broadcast(bench_g), "gram", "left")
+    if broadcast_benchmark:
+        bench_g = F.broadcast(bench_g)
+    tagged = corpus_sh.join(bench_g, "gram", "left")
     return (
         tagged.groupBy(doc_id)
         .agg(
@@ -81,4 +91,74 @@ def ngram_contamination(
                 F.col("n_contaminated").cast("double") / F.col("n_grams")
             ).alias("contamination"),
         )
+    )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The audit trail behind :func:`ngram_contamination`'s scores:
+    one row per (corpus n-gram occurrence, implicated benchmark doc) —
+    ``(doc_id, bench_doc_id, pos_first, pos_last, gram)`` with 0-based
+    token offsets into the corpus document.
+
+    Release-grade decontamination needs evidence, not just a ratio: which
+    benchmark document leaked, and exactly where in the training doc —
+    enough to excise the span or adjudicate a false positive.  Unlike the
+    count path (per-doc DISTINCT shingles), every occurrence reports, so
+    a twice-pasted eval question yields two spans.
+
+    Same scale shape as the count path: positioned shingles are generated
+    in the corpus scan projection, the benchmark side broadcasts
+    pre-grouped (one row per gram carrying its bench-doc list), and the
+    inner join emits only the (rare by contract) hits — the corpus never
+    shuffles and nothing aggregates.  ``pos_last`` is capped at the last
+    token for the partial tail shingle of short documents.
+    ``broadcast_benchmark`` as in :func:`ngram_contamination`.
+    """
+    bench_g = (
+        shingle_rows(benchmark, text=text, doc_id=doc_id, n=n)
+        .select(
+            F.md5(F.col("shingle")).alias("gram"),
+            F.col(doc_id).alias("bench_doc_id"),
+        )
+        .distinct()
+        .groupBy("gram")
+        .agg(F.collect_set("bench_doc_id").alias("__bdocs"))
+    )
+    if broadcast_benchmark:
+        bench_g = F.broadcast(bench_g)
+    toks = corpus.select(F.col(doc_id), tokens(F.col(text)).alias("__toks"))
+    # same indexing discipline as shingle_rows: get() is 0-based and NULL
+    # out of range; concat_ws drops NULLs, producing the partial tail
+    idx = ", ".join(f"get(__toks, i + {k})" for k in range(n))
+    pos_sh = toks.select(
+        F.col(doc_id),
+        F.size("__toks").alias("__n_toks"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(__toks) - {n}, 0)),"
+                f" i -> struct(i as pos, concat_ws(' ', {idx}) as shingle))"
+            )
+        ).alias("__s"),
+    )
+    hits = pos_sh.select(
+        F.col(doc_id),
+        F.col("__n_toks"),
+        F.col("__s.pos").alias("__pos"),
+        F.md5(F.col("__s.shingle")).alias("gram"),
+    ).join(bench_g, "gram", "inner")
+    return hits.select(
+        F.col(doc_id),
+        F.explode("__bdocs").alias("bench_doc_id"),
+        F.col("__pos").cast("long").alias("pos_first"),
+        F.least(F.col("__pos") + (n - 1), F.col("__n_toks") - 1)
+        .cast("long")
+        .alias("pos_last"),
+        "gram",
     )

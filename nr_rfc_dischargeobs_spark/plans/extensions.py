@@ -898,6 +898,42 @@ FROM hits JOIN totals USING (doc_id)
 """
 
 
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit trail: for every corpus/benchmark 4-gram
+    collision, the implicated benchmark doc and the token-offset span in
+    the corpus doc (same corpus/bench split and n as the count query)."""
+    docs = load(spark, sf_dir, "documents")
+    return contamination.contamination_spans(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=4,
+    )
+
+
+CONTAMINATION_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), i AS (
+  SELECT doc_id, toks, len(toks) AS n_toks,
+         unnest(range(greatest(len(toks) - 4, 0) + 1)) AS i
+  FROM t
+), pos AS (
+  SELECT doc_id, n_toks, i AS pos_first,
+         md5(array_to_string(toks[i + 1:i + 4], ' ')) AS gram
+  FROM i WHERE doc_id >= 25
+), bench AS (
+  SELECT DISTINCT md5(array_to_string(toks[i + 1:i + 4], ' ')) AS gram,
+                  doc_id AS bench_doc_id
+  FROM i WHERE doc_id < 25
+)
+SELECT p.doc_id AS doc_id, b.bench_doc_id AS bench_doc_id,
+       CAST(p.pos_first AS BIGINT) AS pos_first,
+       CAST(LEAST(p.pos_first + 3, p.n_toks - 1) AS BIGINT) AS pos_last,
+       p.gram AS gram
+FROM pos p JOIN bench b USING (gram)
+"""
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: every document's (shard, offset,
     block span) under a 256-token budget over 8 packing shards."""

@@ -94,6 +94,39 @@ def test_contamination_requires_n_consecutive_words(spark):
     )
 
 
+def test_contamination_spans_locate_every_occurrence(spark):
+    """The audit trail: token offsets point at the leaked passage, every
+    occurrence reports (a twice-pasted eval question → two spans), and
+    each span implicates the right benchmark doc."""
+    leak = "alpha beta gamma delta"
+    corpus = _docs(
+        spark,
+        [
+            # leak at token offsets 2 and 8 (0-based)
+            (10, f"w0 w1 {leak} w6 w7 {leak}"),
+            (11, "nothing shared here at all"),
+        ],
+    )
+    bench = _docs(spark, [(1, leak), (2, f"unrelated things {leak}")])
+    out = contamination.contamination_spans(corpus, bench, n=4).collect()
+    spans = sorted((r.doc_id, r.bench_doc_id, r.pos_first, r.pos_last) for r in out)
+    # both occurrences × both implicated bench docs
+    assert spans == [
+        (10, 1, 2, 5), (10, 1, 8, 11),
+        (10, 2, 2, 5), (10, 2, 8, 11),
+    ]
+    assert all(len(r.gram) == 32 for r in out)  # md5 hex audit key
+
+
+def test_contamination_spans_partial_tail_is_capped(spark):
+    """A short doc's partial tail shingle still matches (same convention
+    as shingle_rows) and its pos_last is capped at the last real token."""
+    corpus = _docs(spark, [(10, "alpha beta")])  # 2 tokens, n=4 partial
+    bench = _docs(spark, [(1, "alpha beta")])
+    out = contamination.contamination_spans(corpus, bench, n=4).collect()
+    assert [(r.pos_first, r.pos_last) for r in out] == [(0, 1)]
+
+
 # --------------------------------------------------------- gopher rules
 
 

@@ -102,6 +102,62 @@ def test_q15_scalar_max_broadcasts_one_row(spark):
     assert "SortMergeJoin" not in plan
 
 
+def _hash_rows(df) -> tuple:
+    return tuple(sorted(map(tuple, df.collect())))
+
+
+def test_top_terms_shuffle_fallback_same_values(spark):
+    """top_terms' df-table join broadcasts while vocab fits the threshold;
+    at 100 TB vocab WILL cross it, so the shuffle-join branch is the plan
+    production actually runs.  Force it (threshold = -1) and prove the
+    plan changed AND the values did not."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext_plans
+
+    sf = "/root/testdata/sf0.001"
+    broadcast_rows = _hash_rows(ext_plans.text_top_terms(spark, sf))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fallback = ext_plans.text_top_terms(spark, sf)
+        plan = _formatted(fallback)
+        assert "SortMergeJoin" in plan  # the fallback branch really ran
+        assert _hash_rows(fallback) == broadcast_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_contamination_shuffle_fallback_same_values(spark):
+    """The contamination operators' broadcast is an explicit HINT (not
+    governed by the threshold), so the escape hatch is the
+    broadcast_benchmark flag: the shuffle-join plan must appear and the
+    results must be identical — both for the count query and the spans
+    audit trail."""
+    from nr_rfc_dischargeobs_spark.extensions import contamination
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    corpus, bench = (
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # threshold off too, so AQE can't silently re-broadcast the small side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op in (
+            contamination.ngram_contamination,
+            contamination.contamination_spans,
+        ):
+            hinted = op(corpus, bench, n=4)
+            fallback = op(corpus, bench, n=4, broadcast_benchmark=False)
+            assert "BroadcastHashJoin" in _formatted(hinted)
+            assert "SortMergeJoin" in _formatted(fallback)
+            assert _hash_rows(fallback) == _hash_rows(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_q19_disjunction_still_prunes_columns(spark):
     plan = _formatted(tpch.disjunctive_revenue(spark, SF))
     # only the five referenced lineitem columns are read
