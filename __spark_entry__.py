@@ -69,12 +69,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate checks
-    # the FIRST 50 entries.  The first 50 here cover every distinct operator
-    # family (p/j/a/an/ts/w/fn + one-or-more representatives per extension
-    # family); the 22 TPC-H shapes — driver-green in both prior rounds and
-    # standard, lower-risk plans — plus the remaining extension variants
-    # follow.
+    # the FIRST 50 entries.  Round 3's window covered every operator family
+    # and came back 50/50 green; this round ROTATES the window so the 47
+    # queries that have only ever had the local tools/check_oracle.py
+    # replica — the 22 TPC-H shapes, the round-3 curation operators, the
+    # remaining ext/ts variants, and the newly-oracled decode kernel +
+    # spans query — get driver-visible rows.  Three slots re-check
+    # round-3-green queries whose plans changed this round (zero-norm
+    # filter, curate pipeline, iterative CC).  Union of r03+r04 rows ⊇
+    # every registered query.
     return {
+        # relational core (S6 scans + joins + aggs) — never driver-checked
+        "tpch_q1_pricing_summary": tpch.pricing_summary,
+        "tpch_q3_shipping_priority": tpch.shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
+        "tpch_q14_promo_revenue": tpch.promo_revenue,
+        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
+        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q10_returned_item_report": tpch.returned_item_report,
+        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
+        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "tpch_q9_product_type_profit": tpch.product_type_profit,
+        "tpch_q11_important_stock": tpch.important_stock,
+        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
+        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
+        "tpch_q20_excess_shippers": tpch.excess_shippers,
+        # dedup variants — never driver-checked
+        "ext_dedup_simhash": extensions.dedup_simhash,
+        "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
+        "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
+        # similarity variants — never driver-checked
+        "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
+        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
+        # text analysis variants — never driver-checked
+        "ext_text_token_counts": extensions.text_token_counts,
+        "ext_text_lang_id": extensions.text_lang_id,
+        "ext_text_fingerprint": extensions.text_fingerprint,
+        "ext_text_ngram_stats": extensions.text_ngram_stats,
+        "ext_text_facet_stats": extensions.text_facet_stats,
+        "ext_text_length_profile": extensions.text_length_profile,
+        # sampling variant — never driver-checked
+        "ext_sample_stratified": extensions.sample_stratified,
+        # time-series additions — never driver-checked
+        "ts_deseasonalized_residuals": timeseries.deseasonalized_residuals,
+        "ts_cusum_drift": timeseries.cusum_drift,
+        # curation operators — never driver-checked
+        "ext_text_gopher_rules": extensions.text_gopher_rules,
+        "ext_text_repetition": extensions.text_repetition,
+        "ext_contamination_ngram": extensions.contamination_ngram,
+        "ext_contamination_spans": extensions.contamination_spans,  # new r4
+        "ext_pack_sequences": extensions.pack_sequences,
+        "ext_text_pii_scrub": extensions.text_pii_scrub,
+        "ext_text_chunk_windows": extensions.text_chunk_windows,
+        "ext_text_top_terms": extensions.text_top_terms,
+        # multimodal — never driver-checked (decode newly hash-oracled)
+        "ext_mm_frame_sample": extensions.mm_frame_sample,
+        "ext_mm_resize_dims": extensions.mm_resize_dims,
+        "ext_mm_decode_features": extensions.mm_decode_features,
+        # re-checks: r03-green queries whose plans changed this round
+        "ext_sim_cosine_topk": extensions.sim_cosine_topk,
+        "ext_curate_corpus": extensions.curate_corpus_plan,
+        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
+        # ---- driver 50-row window ends here ----
+        # everything below was driver-green in CORRECTNESS_r03 (50/50) and
+        # stays locally replicable via tools/check_oracle.py
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -122,73 +188,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_unit_conversion": events.unit_conversion,
         "fn_json_props_stats": events.json_props_stats,
         "fn_formula_estimate": events.formula_estimate,
-        # extension-family representatives (complete the driver's 50-window)
+        # extension-family representatives (r03 window)
         "ext_dedup_exact_clusters": extensions.dedup_exact_clusters,
         "ext_dedup_minhash_signatures": extensions.dedup_minhash_signatures,
         "ext_dedup_lsh_pairs": extensions.dedup_lsh_pairs,
-        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
-        "ext_sim_cosine_topk": extensions.sim_cosine_topk,
         "ext_sim_ivf_topk": extensions.sim_ivf_topk,
         "ext_text_quality_scores": extensions.text_quality_scores,
         "ext_sample_split": extensions.sample_deterministic_split,
-        "ext_curate_corpus": extensions.curate_corpus_plan,
         "ext_mm_blob_stats": extensions.mm_blob_stats,
-        # ---- driver 50-row window ends here ----
-        # relational core (S6 scans + joins + aggs)
-        "tpch_q1_pricing_summary": tpch.pricing_summary,
-        "tpch_q3_shipping_priority": tpch.shipping_priority,
-        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
-        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
-        "tpch_q14_promo_revenue": tpch.promo_revenue,
-        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
-        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
-        "tpch_q7_volume_shipping": tpch.volume_shipping,
-        "tpch_q8_market_share": tpch.market_share,
-        "tpch_q10_returned_item_report": tpch.returned_item_report,
-        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
-        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
-        "tpch_q15_top_supplier": tpch.top_supplier,
-        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
-        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
-        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
-        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
-        "tpch_q9_product_type_profit": tpch.product_type_profit,
-        "tpch_q11_important_stock": tpch.important_stock,
-        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
-        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
-        "tpch_q20_excess_shippers": tpch.excess_shippers,
-        # extensions: remaining dedup variants (§2.10)
-        "ext_dedup_simhash": extensions.dedup_simhash,
-        "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
-        "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
-        # extensions: remaining similarity search
-        "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
-        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
-        # extensions: remaining text analysis
-        "ext_text_token_counts": extensions.text_token_counts,
-        "ext_text_lang_id": extensions.text_lang_id,
-        "ext_text_fingerprint": extensions.text_fingerprint,
-        "ext_text_ngram_stats": extensions.text_ngram_stats,
-        "ext_text_facet_stats": extensions.text_facet_stats,
-        "ext_text_length_profile": extensions.text_length_profile,
-        # extensions: remaining sampling
-        "ext_sample_stratified": extensions.sample_stratified,
-        # time-series additions (family already represented in-window)
-        "ts_deseasonalized_residuals": timeseries.deseasonalized_residuals,
-        "ts_cusum_drift": timeseries.cusum_drift,
-        # extensions: curation round-3 additions
-        "ext_text_gopher_rules": extensions.text_gopher_rules,
-        "ext_text_repetition": extensions.text_repetition,
-        "ext_contamination_ngram": extensions.contamination_ngram,
-        "ext_contamination_spans": extensions.contamination_spans,
-        "ext_pack_sequences": extensions.pack_sequences,
-        "ext_text_pii_scrub": extensions.text_pii_scrub,
-        "ext_text_chunk_windows": extensions.text_chunk_windows,
-        "ext_text_top_terms": extensions.text_top_terms,
-        # extensions: multimodal
-        "ext_mm_frame_sample": extensions.mm_frame_sample,
-        "ext_mm_resize_dims": extensions.mm_resize_dims,
-        "ext_mm_decode_features": extensions.mm_decode_features,
     }
 
 
