@@ -87,6 +87,7 @@ def main() -> int:
         text,
     )
     from nr_rfc_dischargeobs_spark.operators import conform, rollup
+    from nr_rfc_dischargeobs_spark.plans import timeseries
 
     spark = get_spark("scale-probe")
     results: dict = {
@@ -107,6 +108,20 @@ def main() -> int:
         ev.withColumn("slot", conform.round_to_grid(F.col("ts"))),
         ["user_id", "slot"], "event_id",
     ))
+    # the exact-arithmetic window plans take (spark, sf_dir): park the
+    # synthetic events as a parquet table so the REGISTERED plan — scan,
+    # timeutil normalization, DECIMAL accumulators — is what gets timed
+    import shutil
+    import tempfile
+
+    ev_dir = tempfile.mkdtemp(prefix="scale_ev_", dir=str(Path(__file__).parent))
+    try:
+        ev.write.mode("overwrite").parquet(str(Path(ev_dir) / "events.parquet"))
+        timed(t, "cusum_drift", timeseries.cusum_drift(spark, ev_dir))
+        timed(t, "deseasonalized_residuals",
+              timeseries.deseasonalized_residuals(spark, ev_dir))
+    finally:
+        shutil.rmtree(ev_dir, ignore_errors=True)
 
     print(f"documents tier ({args.docs:,} docs):", file=sys.stderr)
     docs = synth_docs(spark, args.docs).localCheckpoint()
@@ -120,6 +135,8 @@ def main() -> int:
     bench_docs = docs.filter(F.col("doc_id") % 1000 == 0)
     timed(t, "ngram_contamination_1k_bench",
           contamination.ngram_contamination(docs, bench_docs, n=8))
+    timed(t, "contamination_spans_1k_bench",
+          contamination.contamination_spans(docs, bench_docs, n=8))
     timed(t, "chunk_windows_64x32",
           text.chunk_windows(docs, chunk_tokens=64, stride=32))
     timed(t, "top_terms_k3", text.top_terms(docs, k=3))
