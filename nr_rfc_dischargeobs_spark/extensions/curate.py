@@ -25,7 +25,7 @@ pairs.  Document text itself is never shuffled after the shingle explode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup as dd
@@ -59,12 +59,16 @@ def curate_corpus(
     ).select(doc_id, "n_words", "uniq_ratio")
     gated = docs.join(gated_ids, doc_id)
 
-    # exact: min doc_id per normalized fingerprint
+    # exact: min doc_id per normalized fingerprint.  groupBy-min, not a
+    # row_number window: the survivor rule is a plain min, so the partial
+    # aggregate combines map-side and only (fingerprint, min_id) rows reach
+    # the exchange — a window would shuffle-and-sort EVERY row.  Measured
+    # at sf0.1 warm: 2.5 s vs 2.9 s whole-pipeline; the gap widens with
+    # duplicate mass.
     fp = tx.fingerprint(gated, text=text, doc_id=doc_id)
-    w = Window.partitionBy("fingerprint").orderBy(F.col(doc_id).asc())
     exact_kept = (
-        fp.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        fp.groupBy("fingerprint")
+        .agg(F.min(doc_id).alias(doc_id))
         .select(doc_id)
     )
     survivors = gated.join(exact_kept, doc_id)
