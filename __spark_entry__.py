@@ -134,13 +134,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_mm_frame_sample": extensions.mm_frame_sample,
         "ext_mm_resize_dims": extensions.mm_resize_dims,
         "ext_mm_decode_features": extensions.mm_decode_features,
-        # re-checks: r03-green queries whose plans changed this round
+        # round-4 additions (never checked by anyone) + a re-check of the
+        # r03-green query whose plan changed most (zero-norm filter)
+        "ext_dedup_containment": extensions.dedup_containment,  # new r4
+        "ext_mix_token_rates": extensions.mix_token_rates,  # new r4
         "ext_sim_cosine_topk": extensions.sim_cosine_topk,
-        "ext_curate_corpus": extensions.curate_corpus_plan,
-        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
         # ---- driver 50-row window ends here ----
         # everything below was driver-green in CORRECTNESS_r03 (50/50) and
-        # stays locally replicable via tools/check_oracle.py
+        # stays locally replicable via tools/check_oracle.py (curate and
+        # cc re-verified there after this round's groupBy-min change)
+        "ext_curate_corpus": extensions.curate_corpus_plan,
+        "ext_dedup_cc_clusters": extensions.dedup_cc_clusters,
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
         "p2_semi_join_stations": events.semi_join_stations,
@@ -274,6 +278,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_dedup_minhash_signatures": extensions.DEDUP_MINHASH_SIGNATURES_SQL,
         "ext_dedup_lsh_pairs": extensions.DEDUP_LSH_PAIRS_SQL,
         "ext_dedup_simhash": extensions.DEDUP_SIMHASH_SQL,
+        "ext_dedup_containment": extensions.DEDUP_CONTAINMENT_SQL,
+        "ext_mix_token_rates": extensions.MIX_TOKEN_RATES_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,
         "ext_dedup_embedding_neardup": extensions.DEDUP_EMBEDDING_NEARDUP_SQL,
         "ext_dedup_cc_clusters": extensions.DEDUP_CC_CLUSTERS_SQL,

@@ -244,6 +244,54 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Shingle-containment pairs: (inner, outer) where
+    |shingles(inner) ∩ shingles(outer)| / |shingles(inner)| ≥ threshold.
+
+    The doc-in-doc case Jaccard structurally misses: a short document
+    pasted into a much longer one has Jaccard ≈ |inner|/|outer| (tiny)
+    but containment ≈ 1 — the standard second screen (Broder's
+    containment measure) next to resemblance.  Emits both directions
+    when both clear the threshold (near-identical docs), so the caller's
+    keep-rule stays theirs.
+
+    Same scale shape as :func:`jaccard_pairs`: the intersection is a
+    self-join bucketed on the shingle hash — never a cross product — and
+    at corpus scale it runs *after* LSH candidate generation; this direct
+    form is the verifier / small-partition path.
+    """
+    sh = shingle_rows(docs, text, doc_id, n)
+    sizes = sh.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(doc_id).alias("inner_id"), "shingle")
+    b = sh.select(F.col(doc_id).alias("outer_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col(doc_id).alias("inner_id"), F.col("n_sh").alias("n_inner")
+            ),
+            "inner_id",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.col("n_inner"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("inner_id", "outer_id", "n_inner", "n_inter", "containment")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",

@@ -84,6 +84,94 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def token_mix_rates(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    stratum: str = "lang",
+    text: str = "text",
+) -> DataFrame:
+    """Token-budget mix planning: given target corpus proportions per
+    stratum (language, source, quality band) and a total token budget,
+    compute the per-stratum sampling rate that hits the mix —
+    ``(stratum, n_docs, n_tokens, target_tokens, rate)``.
+
+    The planner every curated pre-training corpus needs (the FineWeb /
+    Dolma "mixing" step): measure what you have (one combine-friendly
+    aggregation over whitespace token counts — the same count
+    ``pack_assignments`` budgets with), state what you want
+    (``target_frac × budget``), and the keep-rate is their ratio capped
+    at 1 (an under-represented stratum can only be kept whole — flagged
+    by ``rate = 1.0`` with ``target_tokens > n_tokens`` — never
+    upsampled here; repetition policy is a training-loader decision).
+    Strata absent from ``targets`` get rate 0 (excluded from the mix).
+
+    Exactness: per-stratum target token counts are materialized as
+    INTEGERS in Python (``int(frac * budget)``) and embedded in both
+    engines' plans, so the only float op is one final division —
+    deterministic across engines and partitionings.  Feed the rates to
+    :func:`stratified_sample` to realize the mix membership-stably.
+
+    Scale shape: one groupBy on the stratum key (map-side combined), a
+    CASE expression for the targets — output is |strata| rows, so the
+    result itself broadcasts into whatever consumes it.
+    """
+    n_tok = F.coalesce(
+        F.size(F.split(F.col(text), r"\s+")).cast("long"), F.lit(0)
+    )
+    per = (
+        docs.select(F.col(stratum).alias("stratum"), n_tok.alias("__t"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+        )
+    )
+    target = F.lit(0).cast("long")
+    for value, frac in targets.items():
+        target = F.when(
+            F.col("stratum") == value, F.lit(int(frac * budget_tokens))
+        ).otherwise(target)
+    return per.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(1.0),
+            target.cast("double") / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+
+
+def token_mix_rates_sql(
+    targets: dict[str, float],
+    budget_tokens: int,
+    stratum_sql: str = "lang",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_mix_rates` — same embedded integer
+    targets, same single division."""
+    cases = " ".join(
+        f"WHEN stratum = '{v}' THEN {int(f * budget_tokens)}"
+        for v, f in targets.items()
+    )
+    return rf"""
+WITH per AS (
+  SELECT {stratum_sql} AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(COALESCE(len(regexp_split_to_array(text, '\s+')), 0))
+              AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+)
+SELECT stratum, n_docs, n_tokens,
+       CAST(CASE {cases} ELSE 0 END AS BIGINT) AS target_tokens,
+       LEAST(1.0, CAST(CASE {cases} ELSE 0 END AS DOUBLE) / n_tokens)
+         AS rate
+FROM per
+"""
+
+
 def stratified_sample_sql(
     key_sql: str,
     stratum_sql: str,

@@ -140,6 +140,39 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram containment pairs ≥ 0.4 over docs < 200 — the doc-in-doc
+    screen (a pasted-in document scores ≈ 1 here while its Jaccard
+    against the host is tiny)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.containment_pairs(docs, threshold=0.4, n=3)
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+  FROM t
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inner_id, outer_id,
+       CAST(sa.n_sh AS BIGINT) AS n_inner,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+FROM inter JOIN sz sa ON inner_id = sa.doc_id
+WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.4
+"""
+
+
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the Jaccard ≥ 0.6 pair graph: every doc in
     a duplicate cluster labeled with the cluster's min doc_id (transitive —
@@ -588,6 +621,25 @@ FROM documents
 WHERE {sampling.stratified_sample_sql("doc_id", "lang", _STRATA_RATES)}
 GROUP BY lang
 """
+
+# the mix spec the planner query targets: an en-dominant training blend
+# with zh deliberately absent (rate 0 — excluded strata path exercised)
+_MIX_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+_MIX_BUDGET = 20_000
+
+
+def mix_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix planning: per-language sampling rates that hit a
+    50/20/20/10 en/de/fr/es token blend under a fixed budget (zh absent
+    from the spec → rate 0)."""
+    return sampling.token_mix_rates(
+        load(spark, sf_dir, "documents"),
+        targets=_MIX_TARGETS,
+        budget_tokens=_MIX_BUDGET,
+    )
+
+
+MIX_TOKEN_RATES_SQL = sampling.token_mix_rates_sql(_MIX_TARGETS, _MIX_BUDGET)
 
 # ---------------------------------------------------------------- curation
 

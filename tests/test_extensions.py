@@ -195,6 +195,57 @@ def test_stratified_sample_rates_and_stability(spark):
     assert sum(1 for i in k2 if i % 2 == 1) == 200  # all 'fr' kept
 
 
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc pasted into a long host: containment(inner→host) = 1.0
+    while Jaccard is diluted below any sane threshold — the screen's whole
+    reason to exist next to jaccard_pairs."""
+    inner = "alpha beta gamma delta epsilon zeta"
+    host = (
+        "h0 h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 h11 h12 h13 h14 h15 "
+        + inner
+        + " t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15"
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, host), (3, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.9, n=3).collect()
+    }
+    assert got == {(1, 2): 1.0}  # inner⊂host only; host not ⊂ inner
+    # and Jaccard on the same pair is diluted far below its threshold
+    jac = dedup.jaccard_pairs(docs, threshold=0.3, n=3).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+
+def test_token_mix_rates_budget_arithmetic(spark):
+    """Pinned planner arithmetic: over-represented stratum gets the exact
+    target/actual ratio, under-represented is capped at 1.0 (flagged by
+    target > actual), unspecified stratum gets rate 0."""
+    from nr_rfc_dischargeobs_spark.extensions import sampling
+
+    docs = spark.createDataFrame(
+        # en: 4 docs × 10 tokens = 40; fr: 1 doc × 5 = 5; zh: 2 × 10 = 20
+        [(i, "en", "w " * 9 + "w") for i in range(4)]
+        + [(10, "fr", "a b c d e")]
+        + [(20, "zh", "z " * 9 + "z"), (21, "zh", "z " * 9 + "z")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        r.stratum: r
+        for r in sampling.token_mix_rates(
+            docs, targets={"en": 0.5, "fr": 0.25}, budget_tokens=40
+        ).collect()
+    }
+    en = out["en"]  # target 20 of 40 actual → rate exactly 0.5
+    assert (en.n_docs, en.n_tokens, en.target_tokens, en.rate) == (4, 40, 20, 0.5)
+    fr = out["fr"]  # target 10 > 5 actual → capped at 1.0
+    assert (fr.n_tokens, fr.target_tokens, fr.rate) == (5, 10, 1.0)
+    zh = out["zh"]  # absent from spec → excluded
+    assert (zh.target_tokens, zh.rate) == (0, 0.0)
+
+
 def test_curate_corpus_gates_dedups_and_near_dedups(spark):
     from nr_rfc_dischargeobs_spark.extensions import curate
 
@@ -404,6 +455,32 @@ def test_multimodal_byte_features_kernel():
     assert multimodal.byte_features(b"")["header_u32"] == 0
     hi = multimodal.byte_features("é".encode())
     assert hi["n_high"] == 2  # UTF-8 'é' = 0xC3 0xA9, both >= 0x80
+
+
+def test_multimodal_decode_matches_duckdb_on_edge_payloads(spark, tmp_path):
+    """Cross-engine pin for the byte-feature oracle on inputs the driver
+    corpus never exercises (it is all-ASCII): multi-byte UTF-8, an empty
+    string, a short (<4-byte header) payload, and NULL text must all
+    hash-match the DuckDB hex-arithmetic twin row-for-row."""
+    import duckdb
+
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext_plans
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "héllo ☃ wörld"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = multimodal.decode_features(multimodal.to_blob_table(docs))
+    got = sorted(map(tuple, out.collect()))
+
+    pq = tmp_path / "d.parquet"
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(map(tuple, con.execute(
+        ext_plans.MM_DECODE_FEATURES_SQL
+    ).fetchall()))
+    assert got == want
 
 
 def test_multimodal_real_mode_raises(corpus):
