@@ -188,3 +188,153 @@ def stratified_sample_sql(
         f"{hash_bucket_sql(key_sql, salt)} < "
         f"(CASE {cases} ELSE {int(default_rate * BUCKETS)} END)"
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    key: str,
+    shards: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training export:
+    every row gets a ``(shard, pos)`` address — which output file it
+    lands in and where inside it — reproducible across runs, engines,
+    and partitionings.
+
+    This is the "global shuffle" a training exporter needs WITHOUT the
+    global sort it must never pay: shard = key-hash bucket mod ``shards``
+    (rows scatter uniformly, adjacent source rows land apart — exactly
+    what shuffling is for), and ``pos`` orders rows *within* one shard by
+    the full md5 hex of the order-salted key (ties by key).  The plan is
+    ONE shuffle keyed by ``shard`` plus a per-shard local sort — no
+    all-shards barrier, no driver state; at fleet scale each shard is one
+    writer task (``shards`` sized so a shard fits a task: 100 TB / 64 MB
+    targets ⇒ millions of shards — the 65536-bucket ceiling of
+    :func:`hash_bucket` is lifted by deriving the shard from 8 hex
+    nibbles here, good for 4×10⁹ shards).
+
+    Stability: a row's SHARD never changes under appends (pure key hash);
+    ``pos`` is append-stable in distribution but, like any dense index,
+    renumbers when earlier-hashed rows arrive — positions are a layout,
+    not an identity.
+
+    Output: (key, shard, pos, order_hex).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
+    shard = F.lit(0).cast("long")
+    for i in range(8):
+        nibble = F.instr(F.lit(HEX), F.substring(h, i + 1, 1)) - 1
+        shard = shard + nibble.cast("long") * F.lit(16 ** (7 - i)).cast(
+            "long"
+        )
+    order_hex = F.md5(
+        F.concat_ws("|", F.lit(salt), F.lit("order"), F.col(key).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("order_hex").asc(), F.col(key).asc()
+    )
+    return (
+        df.select(
+            F.col(key),
+            (shard % shards).alias("shard"),
+            order_hex.alias("order_hex"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(key, "shard", "pos", "order_hex")
+    )
+
+
+def shard_plan_sql(
+    key_sql: str, shards: int = 64, salt: str = "shard", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`shard_plan` (same 8-nibble shard, same
+    order key)."""
+    h = f"md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR))"
+    parts = [
+        f"CAST(strpos('{HEX}', substr({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    shard = "((" + " + ".join(parts) + f") % {shards})"
+    order_hex = (
+        f"md5('{salt}' || '|' || 'order' || '|' || CAST({key_sql} AS VARCHAR))"
+    )
+    return f"""
+SELECT {key_sql} AS key, {shard} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {shard}
+                               ORDER BY {order_hex}, {key_sql}) - 1
+            AS BIGINT) AS pos,
+       {order_hex} AS order_hex
+FROM {table}
+""".strip()
+
+
+def source_caps(
+    df: DataFrame,
+    key: str = "doc_id",
+    stratum: str = "source",
+    cap: int = 100,
+    salt: str = "cap",
+    prerank_buckets: int = 16,
+) -> DataFrame:
+    """Per-domain quota enforcement (the RefinedWeb / C4 "no domain may
+    dominate" rule): keep at most ``cap`` docs per ``stratum``, chosen by
+    key-hash order (deterministic, append-biased toward nobody), and
+    label every doc kept/dropped for the audit trail.
+
+    The 100 TB shape is the point: a naive per-domain ``row_number``
+    sorts EVERY doc of a hot domain on one task.  Here stage 1 pre-ranks
+    within (stratum, hash-bucket) — ``prerank_buckets`` parallel slices
+    of the domain — and keeps only each slice's top-``cap``; stage 2
+    final-ranks the ≤ cap·buckets survivors per domain.  The survivor set
+    provably contains the global top-cap (any doc in the true top-cap is
+    in its slice's top-cap), so the result is IDENTICAL to the naive
+    rank while the heaviest sort any task sees is cap·buckets rows.
+    Dropped docs rejoin with ``kept = false`` via a broadcast-friendly
+    left anti shape (the keeper set is |strata|·cap rows).
+
+    Output: (key, stratum, kept, rank) — rank only for kept docs (the
+    global per-domain rank of dropped docs is exactly the quantity the
+    two-stage plan avoids computing).
+    """
+    from pyspark.sql import Window
+
+    okey = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(key).cast("string"))
+    )
+    base = df.select(
+        F.col(key),
+        F.col(stratum),
+        okey.alias("__o"),
+        (hash_bucket(F.col(key), salt + "-slice") % prerank_buckets).alias(
+            "__b"
+        ),
+    )
+    w1 = Window.partitionBy(stratum, "__b").orderBy(
+        F.col("__o").asc(), F.col(key).asc()
+    )
+    survivors = (
+        base.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__r1", "__b")
+    )
+    w2 = Window.partitionBy(stratum).orderBy(
+        F.col("__o").asc(), F.col(key).asc()
+    )
+    keepers = (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= cap)
+        .select(key, F.col("rank"))
+    )
+    return (
+        base.select(key, stratum)
+        .join(keepers, key, "left")
+        .select(
+            key,
+            stratum,
+            F.col("rank").isNotNull().alias("kept"),
+            "rank",
+        )
+    )

@@ -502,3 +502,119 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    prepared: DataFrame, centroids: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): assign every vector to its nearest coarse centroid,
+    then compare ONLY within-cluster pairs — a vector is dropped when a
+    smaller-id clustermate sits within ``threshold`` cosine of it.
+
+    This is the published scale recipe for embedding dedup: the all-pairs
+    |corpus|² comparison becomes Σ|cluster|², and the cluster count k is a
+    dial (SemDeDup uses k ≈ 10⁴–10⁵ at web scale so clusters stay
+    ~10³-sized).  Plan shape: centroids broadcast (assignment never
+    shuffles the corpus — :func:`ivf_assign`), then ONE shuffle keyed by
+    ``cluster_id`` for the self-join; per-cluster pair generation is
+    node-local after that.  Skewed clusters are the known failure mode at
+    fleet scale — AQE skew-join splits them, and the k dial is the real
+    fix (more centroids → smaller clusters).
+
+    Semantics are one-hop and engine-exact: ``kept = no smaller-id
+    clustermate with cosine ≥ threshold``; ``canonical_id`` is the
+    smallest such clustermate (the doc a trainer keeps instead), the
+    vector itself when kept.  One-hop matches SemDeDup — transitive
+    closure is deliberately NOT applied (that is
+    :func:`~..extensions.dedup.connected_components`' job on the pair
+    graph when needed).  Zero-norm vectors have no cosine direction, so
+    they never pair (always kept) — the same degenerate-input rule as
+    every other cosine kernel in this module.
+
+    Output: (vec_id, cluster_id, kept boolean, canonical_id).
+    """
+    assigned = ivf_assign(prepared, centroids, 1)
+    a = assigned.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n").alias("na"),
+        F.col("list_id").alias("cluster_id"),
+    )
+    b = assigned.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n").alias("nb"),
+        F.col("list_id").alias("cluster_id"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            cosine(dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("canonical_of"))
+    )
+    return (
+        assigned.select("vec_id", F.col("list_id").alias("cluster_id"))
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("canonical_of").isNull().alias("kept"),
+            F.coalesce(F.col("canonical_of"), F.col("vec_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
+def quantize_int8_stats(prepared: DataFrame) -> DataFrame:
+    """Scalar int8 quantization audit: quantize each dimension onto a
+    symmetric 8-bit grid scaled by that dimension's corpus max-|value|,
+    and report the reconstruction error per vector — the go/no-go check
+    before shipping a 4×-smaller int8 corpus to the ANN tier.
+
+    Two-phase, both cheap at any scale: (1) per-dimension max|q| is a
+    posexplode + 64-row aggregate (map-side combined — bytes per
+    partition cross the wire); (2) the 64-value scale array broadcasts
+    back and the error math is row-local ``zip_with`` arithmetic at scan
+    bandwidth.  The corpus itself never shuffles.
+
+    Exactness: with e, m integers (quantized grid ×1e5), the int8 code is
+    ``c = round(e·127/m)`` (one double division, same IEEE op in any
+    engine) and the error is kept in the INTEGER domain scaled by 127:
+    ``err = e·127 − c·m`` — a BIGINT both engines compute exactly, so
+    Σerr² and max|err| are bit-identical (the ``functions/exact.py``
+    discipline).  A dimension with m = 0 is constant-zero: its code and
+    error are 0 by definition (guards the 0/0).
+
+    Output: (vec_id, n_dims, sse127, max_abs_err127, int8_sq_norm).
+    """
+    dims = prepared.select(F.posexplode(F.col("q")).alias("pos", "e"))
+    scales = (
+        dims.groupBy("pos")
+        .agg(F.max(F.abs(F.col("e"))).alias("m"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform(F.col("pm"), lambda s: s["m"]).alias("mx"))
+    )
+    code = lambda e, m: F.when(m == 0, F.lit(0).cast("long")).otherwise(  # noqa: E731
+        F.round(e.cast("double") * 127 / m.cast("double"), 0).cast("long")
+    )
+    err = F.zip_with(
+        F.col("q"), F.col("mx"), lambda e, m: e * 127 - code(e, m) * m
+    )
+    codes = F.zip_with(F.col("q"), F.col("mx"), code)
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return prepared.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        F.size(F.col("q")).alias("n_dims"),
+        isum(F.transform(err, lambda x: x * x)).alias("sse127"),
+        F.array_max(F.transform(err, F.abs)).alias("max_abs_err127"),
+        isum(F.transform(codes, lambda x: x * x)).alias("int8_sq_norm"),
+    )

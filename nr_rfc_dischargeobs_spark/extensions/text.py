@@ -501,3 +501,58 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(doc_id, "rank", "word", "tf", "df", "score")
     )
+
+
+def hash_classifier(
+    docs: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    buckets_mod: int = 21,
+    salt: str = "clf",
+) -> DataFrame:
+    """Hashing-trick linear text classifier — the fastText-shaped quality
+    gate every web-scale curation stack runs (CCNet / FineWeb-Edu style),
+    reduced to its engine shape: hash each token into a weight bucket,
+    sum the weights, threshold the mean.
+
+    The weights here are a deterministic function of the bucket hash
+    (``(bucket mod 21) − 10`` ∈ [−10, 10]) — the operator ships the
+    *shape* (hashed sparse linear model evaluated at scan bandwidth);
+    production swaps in a trained weight table via the same
+    token→bucket→weight path (a broadcast map lookup, identical plan).
+
+    Everything is row-local higher-order-function arithmetic over one
+    ``split`` — no shuffle, no UDF, no vocabulary join — so the op runs
+    at scan bandwidth and parallelizes embarrassingly at 100 TB.  The
+    score SUM is an exact BIGINT; the mean is one final double division
+    (engine-portable); NULL/empty text fails closed (0 tokens, score 0,
+    not positive) like :func:`gopher_rules`.
+
+    Output: (doc_id, n_tokens, weight_sum, score, positive).
+    """
+    from .sampling import hash_bucket
+
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+    )
+    weight = lambda t: (hash_bucket(t, salt) % buckets_mod).cast(  # noqa: E731
+        "long"
+    ) - (buckets_mod // 2)
+    wsum = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(doc_id),
+        F.size(toks).cast("long").alias("n_tokens"),
+        wsum.alias("weight_sum"),
+        F.when(F.size(toks) > 0, wsum.cast("double") / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        F.when(
+            F.size(toks) > 0, (wsum.cast("double") / F.size(toks)) > 0
+        )
+        .otherwise(F.lit(False))
+        .alias("positive"),
+    )

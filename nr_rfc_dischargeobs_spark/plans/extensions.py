@@ -1104,3 +1104,158 @@ WITH words AS (
 SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df, score
 FROM scored WHERE rank <= 3
 """
+
+# -------------------------------------------------- round-4 additions:
+# semantic dedup, int8 quantization audit, shard layout, domain caps,
+# hashed linear classifier
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over vec_id < 300: coarse-assign to the 8 seed centroids
+    (vec_id < 8), drop any vector with a smaller-id clustermate at
+    cosine ≥ 0.3, emit the kept/dropped audit with canonical ids."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    prep = similarity.prepare(emb)
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 8))
+    return similarity.semantic_dedup(prep, cents, threshold=0.3)
+
+
+SIM_SEMANTIC_DEDUP_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="vec_id < 300")}
+), nv AS (SELECT vec_id, SUM(e * e) AS n FROM u GROUP BY 1),
+c0 AS (SELECT vec_id AS cid, e, i FROM u WHERE vec_id < 8),
+cn0 AS (SELECT cid, SUM(e * e) AS cn FROM c0 GROUP BY 1),
+d1 AS (
+  SELECT u.vec_id, c0.cid, nv.n + cn0.cn - 2 * SUM(u.e * c0.e) AS d
+  FROM u JOIN c0 ON u.i = c0.i
+  JOIN nv ON u.vec_id = nv.vec_id
+  JOIN cn0 ON c0.cid = cn0.cid
+  GROUP BY 1, 2, nv.n, cn0.cn
+), a1 AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, SUM(ux.e * uy.e) AS dot
+  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN u ux ON ux.vec_id = x.vec_id
+  JOIN u uy ON uy.vec_id = y.vec_id AND ux.i = uy.i
+  GROUP BY 1, 2
+), near AS (
+  SELECT vec_a, vec_b
+  FROM pairs
+  JOIN nv na ON vec_a = na.vec_id
+  JOIN nv nb ON vec_b = nb.vec_id
+  WHERE na.n > 0 AND nb.n > 0
+    AND CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.3
+), dropped AS (
+  SELECT vec_b AS vec_id, MIN(vec_a) AS canon FROM near GROUP BY 1
+)
+SELECT a1.vec_id, a1.cid AS cluster_id,
+       dropped.canon IS NULL AS kept,
+       COALESCE(dropped.canon, a1.vec_id) AS canonical_id
+FROM a1 LEFT JOIN dropped ON a1.vec_id = dropped.vec_id
+"""
+
+
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit over the full embedding corpus:
+    per-dimension symmetric scales, per-vector integer-exact
+    reconstruction error (Σerr², max|err| — scaled by 127)."""
+    prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
+    return similarity.quantize_int8_stats(prep)
+
+
+SIM_QUANTIZE_INT8_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), mx AS (SELECT i, MAX(abs(e)) AS m FROM u GROUP BY 1),
+per AS (
+  SELECT u.vec_id, u.e, mx.m,
+         CASE WHEN mx.m = 0 THEN 0
+              ELSE CAST(ROUND(CAST(u.e AS DOUBLE) * 127
+                              / CAST(mx.m AS DOUBLE), 0) AS BIGINT)
+         END AS c
+  FROM u JOIN mx ON u.i = mx.i
+), err AS (
+  SELECT vec_id, e * 127 - c * m AS err, c FROM per
+)
+SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
+       CAST(SUM(err * err) AS BIGINT) AS sse127,
+       CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err127,
+       CAST(SUM(c * c) AS BIGINT) AS int8_sq_norm
+FROM err GROUP BY vec_id
+"""
+
+
+def sample_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export layout: every document addressed to
+    one of 64 shards with a stable in-shard position — the global
+    shuffle without a global sort."""
+    return sampling.shard_plan(
+        load(spark, sf_dir, "documents"), key="doc_id", shards=64
+    )
+
+
+SAMPLE_SHARD_PLAN_SQL = sampling.shard_plan_sql(
+    "doc_id", shards=64, table="documents"
+).replace("SELECT doc_id AS key,", "SELECT doc_id,")
+
+
+def sample_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: at most 80 docs per source (hash-ordered,
+    deterministic), every doc labeled kept/dropped — two-stage pre-rank
+    so no task ever sorts a whole hot domain."""
+    return sampling.source_caps(
+        load(spark, sf_dir, "documents"),
+        key="doc_id",
+        stratum="source",
+        cap=80,
+    )
+
+
+SAMPLE_SOURCE_CAPS_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS r
+  FROM documents
+)
+SELECT doc_id, source, r <= 80 AS kept,
+       CASE WHEN r <= 80 THEN CAST(r AS INT) END AS rank
+FROM ranked
+"""
+
+
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier at scan bandwidth: token→weight
+    bucket via md5, exact integer weight sum, mean-score threshold."""
+    return textops.hash_classifier(load(spark, sf_dir, "documents"))
+
+
+TEXT_HASH_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     t -> t != '') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks,
+             t -> ({sampling.hash_bucket_sql("t", "clf")} % 21) - 10
+         )), 0) AS BIGINT) AS weight_sum
+  FROM toks
+)
+SELECT doc_id, n_tokens, weight_sum,
+       CASE WHEN n_tokens > 0
+            THEN CAST(weight_sum AS DOUBLE) / n_tokens ELSE 0.0
+       END AS score,
+       CASE WHEN n_tokens > 0
+            THEN (CAST(weight_sum AS DOUBLE) / n_tokens) > 0 ELSE FALSE
+       END AS positive
+FROM w
+"""

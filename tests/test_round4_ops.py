@@ -1,0 +1,251 @@
+"""Round-4 operator tests: SemDeDup semantic dedup, int8 quantization
+audit, deterministic shard layout, per-source caps, hashed classifier.
+
+Each test pins the ENGINE-EXACT semantics the DuckDB oracle relies on
+(tie-breaks, degenerate inputs, two-stage ≡ naive equivalences) — the
+sf0.01 hash match proves the twin agrees, these prove the contract is the
+one we meant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark.extensions import sampling, similarity
+from nr_rfc_dischargeobs_spark.extensions import text as textops
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def test_semantic_dedup_drops_within_cluster_near_dup(spark):
+    # centroids 0/1 sit diagonally off-axis so their cosine to every
+    # member stays BELOW the 0.95 threshold (≈0.93) while still winning
+    # the cluster assignment; 2~3 are near-identical (cos ≈ 1, cluster 0)
+    # → 3 drops with canonical 2, and 4~5 likewise inside cluster 1.
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.4]),
+            (1, [0.4, 1.0]),
+            (2, [0.9, 0.01]),
+            (3, [0.91, 0.01]),
+            (4, [0.01, 0.8]),
+            (5, [0.01, 0.81]),
+        ],
+    )
+    prep = similarity.prepare(emb)
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 2))
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            prep, cents, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[3]["kept"] is False and out[3]["canonical_id"] == 2
+    assert out[5]["kept"] is False and out[5]["canonical_id"] == 4
+    for kept_id in (0, 1, 2, 4):
+        assert out[kept_id]["kept"] is True
+        assert out[kept_id]["canonical_id"] == kept_id
+    # cluster assignment is part of the audit output
+    assert out[2]["cluster_id"] == 0 and out[4]["cluster_id"] == 1
+
+
+def test_semantic_dedup_is_cluster_local(spark):
+    # two identical vectors pulled into DIFFERENT clusters by construction
+    # never pair — the SemDeDup trade (recall bounded by the quantizer),
+    # pinned here so a future "fix" doesn't silently change semantics.
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.05]),
+            (1, [-1.0, 0.05]),
+            (2, [0.01, 1.0]),  # nearer +x seed
+            (3, [-0.01, 1.0]),  # nearer -x seed, cosine(2,3) ≈ 1
+        ],
+    )
+    prep = similarity.prepare(emb)
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 2))
+    out = similarity.semantic_dedup(prep, cents, threshold=0.9)
+    assert out.filter(~F.col("kept")).count() == 0
+
+
+def test_semantic_dedup_zero_norm_always_kept(spark):
+    emb = _emb(
+        spark, [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])]
+    )
+    prep = similarity.prepare(emb)
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 1))
+    rows = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(prep, cents, 0.1).collect()
+    }
+    # zero-norm vectors have no direction: never paired, never dropped
+    assert rows[1] is True and rows[2] is True
+
+
+# ---------------------------------------------------------------- int8 audit
+
+
+def test_quantize_int8_hand_computed(spark):
+    emb = _emb(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.5, 0.0]), (2, [-1.0, 0.0])],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.quantize_int8_stats(
+            similarity.prepare(emb)
+        ).collect()
+    }
+    # dim0 scale m = 1e5.  e=5e4 → code round(63.5)=64 (HALF_UP),
+    # err = 5e4·127 − 64·1e5 = −50 000; dim1 is constant zero (m=0 →
+    # code 0, err 0 by definition, no 0/0).
+    assert out[0]["sse127"] == 0 and out[0]["int8_sq_norm"] == 127 * 127
+    assert out[1]["sse127"] == 50_000 * 50_000
+    assert out[1]["max_abs_err127"] == 50_000
+    assert out[1]["int8_sq_norm"] == 64 * 64
+    assert out[2]["sse127"] == 0 and out[2]["max_abs_err127"] == 0
+    assert all(r["n_dims"] == 2 for r in out.values())
+
+
+def test_quantize_int8_codes_bounded(spark):
+    # |code| ≤ 127 by construction (e ≤ m ⇒ |e·127/m| ≤ 127) — the whole
+    # point of the audit is that the int8 grid is actually int8.
+    import math
+
+    emb = _emb(
+        spark,
+        [(i, [math.sin(i * 1.7), math.cos(i * 0.9)]) for i in range(20)],
+    )
+    out = similarity.quantize_int8_stats(similarity.prepare(emb))
+    # int8_sq_norm ≤ dims·127² bounds every per-dim code
+    assert (
+        out.filter(F.col("int8_sq_norm") > 2 * 127 * 127).count() == 0
+    )
+
+
+# ---------------------------------------------------------------- shard plan
+
+
+def test_shard_plan_positions_dense_and_deterministic(spark):
+    docs = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+    plan = sampling.shard_plan(docs, "doc_id", shards=8)
+    assert plan.count() == 97
+    # positions within a shard are exactly 0..n-1
+    bad = (
+        plan.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("pos").alias("mx"),
+            F.min("pos").alias("mn"),
+            F.countDistinct("pos").alias("nd"),
+        )
+        .filter(
+            (F.col("mx") != F.col("n") - 1)
+            | (F.col("mn") != 0)
+            | (F.col("nd") != F.col("n"))
+        )
+    )
+    assert bad.count() == 0
+    # identical assignment regardless of input partitioning
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in plan.collect()}
+    b = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in sampling.shard_plan(
+            docs.repartition(13), "doc_id", shards=8
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shard_plan_shard_stable_under_append(spark):
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    more = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    small = {
+        r["doc_id"]: r["shard"]
+        for r in sampling.shard_plan(docs, "doc_id", 16).collect()
+    }
+    big = {
+        r["doc_id"]: r["shard"]
+        for r in sampling.shard_plan(more, "doc_id", 16).collect()
+    }
+    # a doc's SHARD never moves when the corpus grows (pure key hash);
+    # positions may renumber — that's documented layout, not identity
+    assert all(big[k] == v for k, v in small.items())
+
+
+# ---------------------------------------------------------------- source caps
+
+
+def test_source_caps_two_stage_equals_naive_rank(spark):
+    rows = [(i, "dom%d" % (i % 3)) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.source_caps(
+        docs, cap=10, prerank_buckets=4
+    )
+    # naive single-window global rank — the semantics the two-stage plan
+    # must reproduce exactly
+    okey = F.md5(
+        F.concat_ws("|", F.lit("cap"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(okey.asc(), F.col("doc_id"))
+    naive = (
+        docs.withColumn("r", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("r") <= 10).alias("kept"),
+            F.when(F.col("r") <= 10, F.col("r")).alias("rank"),
+        )
+    )
+    got = {
+        r["doc_id"]: (r["kept"], r["rank"]) for r in out.collect()
+    }
+    want = {
+        r["doc_id"]: (r["kept"], r["rank"]) for r in naive.collect()
+    }
+    assert got == want
+    assert sum(1 for k, _ in got.values() if k) == 30  # 3 domains × 10
+
+
+def test_source_caps_small_domain_kept_whole(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], ["doc_id", "source"]
+    )
+    out = sampling.source_caps(docs, cap=100)
+    assert out.filter(~F.col("kept")).count() == 0
+
+
+# ---------------------------------------------------------------- classifier
+
+
+def test_hash_classifier_deterministic_and_fails_closed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fox"),
+            (2, None),
+            (3, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.hash_classifier(docs).collect()}
+    # identical text → identical score (pure hash function of tokens)
+    assert out[0]["weight_sum"] == out[1]["weight_sum"]
+    assert out[0]["score"] == out[1]["score"]
+    assert out[0]["n_tokens"] == 4
+    # NULL / whitespace-only text fails closed: 0 tokens, score 0, negative
+    for d in (2, 3):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["weight_sum"] == 0
+        assert out[d]["score"] == 0.0
+        assert out[d]["positive"] is False
+    # per-token weights live in [-10, 10] ⇒ |sum| ≤ 10·n
+    assert abs(out[0]["weight_sum"]) <= 10 * out[0]["n_tokens"]
