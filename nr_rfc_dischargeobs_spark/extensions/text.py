@@ -509,6 +509,7 @@ def hash_classifier(
     doc_id: str = "doc_id",
     buckets_mod: int = 21,
     salt: str = "clf",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashing-trick linear text classifier — the fastText-shaped quality
     gate every web-scale curation stack runs (CCNet / FineWeb-Edu style),
@@ -545,6 +546,7 @@ def hash_classifier(
     )
     return docs.select(
         F.col(doc_id),
+        *[F.col(c) for c in passthrough],
         F.size(toks).cast("long").alias("n_tokens"),
         wsum.alias("weight_sum"),
         F.when(F.size(toks) > 0, wsum.cast("double") / F.size(toks))
@@ -555,4 +557,68 @@ def hash_classifier(
         )
         .otherwise(F.lit(False))
         .alias("positive"),
+    )
+
+
+def token_entropy(
+    docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy + type/token ratio — the
+    gibberish/boilerplate detector that complements :func:`gopher_rules`
+    (natural prose sits in a mid-entropy band; keyboard mash scores high,
+    template spam scores low, both tails are cut in web-corpus curation).
+
+    Exactness is the interesting part: H = log₂n − (Σ c·log₂c)/n is a
+    FLOAT sum over token types, and float addition is not associative —
+    two engines (or two partitionings) summing in different orders drift
+    in the last bits.  So the per-type term is snapped to the integer
+    grid FIRST — ``c · round(log₂(c)·2²⁰)`` — and summed as exact
+    BIGINTs (order-independent, the ``functions/exact.py`` discipline);
+    both engines compute log₂ of the same small integer to the same IEEE
+    double, so the rounded grid value is identical.  The published
+    ``entropy`` is then ONE deterministic float expression over two
+    exact integers.  Repeated-token counts c are bounded by single-doc
+    vocabulary, so the grid error is ≤ n·2⁻²¹ bits — noise for a
+    quality gate, and the exact integer ``slog`` ships alongside for
+    anyone needing bit-stable comparisons.
+
+    Scale shape: explode → two combine-friendly aggregations keyed
+    (doc, token) then (doc) — partial aggregation absorbs the token
+    fan-out map-side, the only shuffle is keyed by doc_id.  Empty/NULL
+    text fails closed (0 tokens, entropy 0).
+
+    Output: (doc_id, n_tokens, n_types, slog, entropy).
+    """
+    SCALE = 1 << 20
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+    )
+    counts = (
+        docs.select(F.col(doc_id), F.explode_outer(toks).alias("__tok"))
+        .groupBy(doc_id, "__tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # explode_outer keeps 0-token docs as a NULL token row: count it as
+    # zero so the doc survives with n_tokens = 0 (fails closed)
+    c = F.when(F.col("__tok").isNull(), F.lit(0)).otherwise(F.col("c"))
+    term = c * F.round(F.log2(c.cast("double")) * SCALE, 0).cast("long")
+    per = (
+        counts.groupBy(doc_id)
+        .agg(
+            F.sum(c).alias("n_tokens"),
+            F.sum((c > 0).cast("long")).alias("n_types"),
+            F.sum(F.coalesce(term, F.lit(0))).alias("slog"),
+        )
+    )
+    entropy = F.log2(F.col("n_tokens").cast("double")) - (
+        F.col("slog").cast("double") / SCALE
+    ) / F.col("n_tokens").cast("double")
+    return per.select(
+        doc_id,
+        "n_tokens",
+        "n_types",
+        "slog",
+        F.when(F.col("n_tokens") > 0, entropy).otherwise(F.lit(0.0)).alias(
+            "entropy"
+        ),
     )

@@ -208,7 +208,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force recall oracle in tests)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     return similarity.lsh_neardup_pairs(
-        similarity.prepare(emb), threshold=0.3, bits=4
+        similarity.prepare(emb), threshold=0.3, bits=4, dim=64
     )
 
 
@@ -260,7 +260,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = similarity.prepare(emb.filter(F.col("vec_id") < 10))
     corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 10))
-    return similarity.brute_force_topk(queries, corpus, k=5)
+    return similarity.brute_force_topk(queries, corpus, k=5, dim=64)
 
 
 SIM_COSINE_TOPK_SQL = f"""
@@ -297,7 +297,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = similarity.prepare(emb.filter(F.col("vec_id") < 20))
     corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 20))
     return similarity.lsh_bucketed_topk(
-        queries, corpus, k=3, bits=4, probe_hamming=1
+        queries, corpus, k=3, bits=4, probe_hamming=1, dim=64
     )
 
 
@@ -349,7 +349,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
     )
     corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 28))
-    return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
+    return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2, dim=64)
 
 
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +358,8 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are what ``ivf_topk`` consumes at scale; training state is
     re-quantized integers, so the oracle reproduces it exactly."""
     prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
-    cents = similarity.kmeans_lite(prep, k=8, iters=1)
-    assigned = similarity.ivf_assign(prep, cents, nprobe=1)
+    cents = similarity.kmeans_lite(prep, k=8, iters=1, dim=64)
+    assigned = similarity.ivf_assign(prep, cents, nprobe=1, dim=64)
     return assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_members")
     ).select(F.col("list_id").alias("cluster_id"), "n_members")
@@ -1117,7 +1117,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     prep = similarity.prepare(emb)
     cents = similarity.prepare(emb.filter(F.col("vec_id") < 8))
-    return similarity.semantic_dedup(prep, cents, threshold=0.3)
+    return similarity.semantic_dedup(prep, cents, threshold=0.3, dim=64)
 
 
 SIM_SEMANTIC_DEDUP_SQL = f"""
@@ -1258,4 +1258,42 @@ SELECT doc_id, n_tokens, weight_sum,
             THEN (CAST(weight_sum AS DOUBLE) / n_tokens) > 0 ELSE FALSE
        END AS positive
 FROM w
+"""
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy + type/token ratio via the integer-grid
+    log-sum (order-independent — see extensions/text.py)."""
+    return textops.token_entropy(load(spark, sf_dir, "documents"))
+
+
+TEXT_ENTROPY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     x -> x != '') AS toks
+  FROM documents
+), counts AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM counts GROUP BY 1, 2
+), per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1048576, 0)
+                           AS BIGINT)) AS BIGINT) AS slog
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_types, 0) AS n_types,
+       COALESCE(per.slog, 0) AS slog,
+       CASE WHEN COALESCE(per.n_tokens, 0) > 0
+            THEN log2(CAST(per.n_tokens AS DOUBLE))
+                 - (CAST(per.slog AS DOUBLE) / 1048576)
+                   / CAST(per.n_tokens AS DOUBLE)
+            ELSE 0.0
+       END AS entropy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """

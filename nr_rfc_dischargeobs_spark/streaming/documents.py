@@ -52,9 +52,17 @@ def curate_document_stream(
     watermark: str = "24 hours",
     ts: str = "ingest_time",
     meta: tuple[str, ...] = ("lang", "source", "ingest_time"),
+    classifier_min_score: float | None = None,
 ) -> DataFrame:
-    """Gate → scrub → fingerprint-dedup, all streaming-safe, one linear
-    lineage (works identically on a batch frame — same gates, two drivers).
+    """Gate → (optional classifier gate) → scrub → fingerprint-dedup, all
+    streaming-safe, one linear lineage (works identically on a batch
+    frame — same gates, two drivers).
+
+    ``classifier_min_score`` switches on the hashed-linear-model quality
+    gate (:func:`~..extensions.text.hash_classifier`) between the rule
+    battery and the scrub: docs scoring below the threshold drop.  Like
+    every other gate here it is a scan-local generated expression —
+    stateless, so it lifts onto the stream unchanged.
 
     Returns the curated stream: (doc_id, *meta, n_words, text=redacted,
     fingerprint).  A re-landed shard (same content, later arrival inside
@@ -67,6 +75,14 @@ def curate_document_stream(
         max_words=max_words,
         passthrough=("text", *meta),
     ).filter(F.col("gopher_pass"))
+    if classifier_min_score is not None:
+        gated = (
+            tx.hash_classifier(
+                gated, passthrough=("text", "n_words", *meta)
+            )
+            .filter(F.col("score") >= classifier_min_score)
+            .drop("n_tokens", "weight_sum", "score", "positive")
+        )
     scrubbed = tx.pii_scrub(
         gated, passthrough=("n_words", *meta)
     ).withColumnRenamed("clean_text", "text")

@@ -249,3 +249,76 @@ def test_hash_classifier_deterministic_and_fails_closed(spark):
         assert out[d]["positive"] is False
     # per-token weights live in [-10, 10] ⇒ |sum| ≤ 10·n
     assert abs(out[0]["weight_sum"]) <= 10 * out[0]["n_tokens"]
+
+
+def test_document_stream_classifier_gate_batch_twin(spark):
+    """curate_document_stream's optional classifier gate drops low-scoring
+    docs on the batch (backfill) driver — and the output schema is
+    identical with and without the gate (the stream contract)."""
+    from nr_rfc_dischargeobs_spark.streaming import curate_document_stream
+
+    base = (
+        "the quick brown fox is happy and ready to work over many fine "
+        "days of steady calm weather and warm light"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "crawl", "2024-06-01T10:00:00"),
+            (2, base + " extra words on the very end here", "en", "crawl",
+             "2024-06-01T10:00:00"),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "ingest_time string",
+    ).withColumn("ingest_time", F.col("ingest_time").cast("timestamp"))
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in textops.hash_classifier(docs).collect()
+    }
+    assert scores[1] != scores[2], "fixture texts must score apart"
+    lo = min(scores, key=scores.get)
+    cut = (scores[1] + scores[2]) / 2
+
+    ungated = curate_document_stream(docs)
+    gated = curate_document_stream(docs, classifier_min_score=cut)
+    assert gated.columns == ungated.columns
+    kept = [r["doc_id"] for r in gated.select("doc_id").collect()]
+    assert lo not in kept and len(kept) == 1
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def test_token_entropy_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b b"),      # H = 1 bit exactly (2+2 of 4)
+            (1, "a a a a"),      # H = 0 (one type)
+            (2, "a b c d"),      # H = 2 bits (all distinct → slog = 0)
+            (3, None),           # fails closed
+            (4, ""),             # fails closed
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.token_entropy(docs).collect()}
+    assert len(out) == 5  # 0-token docs survive (explode_outer)
+    assert out[0]["entropy"] == 1.0 and out[0]["n_types"] == 2
+    assert out[1]["entropy"] == 0.0 and out[1]["n_types"] == 1
+    assert out[2]["entropy"] == 2.0 and out[2]["slog"] == 0
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["n_types"] == 0
+        assert out[d]["entropy"] == 0.0
+
+
+def test_token_entropy_partition_invariant(spark):
+    # integer-grid slog makes the float result partition-order-proof
+    docs = spark.createDataFrame(
+        [(i, "w%d w%d w0 w1 w1" % (i % 7, i % 3)) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    a = {r["doc_id"]: r["entropy"]
+         for r in textops.token_entropy(docs).collect()}
+    b = {r["doc_id"]: r["entropy"]
+         for r in textops.token_entropy(docs.repartition(17)).collect()}
+    assert a == b

@@ -73,10 +73,22 @@ def synth_docs(spark, n: int, tokens: int = 60) -> DataFrame:
     )
 
 
+def synth_embs(spark, n: int, dim: int = 64) -> DataFrame:
+    """embeddings-shaped table: n deterministic dim-d float vectors."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> cast(sin(id * 0.37 + i * 1.13) as float))"
+        ).alias("embedding"),
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=200_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -84,6 +96,8 @@ def main() -> int:
         contamination,
         dedup,
         packing,
+        sampling,
+        similarity,
         text,
     )
     from nr_rfc_dischargeobs_spark.operators import conform, rollup
@@ -140,6 +154,35 @@ def main() -> int:
     timed(t, "chunk_windows_64x32",
           text.chunk_windows(docs, chunk_tokens=64, stride=32))
     timed(t, "top_terms_k3", text.top_terms(docs, k=3))
+    timed(t, "hash_classifier", text.hash_classifier(docs))
+    timed(t, "token_entropy", text.token_entropy(docs))
+    timed(t, "shard_plan_1024", sampling.shard_plan(docs, "doc_id", 1024))
+    # skewed domains: 30% of docs in one hot domain — the shape the
+    # two-stage pre-rank exists for
+    capped = docs.withColumn(
+        "source",
+        F.concat(
+            F.lit("dom"),
+            F.when(F.col("doc_id") % 10 < 3, 0)
+            .otherwise(F.col("doc_id") % 37)
+            .cast("string"),
+        ),
+    )
+    timed(t, "source_caps_cap1000",
+          sampling.source_caps(capped, cap=1000, prerank_buckets=32))
+
+    print(f"embeddings tier ({args.vecs:,} vecs):", file=sys.stderr)
+    prep = similarity.prepare(synth_embs(spark, args.vecs)).localCheckpoint()
+    timed(t, "quantize_int8_d64", similarity.quantize_int8_stats(prep))
+    # SemDeDup probe: dim-16 / k=128; dim passed so the pair scoring runs
+    # the unrolled codegen dot (5× the HOF fold — similarity.dot) and the
+    # sin-curve vectors make clusters deliberately skewed (~30M pairs)
+    prep16 = similarity.prepare(
+        synth_embs(spark, min(args.vecs, 50_000), dim=16)
+    ).localCheckpoint()
+    cents16 = prep16.filter(F.col("vec_id") < 128)
+    timed(t, "semantic_dedup_50k_d16_k128",
+          similarity.semantic_dedup(prep16, cents16, threshold=0.98, dim=16))
 
     out = json.dumps(results, indent=2)
     if args.out:
