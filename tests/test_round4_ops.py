@@ -322,3 +322,59 @@ def test_token_entropy_partition_invariant(spark):
     b = {r["doc_id"]: r["entropy"]
          for r in textops.token_entropy(docs.repartition(17)).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- pq codes
+
+
+def test_pq_codes_hand_computed(spark):
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        pq_codes,
+        prepare,
+    )
+
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),
+            (1, [0.0, 1.0, 1.0, 0.0]),
+            (2, [0.9, 0.1, 0.2, 0.8]),
+        ],
+    )
+    prep = prepare(emb)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 2).collect()
+    ]
+    out = {
+        r["vec_id"]: r for r in pq_codes(prep, cents, m=2, dim=4).collect()
+    }
+    # codebook vectors encode to themselves with zero error
+    assert (out[0]["code_0"], out[0]["code_1"], out[0]["sq_err"]) == (0, 0, 0)
+    assert (out[1]["code_0"], out[1]["code_1"], out[1]["sq_err"]) == (1, 1, 0)
+    # [0.9,0.1] is nearer c0's [1,0]; [0.2,0.8] nearer c0's [0,1];
+    # err = (0.1²+0.1²)·1e10 + (0.2²+0.2²)·1e10 = 2e8 + 8e8
+    assert (out[2]["code_0"], out[2]["code_1"]) == (0, 0)
+    assert out[2]["sq_err"] == 200_000_000 + 800_000_000
+
+
+def test_pq_codes_tie_breaks_to_smaller_cid(spark):
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        pq_codes,
+        prepare,
+    )
+
+    emb = _emb(
+        spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])]
+    )
+    prep = prepare(emb)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 2).collect()
+    ]
+    row = (
+        pq_codes(prep, cents, m=1, dim=2)
+        .filter(F.col("vec_id") == 2)
+        .collect()[0]
+    )
+    assert row["code_0"] == 0  # equidistant → first (smallest) cid

@@ -183,6 +183,9 @@ def main() -> int:
     cents16 = prep16.filter(F.col("vec_id") < 128)
     timed(t, "semantic_dedup_50k_d16_k128",
           similarity.semantic_dedup(prep16, cents16, threshold=0.98, dim=16))
+    pq_cents = [(r["vec_id"], r["q"])
+                for r in prep.filter(F.col("vec_id") < 8).collect()]
+    timed(t, "pq_codes_m4_d64", similarity.pq_codes(prep, pq_cents))
 
     out = json.dumps(results, indent=2)
     if args.out:
