@@ -677,9 +677,10 @@ def pq_codes(
 
     Exactness: subvector distances are ``nsub + cn − 2·dot`` over exact
     BIGINTs (cn folded in Python — exact), ties break to the smaller
-    centroid id via strict-less argmin, and ``sq_err`` = Σ per-subspace
-    min distances is the exact integer reconstruction error (the PQ
-    analogue of :func:`quantize_int8_stats`'s audit).
+    centroid id (first-min ``array_position``, cid-sorted array), and
+    ``sq_err`` = Σ per-subspace min distances is the exact integer
+    reconstruction error (the PQ analogue of
+    :func:`quantize_int8_stats`'s audit).
 
     Output: (vec_id, code_0..code_{m-1}, sq_err).
     """
@@ -687,32 +688,141 @@ def pq_codes(
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
     cents = sorted(centroid_rows)
-    out_cols = [F.col("vec_id")]
-    total_err = None
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        raise ValueError("codebook cids must be contiguous 0..k-1")
+    # Expressions are composed as SQL TEXT and parsed server-side in ONE
+    # call per output column: building the same ~m·k·dsub-term tree out
+    # of Column operators costs thousands of py4j round-trips (measured
+    # ~5 s of pure driver time at m=4, k=8, dsub=16).  The argmin is
+    # array_position(d_arr, array_min(d_arr)) — first-min index ≡
+    # smallest cid on ties (cents are cid-sorted), with a tree linear in
+    # k instead of the k-fold duplication a CASE-per-centroid chain pays.
+    out_cols = ["vec_id"]
+    err_terms = []
     for s in range(m):
-        # index q directly — element_at(slice(q,...)) would rebuild the
-        # sliced array once per reference (m·k·dsub allocations per row)
-        elem = [F.element_at(F.col("q"), s * dsub + j + 1) for j in range(dsub)]
-        nsub = None
-        for j in range(dsub):
-            term = elem[j] * elem[j]
-            nsub = term if nsub is None else nsub + term
+        nsub = " + ".join(
+            f"element_at(q, {s * dsub + j + 1}) * element_at(q, {s * dsub + j + 1})"
+            for j in range(dsub)
+        )
         ds = []
         for cid, cq in cents:
             csub = cq[s * dsub : (s + 1) * dsub]
             cn = sum(v * v for v in csub)
-            dot_expr = None
-            for j, cv in enumerate(csub):
-                term = elem[j] * F.lit(int(cv))
-                dot_expr = term if dot_expr is None else dot_expr + term
-            ds.append((cid, nsub + F.lit(int(cn)) - 2 * dot_expr))
-        # flat least() + first-match when-chain: linear expression size
-        # (a nested conditional argmin doubles the tree per centroid),
-        # and the in-order chain gives the smallest cid on ties
-        best_d = F.least(*[d for _, d in ds])
-        best_c = F
-        for cid, d in ds:
-            best_c = best_c.when(d == best_d, F.lit(int(cid)))
-        out_cols.append(best_c.otherwise(F.lit(-1)).alias(f"code_{s}"))
-        total_err = best_d if total_err is None else total_err + best_d
-    return prepared.select(*out_cols, total_err.alias("sq_err"))
+            dot_sql = " + ".join(
+                f"element_at(q, {s * dsub + j + 1}) * CAST({int(cv)} AS BIGINT)"
+                for j, cv in enumerate(csub)
+            )
+            ds.append(f"(({nsub}) + CAST({int(cn)} AS BIGINT) - 2 * ({dot_sql}))")
+        d_arr = f"array({', '.join(ds)})"
+        out_cols.append(
+            f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS INT)"
+            f" AS code_{s}"
+        )
+        err_terms.append(f"array_min({d_arr})")
+    out_cols.append(" + ".join(err_terms) + " AS sq_err")
+    return prepared.selectExpr(*out_cols)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    k: int = 3,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-COMPRESSED corpus (the search
+    half of IVF-PQ): queries stay exact, the corpus is only its m-byte
+    :func:`pq_codes` rows, and each query scores a code by table lookup —
+    ``adot = Σ_s LUT_s[code_s]`` where ``LUT_s[c] = dot(q_sub_s, c_sub)``.
+
+    The scale shape is the PQ promise realized: the corpus side scanned
+    is the CODES table (m small ints per vector — 16× less I/O than raw
+    64-d floats), it never shuffles (bounded query batch broadcast, one
+    pass), and the per-pair work is m array lookups + adds instead of a
+    dim-term dot.  The LUTs are computed ONCE per (query, subspace) on
+    the tiny query side — unrolled integer dots against the literal
+    codebook — and the reconstruction norm is a pure lookup into
+    Python-folded constants (Σ_s ‖c_{code_s}‖², exact BIGINTs).
+
+    Approximation contract: scores are cosine(query, RECONSTRUCTED
+    corpus vector) — exactly computable (and engine-exact, hence the
+    DuckDB oracle), approximate only in that reconstruction quantizes
+    the corpus; recall vs exact search is the codebook-quality dial.
+    Zero-norm queries and all-zero reconstructions are excluded like
+    every other cosine kernel here.
+
+    Output: (query_id, neighbor_id, rank, cosine_adc).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    cents = sorted(centroid_rows)
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        # LUT position IS the code — true for any trained codebook that
+        # numbers its centroids 0..k-1; re-number upstream otherwise
+        raise ValueError("codebook cids must be contiguous 0..k-1")
+    # LUTs composed as SQL text, one server-side parse per subspace —
+    # same py4j-chatter economics as pq_codes' encode expressions
+    lut_cols = []
+    for s in range(m):
+        dots = []
+        for _, cq in cents:
+            csub = cq[s * dsub : (s + 1) * dsub]
+            dots.append(
+                " + ".join(
+                    f"element_at(q, {s * dsub + j + 1})"
+                    f" * CAST({int(cv)} AS BIGINT)"
+                    for j, cv in enumerate(csub)
+                )
+            )
+        lut_cols.append(
+            f"array({', '.join(f'({d})' for d in dots)}) AS lut_{s}"
+        )
+    q = queries.filter(F.col("n") > 0).selectExpr(
+        "vec_id AS query_id", "n AS qn", *lut_cols
+    )
+
+    # reconstruction norms are constants of the codebook — folded in
+    # Python, exact, and looked up by code
+    rn_consts = [
+        F.array(
+            *[
+                F.lit(
+                    sum(
+                        v * v
+                        for v in cq[s * dsub : (s + 1) * dsub]
+                    )
+                ).cast("long")
+                for _, cq in cents
+            ]
+        )
+        for s in range(m)
+    ]
+    adot = None
+    rn = None
+    for s in range(m):
+        a = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        r = F.element_at(rn_consts[s], F.col(f"code_{s}") + 1)
+        adot = a if adot is None else adot + a
+        rn = r if rn is None else rn + r
+    scored = (
+        codes.select("vec_id", *[f"code_{s}" for s in range(m)])
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(adot, F.col("qn"), rn).alias("cosine_adc"),
+            rn.alias("__rn"),
+        )
+        .filter(F.col("__rn") > 0)
+        .drop("__rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_adc")
+    )

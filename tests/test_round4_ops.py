@@ -378,3 +378,45 @@ def test_pq_codes_tie_breaks_to_smaller_cid(spark):
         .collect()[0]
     )
     assert row["code_0"] == 0  # equidistant → first (smallest) cid
+
+
+def test_pq_adc_equals_exact_when_reconstruction_is_lossless(spark):
+    """Corpus vectors that ARE codebook vectors reconstruct losslessly, so
+    ADC scores equal exact cosine and the rankings coincide."""
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codes,
+        prepare,
+    )
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.5]),
+        (1, [0.0, 1.0, 0.5, 0.0]),
+        (2, [0.5, 0.5, 1.0, 0.0]),
+        (3, [0.0, 0.5, 0.0, 1.0]),
+    ]
+    queries_rows = [(10, [0.9, 0.1, 0.1, 0.4]), (11, [0.1, 0.8, 0.6, 0.1])]
+    emb = _emb(spark, base + queries_rows)
+    prep = prepare(emb)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 4).collect()
+    ]
+    corpus = prep.filter(F.col("vec_id") < 4)
+    queries = prep.filter(F.col("vec_id") >= 10)
+    codes = pq_codes(corpus, cents, m=2, dim=4)
+    # lossless: every corpus vector is its own centroid
+    assert codes.filter(F.col("sq_err") != 0).count() == 0
+    adc = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_adc"])
+        for r in pq_adc_topk(queries, codes, cents, k=4, m=2, dim=4).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(queries, corpus, k=4, dim=4).collect()
+    }
+    assert set(adc) == set(exact)
+    for key, (nbr, score) in exact.items():
+        assert adc[key][0] == nbr
+        assert abs(adc[key][1] - score) < 1e-12
