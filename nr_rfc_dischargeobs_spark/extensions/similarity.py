@@ -46,9 +46,13 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     are CodegenFallback (interpreted per element), while the unrolled sum
     whole-stage-codegens — measured 44.7 s → 9.0 s scoring 29.7M
     16-dim pairs, bit-identical by construction (same integer ops, same
-    order).  Pass ``dim`` wherever the embedding width is part of the
-    call-site contract and the dot sits on pair-scale row counts; the
-    ``None`` fold remains for width-generic callers.
+    order).  The dial has TWO sides: unrolling costs ~1 s of driver-side
+    expression construction per plan build (py4j chatter, ~200 calls at
+    dim=64), so pass ``dim`` only where the dot sits on PAIR-SCALE row
+    counts (within-cluster/bucket self-joins — semantic dedup, near-dup
+    pairs); bounded top-k batches build more plans than rows they score
+    and measured FASTER with the 3-call HOF fold (ivf_topk at sf0.1:
+    0.9 s HOF vs 2.6 s unrolled — all build cost).
     """
     if dim is not None:
         out = F.element_at(a, 1) * F.element_at(b, 1)

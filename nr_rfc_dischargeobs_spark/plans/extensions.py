@@ -260,7 +260,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = similarity.prepare(emb.filter(F.col("vec_id") < 10))
     corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 10))
-    return similarity.brute_force_topk(queries, corpus, k=5, dim=64)
+    return similarity.brute_force_topk(queries, corpus, k=5)
 
 
 SIM_COSINE_TOPK_SQL = f"""
@@ -297,7 +297,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = similarity.prepare(emb.filter(F.col("vec_id") < 20))
     corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 20))
     return similarity.lsh_bucketed_topk(
-        queries, corpus, k=3, bits=4, probe_hamming=1, dim=64
+        queries, corpus, k=3, bits=4, probe_hamming=1
     )
 
 
@@ -349,7 +349,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
     )
     corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 28))
-    return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2, dim=64)
+    return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
 
 
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +358,8 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are what ``ivf_topk`` consumes at scale; training state is
     re-quantized integers, so the oracle reproduces it exactly."""
     prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
-    cents = similarity.kmeans_lite(prep, k=8, iters=1, dim=64)
-    assigned = similarity.ivf_assign(prep, cents, nprobe=1, dim=64)
+    cents = similarity.kmeans_lite(prep, k=8, iters=1)
+    assigned = similarity.ivf_assign(prep, cents, nprobe=1)
     return assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_members")
     ).select(F.col("list_id").alias("cluster_id"), "n_members")
