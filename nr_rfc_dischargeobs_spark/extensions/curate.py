@@ -44,12 +44,25 @@ def curate_corpus(
     text: str = "text",
     doc_id: str = "doc_id",
     cache_shingles: bool = False,
+    classifier_min_score: float | None = None,
+    entropy_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Returns the kept documents: (doc_id, n_words, uniq_ratio).
 
     Deterministic end-to-end: every survivor choice is a min over exact
     integers/hashes, so the output is reproducible across engines,
     partitionings, and retries.
+
+    Two OPTIONAL model-grade gates slot in after the rule gate (both off
+    by default — the registered query's oracle covers the rule-only
+    path; the gated variants are unit-tested):
+
+    - ``classifier_min_score`` — :func:`~.text.hash_classifier` mean
+      weight threshold (the fastText-shaped quality gate), scan-local;
+    - ``entropy_band`` — keep docs whose :func:`~.text.token_entropy`
+      falls inside ``(lo, hi)``: cuts keyboard-mash (high tail) and
+      template spam (low tail) in one screen; one combine-friendly
+      aggregation keyed by doc.
     """
     quality = tx.quality_scores(docs, text=text, doc_id=doc_id)
     gated_ids = quality.filter(
@@ -58,6 +71,21 @@ def curate_corpus(
         & (F.col("uniq_ratio") >= min_uniq)
     ).select(doc_id, "n_words", "uniq_ratio")
     gated = docs.join(gated_ids, doc_id)
+    if classifier_min_score is not None:
+        clf_ids = (
+            tx.hash_classifier(gated, text=text, doc_id=doc_id)
+            .filter(F.col("score") >= classifier_min_score)
+            .select(doc_id)
+        )
+        gated = gated.join(clf_ids, doc_id)
+    if entropy_band is not None:
+        lo, hi = entropy_band
+        ent_ids = (
+            tx.token_entropy(gated, text=text, doc_id=doc_id)
+            .filter(F.col("entropy").between(lo, hi))
+            .select(doc_id)
+        )
+        gated = gated.join(ent_ids, doc_id)
 
     # exact: min doc_id per normalized fingerprint.  groupBy-min, not a
     # row_number window: the survivor rule is a plain min, so the partial

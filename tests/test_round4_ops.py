@@ -420,3 +420,59 @@ def test_pq_adc_equals_exact_when_reconstruction_is_lossless(spark):
     for key, (nbr, score) in exact.items():
         assert adc[key][0] == nbr
         assert abs(adc[key][1] - score) < 1e-12
+
+
+# ------------------------------------------------------- curate v2 gates
+
+
+def test_curate_corpus_optional_gates(spark):
+    """The classifier / entropy gates compose into the batch pipeline:
+    off by default (output unchanged), and each drops exactly the docs
+    its operator scores outside the policy."""
+    from nr_rfc_dischargeobs_spark.extensions.curate import curate_corpus
+
+    texts = {
+        0: "the quick brown fox jumps over one lazy dog near the old river bank",
+        1: "a completely different sentence with many various distinct useful words here",
+        2: "spam spam spam spam spam spam spam spam spam spam ham ham",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    base = {
+        r["doc_id"]
+        for r in curate_corpus(docs, min_words=5, min_uniq=0.1).collect()
+    }
+    assert base == {0, 1, 2}
+
+    ent = {
+        r["doc_id"]: r["entropy"]
+        for r in __import__(
+            "nr_rfc_dischargeobs_spark.extensions.text", fromlist=["x"]
+        ).token_entropy(docs).collect()
+    }
+    # doc 2 is the low-entropy outlier by construction
+    assert ent[2] < min(ent[0], ent[1])
+    cut = (ent[2] + min(ent[0], ent[1])) / 2
+    banded = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_words=5, min_uniq=0.1, entropy_band=(cut, 100.0)
+        ).collect()
+    }
+    assert banded == {0, 1}
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in __import__(
+            "nr_rfc_dischargeobs_spark.extensions.text", fromlist=["x"]
+        ).hash_classifier(docs).collect()
+    }
+    mid = sorted(scores.values())[1]
+    gated = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_words=5, min_uniq=0.1, classifier_min_score=mid
+        ).collect()
+    }
+    assert gated == {d for d, sc in scores.items() if sc >= mid}
