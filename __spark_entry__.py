@@ -68,16 +68,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER is part of the driver contract: the correctness gate checks
-    # the FIRST 50 entries.  Round 3's window covered every operator family
-    # and came back 50/50 green; this round ROTATES the window to the
-    # queries that have only ever had the local tools/check_oracle.py
-    # replica — the 22 TPC-H shapes, the round-3 curation operators, the
-    # remaining ext/ts variants, the newly-oracled decode kernel — plus
-    # all NINE brand-new round-4 operators (containment, mix planner,
-    # semdedup, int8 audit, shard plan, source caps, classifier, entropy,
-    # PQ codes).  The slots this costs (six simple text scans + the
-    # cosine-topk re-check) are twice-hash-verified locally instead.
+    # Dict ORDER is part of the driver contract: the correctness gate
+    # checks the FIRST 50 entries.  Round 3's window covered every
+    # operator family 50/50 green; this round's window holds, in order:
+    # 22 TPC-H shapes, 3 dedup variants, 2 similarity variants, 2
+    # time-series additions, 8 round-3 curation operators, the
+    # newly-oracled decode kernel, 2 re-checks of r03-green plans the
+    # hash_bucket conv rewrite changed (split, stratified), and all 10
+    # brand-new round-4 operators (containment, mix planner, semdedup,
+    # int8 audit, PQ codes, PQ-ADC search, shard plan, source caps,
+    # classifier, entropy) = 50.  The displaced slots (six simple text
+    # scans, two metadata-only multimodal plans, the cosine-topk
+    # re-check) are twice-hash-verified locally instead.
     return {
         # relational core (S6 scans + joins + aggs) — never driver-checked
         "tpch_q1_pricing_summary": tpch.pricing_summary,
@@ -121,10 +123,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_pii_scrub": extensions.text_pii_scrub,
         "ext_text_chunk_windows": extensions.text_chunk_windows,
         "ext_text_top_terms": extensions.text_top_terms,
-        # multimodal — never driver-checked (decode newly hash-oracled)
-        "ext_mm_frame_sample": extensions.mm_frame_sample,
-        "ext_mm_resize_dims": extensions.mm_resize_dims,
+        # multimodal — decode newly hash-oracled, never driver-checked
         "ext_mm_decode_features": extensions.mm_decode_features,
+        # re-checks: the hash_bucket conv rewrite changed these two
+        # r03-green plans this round — driver re-verifies the new plan
+        "ext_sample_split": extensions.sample_deterministic_split,
+        "ext_sample_stratified": extensions.sample_stratified,
         # round-4 additions (never checked by anyone)
         "ext_dedup_containment": extensions.dedup_containment,  # new r4
         "ext_mix_token_rates": extensions.mix_token_rates,  # new r4
@@ -138,11 +142,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sim_pq_adc_topk": extensions.sim_pq_adc_topk,  # new r4
         # ---- driver 50-row window ends here ----
         # everything below was driver-green in CORRECTNESS_r03 (50/50) —
-        # or, for the six simple text scans and the cosine-topk re-check
-        # displaced when the nine newest operators claimed window slots,
-        # hash-verified twice locally (r3 judge + this round's sweep) —
-        # and stays replicable via tools/check_oracle.py
-        "ext_sample_stratified": extensions.sample_stratified,
+        # or, for the displaced rows (six text scans, frame_sample /
+        # resize_dims, cosine-topk), hash-verified twice locally (r3
+        # judge + this round's sweeps) — and stays replicable via
+        # tools/check_oracle.py
+        "ext_mm_frame_sample": extensions.mm_frame_sample,
+        "ext_mm_resize_dims": extensions.mm_resize_dims,
         "ext_text_token_counts": extensions.text_token_counts,
         "ext_text_lang_id": extensions.text_lang_id,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
@@ -205,7 +210,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_lsh_pairs": extensions.dedup_lsh_pairs,
         "ext_sim_ivf_topk": extensions.sim_ivf_topk,
         "ext_text_quality_scores": extensions.text_quality_scores,
-        "ext_sample_split": extensions.sample_deterministic_split,
         "ext_mm_blob_stats": extensions.mm_blob_stats,
     }
 

@@ -30,9 +30,9 @@ def hash_bucket(key: Column, salt: str = "split") -> Column:
     The earlier per-nibble instr-arithmetic spelling computed the same
     value but referenced ``h`` four times, and inside higher-order
     functions (CodegenFallback, no common-subexpression elimination) that
-    re-evaluated the md5 4× per token — measured 120 s → 24.5 s for the
-    hashed classifier at 1M×60-token docs (the residual is the one
-    genuine md5 per token).  The DuckDB twin keeps the
+    re-evaluated the md5 4× per token — a ~4× win for the hashed
+    classifier at 1M×60-token docs (120 s → 24.5-35 s across probe runs;
+    the residual is the one genuine md5 per token).  The DuckDB twin keeps the
     nibble arithmetic (same value; it only runs on test-sized inputs).
     """
     h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
@@ -272,7 +272,7 @@ def shard_plan_sql(
 SELECT {key_sql} AS key, {shard} AS shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY {shard}
                                ORDER BY {order_hex}, {key_sql}) - 1
-            AS BIGINT) AS pos,
+            AS INT) AS pos,
        {order_hex} AS order_hex
 FROM {table}
 """.strip()
@@ -298,7 +298,10 @@ def source_caps(
     final-ranks the ≤ cap·buckets survivors per domain.  The survivor set
     provably contains the global top-cap (any doc in the true top-cap is
     in its slice's top-cap), so the result is IDENTICAL to the naive
-    rank while the heaviest sort any task sees is cap·buckets rows.
+    rank.  Honest bound: stage 1 still sorts |domain|/buckets rows on
+    one task — a ×buckets parallelism improvement, not a cap bound (size
+    ``prerank_buckets`` to the hottest domain); only stage 2's sort is
+    cap·buckets-bounded.
     Dropped docs rejoin with ``kept = false`` via a broadcast-friendly
     left anti shape (the keeper set is |strata|·cap rows).
 

@@ -536,6 +536,7 @@ def semantic_dedup(
     centroids: DataFrame,
     threshold: float = 0.3,
     dim: int | None = None,
+    materialize_assignment: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): assign every vector to its nearest coarse centroid,
@@ -545,8 +546,11 @@ def semantic_dedup(
     This is the published scale recipe for embedding dedup: the all-pairs
     |corpus|² comparison becomes Σ|cluster|², and the cluster count k is a
     dial (SemDeDup uses k ≈ 10⁴–10⁵ at web scale so clusters stay
-    ~10³-sized).  Plan shape: centroids broadcast (assignment never
-    shuffles the corpus — :func:`ivf_assign`), then ONE shuffle keyed by
+    ~10³-sized).  Plan shape: centroids broadcast, assignment is
+    :func:`ivf_assign`'s scan + broadcast join + per-vector argmin
+    window, materialized ONCE (``materialize_assignment`` — it feeds
+    both sides of the pair join and the audit output; it is the IVF
+    index, a stored artifact in production), then ONE shuffle keyed by
     ``cluster_id`` for the self-join; per-cluster pair generation is
     node-local after that.  Skewed clusters are the known failure mode at
     fleet scale — AQE skew-join splits them, and the k dial is the real
@@ -565,6 +569,14 @@ def semantic_dedup(
     Output: (vec_id, cluster_id, kept boolean, canonical_id).
     """
     assigned = ivf_assign(prepared, centroids, 1, dim)
+    if materialize_assignment:
+        # the assignment feeds BOTH sides of the pair join AND the final
+        # audit output — three references to an un-materialized subtree
+        # would recompute the corpus-wide argmin window three times.  In
+        # production the assignment IS a stored artifact (it is the IVF
+        # index); localCheckpoint reproduces that contract here, same as
+        # the PQ codes table and the connected-components loop.
+        assigned = assigned.localCheckpoint()
     a = assigned.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -623,7 +635,9 @@ def quantize_int8_stats(prepared: DataFrame) -> DataFrame:
     discipline).  A dimension with m = 0 is constant-zero: its code and
     error are 0 by definition (guards the 0/0).
 
-    Output: (vec_id, n_dims, sse127, max_abs_err127, int8_sq_norm).
+    Output: (vec_id, n_dims, sse127, max_abs_err127, int8_sq_norm,
+    max_abs_code) — the last column pins the grid promise directly:
+    |code| ≤ 127 for every dimension (|e| ≤ m ⇒ |round(e·127/m)| ≤ 127).
     """
     dims = prepared.select(F.posexplode(F.col("q")).alias("pos", "e"))
     scales = (
@@ -649,6 +663,7 @@ def quantize_int8_stats(prepared: DataFrame) -> DataFrame:
         isum(F.transform(err, lambda x: x * x)).alias("sse127"),
         F.array_max(F.transform(err, F.abs)).alias("max_abs_err127"),
         isum(F.transform(codes, lambda x: x * x)).alias("int8_sq_norm"),
+        F.array_max(F.transform(codes, F.abs)).alias("max_abs_code"),
     )
 
 
@@ -677,7 +692,8 @@ def pq_codes(
     the whole encode inside one whole-stage-codegen span.  The price is
     a FIXED ~3 s of plan/codegen compilation for the ~m·k·dsub-term tree
     — invisible at fleet scale, dominant at toy scale: encoding 200k×64-d
-    vectors measures 2.2 s warm, the same wall as 500 vectors.)
+    vectors measures ~2 s warm (1.9 s in SCALE_PROBE.json), the same
+    wall as 500 vectors.)
 
     Exactness: subvector distances are ``nsub + cn − 2·dot`` over exact
     BIGINTs (cn folded in Python — exact), ties break to the smaller

@@ -1184,7 +1184,8 @@ per AS (
 SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
        CAST(SUM(err * err) AS BIGINT) AS sse127,
        CAST(MAX(abs(err)) AS BIGINT) AS max_abs_err127,
-       CAST(SUM(c * c) AS BIGINT) AS int8_sq_norm
+       CAST(SUM(c * c) AS BIGINT) AS int8_sq_norm,
+       CAST(MAX(abs(c)) AS BIGINT) AS max_abs_code
 FROM err GROUP BY vec_id
 """
 

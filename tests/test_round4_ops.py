@@ -113,11 +113,14 @@ def test_quantize_int8_hand_computed(spark):
     assert out[1]["int8_sq_norm"] == 64 * 64
     assert out[2]["sse127"] == 0 and out[2]["max_abs_err127"] == 0
     assert all(r["n_dims"] == 2 for r in out.values())
+    assert [out[i]["max_abs_code"] for i in (0, 1, 2)] == [127, 64, 127]
 
 
 def test_quantize_int8_codes_bounded(spark):
     # |code| ≤ 127 by construction (e ≤ m ⇒ |e·127/m| ≤ 127) — the whole
-    # point of the audit is that the int8 grid is actually int8.
+    # point of the audit is that the int8 grid is actually int8.  The
+    # per-dimension max_abs_code column pins it directly per row (an
+    # aggregate norm bound could hide a single out-of-range code).
     import math
 
     emb = _emb(
@@ -125,10 +128,8 @@ def test_quantize_int8_codes_bounded(spark):
         [(i, [math.sin(i * 1.7), math.cos(i * 0.9)]) for i in range(20)],
     )
     out = similarity.quantize_int8_stats(similarity.prepare(emb))
-    # int8_sq_norm ≤ dims·127² bounds every per-dim code
-    assert (
-        out.filter(F.col("int8_sq_norm") > 2 * 127 * 127).count() == 0
-    )
+    assert out.filter(F.col("max_abs_code") > 127).count() == 0
+    assert out.filter(F.col("int8_sq_norm") > 2 * 127 * 127).count() == 0
 
 
 # ---------------------------------------------------------------- shard plan
