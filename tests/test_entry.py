@@ -79,6 +79,15 @@ def test_results_identical_across_shuffle_partitionings(spark):
         "ext_contamination_ngram",
         "ts_cusum_drift",
         "ext_text_top_terms",
+        # round-4 operators: a cluster-keyed self-join over a materialized
+        # assignment, a two-stage rank that must equal the naive one, a
+        # per-shard dense index, an integer-grid float entropy, and the
+        # PQ encode + compressed-corpus search pair
+        "ext_sim_semantic_dedup",
+        "ext_sample_source_caps",
+        "ext_sample_shard_plan",
+        "ext_text_entropy",
+        "ext_sim_pq_adc_topk",
     ):
         results = []
         for parts in ("3", "32"):
