@@ -71,15 +71,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate
     # checks the FIRST 50 entries.  Round 3's window covered every
     # operator family 50/50 green; this round's window holds, in order:
-    # 22 TPC-H shapes, 3 dedup variants, 2 similarity variants, 2
+    # 22 TPC-H shapes, 2 dedup variants, 2 similarity variants, 2
     # time-series additions, 8 round-3 curation operators, the
     # newly-oracled decode kernel, 2 re-checks of r03-green plans the
-    # hash_bucket conv rewrite changed (split, stratified), and all 10
+    # hash_bucket conv rewrite changed (split, stratified), and all 11
     # brand-new round-4 operators (containment, mix planner, semdedup,
-    # int8 audit, PQ codes, PQ-ADC search, shard plan, source caps,
-    # classifier, entropy) = 50.  The displaced slots (six simple text
-    # scans, two metadata-only multimodal plans, the cosine-topk
-    # re-check) are twice-hash-verified locally instead.
+    # int8 audit, PQ codes, PQ-ADC search, semantic contamination,
+    # shard plan, source caps, classifier, entropy) = 50.  The displaced
+    # slots (six simple text scans, simhash, two metadata-only
+    # multimodal plans, the cosine-topk re-check) are twice-hash-verified
+    # locally instead.
     return {
         # relational core (S6 scans + joins + aggs) — never driver-checked
         "tpch_q1_pricing_summary": tpch.pricing_summary,
@@ -105,7 +106,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
         "tpch_q20_excess_shippers": tpch.excess_shippers,
         # dedup variants — never driver-checked
-        "ext_dedup_simhash": extensions.dedup_simhash,
         "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
         "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
         # similarity variants — never driver-checked
@@ -140,14 +140,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_entropy": extensions.text_entropy,  # new r4
         "ext_sim_pq_codes": extensions.sim_pq_codes,  # new r4
         "ext_sim_pq_adc_topk": extensions.sim_pq_adc_topk,  # new r4
+        "ext_contamination_semantic": extensions.contamination_semantic,  # new r4
         # ---- driver 50-row window ends here ----
         # everything below was driver-green in CORRECTNESS_r03 (50/50) —
-        # or, for the displaced rows (six text scans, frame_sample /
-        # resize_dims, cosine-topk), hash-verified twice locally (r3
-        # judge + this round's sweeps) — and stays replicable via
-        # tools/check_oracle.py
+        # or, for the displaced rows (six text scans, simhash,
+        # frame_sample / resize_dims, cosine-topk), hash-verified twice
+        # locally (r3 judge + this round's sweeps) — and stays
+        # replicable via tools/check_oracle.py
         "ext_mm_frame_sample": extensions.mm_frame_sample,
         "ext_mm_resize_dims": extensions.mm_resize_dims,
+        "ext_dedup_simhash": extensions.dedup_simhash,
         "ext_text_token_counts": extensions.text_token_counts,
         "ext_text_lang_id": extensions.text_lang_id,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
@@ -299,6 +301,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_text_entropy": extensions.TEXT_ENTROPY_SQL,
         "ext_sim_pq_codes": extensions.SIM_PQ_CODES_SQL,
         "ext_sim_pq_adc_topk": extensions.SIM_PQ_ADC_TOPK_SQL,
+        "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,
         "ext_dedup_embedding_neardup": extensions.DEDUP_EMBEDDING_NEARDUP_SQL,
         "ext_dedup_cc_clusters": extensions.DEDUP_CC_CLUSTERS_SQL,

@@ -846,3 +846,55 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_adc")
     )
+
+
+def semantic_contamination(
+    benchmark: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination screen: for every benchmark (eval)
+    vector, how much of the training corpus sits within ``threshold``
+    cosine — the semantic complement to
+    :func:`~.contamination.ngram_contamination` (paraphrased leakage has
+    no shared n-grams but lands next to its source in embedding space;
+    release checklists run BOTH screens).
+
+    Same posture as the n-gram screen: the benchmark side is small and
+    BROADCAST, the corpus is scanned ONCE and never shuffles; the only
+    exchange is the |benchmark|-row final aggregate.  Per benchmark
+    vector: how many corpus vectors are within the threshold, the
+    closest cosine, and the closest corpus id (the evidence row an
+    auditor pulls) — ``max_cosine``/``nearest_id`` come from one
+    order-independent ``MIN(struct(−cosine, id))``, so ties break to the
+    smaller corpus id in any engine.  Zero-norm vectors are excluded on
+    both sides, like every cosine kernel here.
+
+    Output: (bench_id, n_contaminated, max_cosine, nearest_id).
+    """
+    b = benchmark.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("q").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    c = corpus.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "bench_id",
+        "neighbor_id",
+        cosine(dot(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    best = F.min(F.struct((-F.col("cosine")).alias("nc"), F.col("neighbor_id")))
+    return scored.groupBy("bench_id").agg(
+        F.sum((F.col("cosine") >= threshold).cast("long")).alias(
+            "n_contaminated"
+        ),
+        (-best["nc"]).alias("max_cosine"),
+        best["neighbor_id"].alias("nearest_id"),
+    )

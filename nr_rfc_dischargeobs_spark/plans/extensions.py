@@ -1415,3 +1415,46 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= 3
 """
+
+
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leakage screen: benchmark vec_id < 30
+    broadcast against the vec_id ≥ 30 corpus, cosine ≥ 0.3 counted per
+    benchmark vector with the nearest corpus id as evidence."""
+    emb = load(spark, sf_dir, "embeddings")
+    bench = similarity.prepare(emb.filter(F.col("vec_id") < 30))
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 30))
+    return similarity.semantic_contamination(bench, corpus, threshold=0.3)
+
+
+CONTAMINATION_SEMANTIC_SQL = f"""
+WITH ub AS (
+{_UNNEST_Q.format(pred="vec_id < 30")}
+), uc AS (
+{_UNNEST_Q.format(pred="vec_id >= 30")}
+), nb AS (SELECT vec_id, SUM(e * e) AS n FROM ub GROUP BY 1),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uc GROUP BY 1),
+d AS (
+  SELECT ub.vec_id AS bench_id, uc.vec_id AS neighbor_id,
+         SUM(ub.e * uc.e) AS dot
+  FROM ub JOIN uc ON ub.i = uc.i GROUP BY 1, 2
+), scored AS (
+  SELECT bench_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(nb.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE)))
+           AS cosine
+  FROM d JOIN nb ON bench_id = nb.vec_id JOIN nc ON neighbor_id = nc.vec_id
+  WHERE nb.n > 0 AND nc.n > 0
+), nearest AS (
+  SELECT bench_id, neighbor_id AS nearest_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bench_id
+                             ORDER BY cosine DESC, neighbor_id ASC) = 1
+)
+SELECT s.bench_id,
+       CAST(SUM(CASE WHEN s.cosine >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       MAX(s.cosine) AS max_cosine,
+       MAX(nearest.nearest_id) AS nearest_id
+FROM scored s JOIN nearest ON s.bench_id = nearest.bench_id
+GROUP BY 1
+"""

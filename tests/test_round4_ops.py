@@ -477,3 +477,36 @@ def test_curate_corpus_optional_gates(spark):
         ).collect()
     }
     assert gated == {d for d, sc in scores.items() if sc >= mid}
+
+
+# ------------------------------------------------- semantic contamination
+
+
+def test_semantic_contamination_finds_planted_leak(spark):
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        prepare,
+        semantic_contamination,
+    )
+
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),        # benchmark: leaked into corpus as 10
+            (1, [0.0, 1.0]),        # benchmark: clean
+            (2, [0.0, 0.0]),        # benchmark: zero-norm → excluded
+            (10, [0.99, 0.01]),     # near-copy of bench 0
+            (11, [-1.0, 0.01]),     # far from both
+        ],
+    )
+    bench = prepare(emb.filter(F.col("vec_id") < 10))
+    corpus = prepare(emb.filter(F.col("vec_id") >= 10))
+    out = {
+        r["bench_id"]: r
+        for r in semantic_contamination(bench, corpus, 0.9).collect()
+    }
+    assert set(out) == {0, 1}  # zero-norm bench vector excluded
+    assert out[0]["n_contaminated"] == 1
+    assert out[0]["nearest_id"] == 10
+    assert out[0]["max_cosine"] > 0.99
+    assert out[1]["n_contaminated"] == 0
+    assert out[1]["max_cosine"] < 0.9
