@@ -208,7 +208,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force recall oracle in tests)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     return similarity.lsh_neardup_pairs(
-        similarity.prepare(emb), threshold=0.3, bits=4, dim=64
+        similarity.prepare(emb), threshold=0.3, bits=4
     )
 
 
