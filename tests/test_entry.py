@@ -98,3 +98,31 @@ def test_results_identical_across_shuffle_partitionings(spark):
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
             results.append(rows)
         assert results[0] == results[1], name
+
+
+def test_results_identical_with_aqe_disabled(spark):
+    """The complementary re-plan axis to the shuffle-partition sweep:
+    adaptive execution (coalesced partitions, runtime join re-selection,
+    skew splits) must never change VALUES — only plans.  Representative
+    shapes: a broadcast-or-shuffle join aggregate, a cluster self-join
+    over a materialized assignment, a two-stage rank, and the PQ
+    encode + compressed search pair."""
+    import __spark_entry__ as e
+
+    queries = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "ext_text_top_terms",
+        "ext_sim_semantic_dedup",
+        "ext_sample_source_caps",
+        "ext_sim_pq_adc_topk",
+    ):
+        results = []
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            try:
+                rows = sorted(map(tuple, queries[name](spark, sf).collect()))
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+            results.append(rows)
+        assert results[0] == results[1], name
