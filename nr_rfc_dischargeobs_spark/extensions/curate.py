@@ -110,10 +110,41 @@ def curate_corpus(
     # Trigram shingles + r=2 bands: unigrams over a small vocabulary give
     # every pair high baseline overlap (candidates ≈ n²); trigrams make
     # overlap track real similarity and r=2 suppresses the rest as s².
+    dropped = near_dup_drop_ids(
+        survivors,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        text=text,
+        doc_id=doc_id,
+        cache_shingles=cache_shingles,
+    )
+    kept = survivors.join(dropped, doc_id, "left_anti")
+    return kept.select(doc_id, "n_words", "uniq_ratio")
+
+
+def near_dup_drop_ids(
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    cache_shingles: bool = False,
+) -> DataFrame:
+    """The near-dup DROP LIST (one ``doc_id`` column): the higher id of
+    every Jaccard-verified MinHash-LSH candidate pair.  Shared by the
+    composed batch pipeline (:func:`curate_corpus`) and the periodic
+    compaction job over landed streaming output
+    (:func:`~..streaming.documents.compact_near_dups`) — one rule, two
+    drivers, like every other gate.
+    """
     # the shingle table feeds signatures, sizes, and both sides of the
     # intersection join; caching it trades memory for 4 subtree re-scans
     # (at fleet scale, materialize it as a table instead)
-    shingles = dd.shingle_rows(survivors, text=text, doc_id=doc_id, n=shingle_n)
+    shingles = dd.shingle_rows(docs, text=text, doc_id=doc_id, n=shingle_n)
     if cache_shingles:
         shingles = shingles.persist()
     sigs = dd.minhash_signatures(
@@ -152,6 +183,4 @@ def curate_corpus(
             >= jaccard_threshold
         )
     )
-    dropped = verified.select(F.col("doc_b").alias(doc_id)).distinct()
-    kept = survivors.join(dropped, doc_id, "left_anti")
-    return kept.select(doc_id, "n_words", "uniq_ratio")
+    return verified.select(F.col("doc_b").alias(doc_id)).distinct()

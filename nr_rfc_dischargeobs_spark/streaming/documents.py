@@ -102,3 +102,54 @@ def curate_document_stream(
     return fingerprinted.withWatermark(
         ts, watermark
     ).dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def compact_near_dups(
+    spark: SparkSession,
+    landed_dir: str,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> tuple[int, int]:
+    """The periodic BATCH compaction this module's header promises: LSH
+    near-dup candidate generation is a corpus-wide self-join — not an
+    incremental-state shape — so the stream lands exact-deduped documents
+    and THIS job sweeps the landed directory on a schedule (the standard
+    lambda split: streaming handles per-arrival work, compaction handles
+    corpus-wide work).
+
+    Drop rule is the batch pipeline's exactly
+    (:func:`~..extensions.curate.near_dup_drop_ids` — higher doc_id of
+    every Jaccard-verified pair), so a corpus curated by the stream +
+    this sweep converges to what the batch pipeline would have produced.
+    The rewrite is staged-then-swapped (write to ``<dir>.compacting``,
+    atomically rename over the original) so a reader never sees a
+    half-written directory — the same ``.part`` discipline as the
+    landing-zone fetcher.
+
+    Returns (kept_rows, dropped_rows).
+    """
+    import shutil
+
+    from ..extensions.curate import near_dup_drop_ids
+
+    docs = spark.read.parquet(landed_dir)
+    drops = near_dup_drop_ids(
+        docs,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+
+    staged = landed_dir.rstrip("/") + ".compacting"
+    backup = landed_dir.rstrip("/") + ".precompact"
+    kept.write.mode("overwrite").parquet(staged)
+    kept_n = spark.read.parquet(staged).count()
+    total = docs.count()
+    shutil.move(landed_dir, backup)
+    shutil.move(staged, landed_dir)
+    shutil.rmtree(backup)
+    return kept_n, total - kept_n

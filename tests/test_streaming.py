@@ -468,3 +468,36 @@ def test_stream_source_caps_across_microbatches(spark, tmp_path):
         5: (False, 4),
         6: (True, 2),
     }
+
+
+def test_compact_near_dups_sweeps_landed_directory(spark, tmp_path):
+    """The periodic near-dup compaction over landed output: drops the
+    higher id of a verified near-dup pair, leaves distinct docs, and
+    swaps the directory atomically (no .compacting/.precompact residue)."""
+    import os
+
+    from nr_rfc_dischargeobs_spark.streaming.documents import (
+        compact_near_dups,
+    )
+
+    landed = str(tmp_path / "landed")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),  # trigram-Jaccard near-dup of 1
+            (3, "completely different content about spark engines at scale"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(landed)
+
+    kept_n, dropped_n = compact_near_dups(
+        spark, landed, jaccard_threshold=0.6
+    )
+    assert (kept_n, dropped_n) == (2, 1)
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(landed).collect()
+    )
+    assert ids == [1, 3]  # higher id of the pair dropped
+    assert not os.path.exists(landed + ".compacting")
+    assert not os.path.exists(landed + ".precompact")
