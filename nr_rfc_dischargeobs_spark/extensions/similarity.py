@@ -104,25 +104,7 @@ def brute_force_topk(
     oracle, which is what keeps all three kernels each other's oracle on
     degenerate inputs.
     """
-    queries = queries.filter(F.col("n") > 0)
-    corpus = corpus.filter(F.col("n") > 0)
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("n").alias("qn"),
-    )
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("cv"),
-        F.col("n").alias("cn"),
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        cosine(
-            dot(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")
-        ).alias("cosine"),
-    )
+    scored = broadcast_scored_pairs(queries, corpus, dim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -130,6 +112,34 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def broadcast_scored_pairs(
+    queries: DataFrame, corpus: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """The shared bounded-batch scoring scaffold: zero-norm exclusion on
+    both sides, queries BROADCAST, one corpus pass, every (query,
+    neighbor) pair scored — (query_id, neighbor_id, cosine).  The exact
+    baseline (:func:`brute_force_topk`) ranks it; the decontamination
+    screen (:func:`semantic_contamination`) aggregates it — one posture,
+    one place to fix it."""
+    q = queries.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    c = corpus.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    return c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(
+            dot(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
 
 
@@ -574,9 +584,12 @@ def semantic_dedup(
         # audit output — three references to an un-materialized subtree
         # would recompute the corpus-wide argmin window three times.  In
         # production the assignment IS a stored artifact (it is the IVF
-        # index); localCheckpoint reproduces that contract here, same as
-        # the PQ codes table and the connected-components loop.
-        assigned = assigned.localCheckpoint()
+        # index).  persist(), not localCheckpoint(): lazy (building the
+        # plan stays free — the plan audit explains registered queries
+        # without running them), recompute-safe under executor loss, and
+        # the physical plan stays visible to PLANS.md (a checkpoint
+        # collapses the whole subtree to an opaque ExistingRDD scan).
+        assigned = assigned.persist()
     a = assigned.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -873,22 +886,8 @@ def semantic_contamination(
 
     Output: (bench_id, n_contaminated, max_cosine, nearest_id).
     """
-    b = benchmark.filter(F.col("n") > 0).select(
-        F.col("vec_id").alias("bench_id"),
-        F.col("q").alias("qv"),
-        F.col("n").alias("qn"),
-    )
-    c = corpus.filter(F.col("n") > 0).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("cv"),
-        F.col("n").alias("cn"),
-    )
-    scored = c.crossJoin(F.broadcast(b)).select(
-        "bench_id",
-        "neighbor_id",
-        cosine(dot(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")).alias(
-            "cosine"
-        ),
+    scored = broadcast_scored_pairs(benchmark, corpus, dim).select(
+        F.col("query_id").alias("bench_id"), "neighbor_id", "cosine"
     )
     best = F.min(F.struct((-F.col("cosine")).alias("nc"), F.col("neighbor_id")))
     return scored.groupBy("bench_id").agg(

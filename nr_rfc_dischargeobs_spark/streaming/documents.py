@@ -123,33 +123,76 @@ def compact_near_dups(
     (:func:`~..extensions.curate.near_dup_drop_ids` — higher doc_id of
     every Jaccard-verified pair), so a corpus curated by the stream +
     this sweep converges to what the batch pipeline would have produced.
-    The rewrite is staged-then-swapped (write to ``<dir>.compacting``,
-    atomically rename over the original) so a reader never sees a
-    half-written directory — the same ``.part`` discipline as the
-    landing-zone fetcher.
+
+    Operational contract — stated, not hand-waved:
+
+    - **Run quiesced.** The sweep rewrites the directory; run it between
+      ``AvailableNow`` drains (the module's drain-then-exit cron model),
+      on a plain parquet corpus directory this job manages — NOT inside
+      a live ``writeStream`` sink's output (rewriting would orphan the
+      sink's ``_spark_metadata`` exactly-once log).
+    - **Concurrent landings are detected, never deleted.** The file set
+      is snapshotted before the read and re-listed before the swap; if
+      anything landed meanwhile the sweep ABORTS (stage removed, corpus
+      untouched, ``RuntimeError``) and the next cycle retries.
+    - **Crash-recoverable, not atomic.** POSIX cannot swap two
+      directories atomically; there is a window where ``landed_dir`` is
+      the freshly staged copy's rename target.  Every crash point is
+      recoverable from the ``.precompact`` backup, and recovery runs
+      automatically at the next invocation (backup present + dir missing
+      → restore; backup present + dir present → finished swap, drop
+      backup).
 
     Returns (kept_rows, dropped_rows).
     """
+    import os
     import shutil
 
     from ..extensions.curate import near_dup_drop_ids
 
-    docs = spark.read.parquet(landed_dir)
+    base = landed_dir.rstrip("/")
+    staged = base + ".compacting"
+    backup = base + ".precompact"
+
+    # recover from a previous crashed sweep before touching anything
+    if os.path.exists(backup):
+        if not os.path.exists(base):
+            shutil.move(backup, base)  # died between the two moves
+        else:
+            shutil.rmtree(backup)  # died after the swap, before cleanup
+    if os.path.exists(staged):
+        shutil.rmtree(staged)  # stale stage from an aborted run
+
+    def listing() -> list[tuple[str, int]]:
+        out = []
+        for root, _, files in os.walk(base):
+            for f in files:
+                p = os.path.join(root, f)
+                out.append((os.path.relpath(p, base), os.path.getsize(p)))
+        return sorted(out)
+
+    snapshot = listing()
+    docs = spark.read.parquet(base)
+    total = docs.count()
     drops = near_dup_drop_ids(
         docs,
         bands=bands,
         rows_per_band=rows_per_band,
         shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold,
+        cache_shingles=True,
     )
-    kept = docs.join(drops, "doc_id", "left_anti")
-
-    staged = landed_dir.rstrip("/") + ".compacting"
-    backup = landed_dir.rstrip("/") + ".precompact"
+    dropped_n = drops.count()  # the drop list is tiny — count it, not
+    kept = docs.join(drops, "doc_id", "left_anti")  # the whole corpus ×2
     kept.write.mode("overwrite").parquet(staged)
-    kept_n = spark.read.parquet(staged).count()
-    total = docs.count()
-    shutil.move(landed_dir, backup)
-    shutil.move(staged, landed_dir)
+
+    if listing() != snapshot:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_near_dups: {base} changed during the sweep; "
+            "aborted without touching the corpus — re-run quiesced"
+        )
+    shutil.move(base, backup)
+    shutil.move(staged, base)
     shutil.rmtree(backup)
-    return kept_n, total - kept_n
+    return total - dropped_n, dropped_n

@@ -501,3 +501,68 @@ def test_compact_near_dups_sweeps_landed_directory(spark, tmp_path):
     assert ids == [1, 3]  # higher id of the pair dropped
     assert not os.path.exists(landed + ".compacting")
     assert not os.path.exists(landed + ".precompact")
+
+
+def test_compact_near_dups_aborts_on_concurrent_landing(spark, tmp_path):
+    """A file landing mid-sweep triggers the abort: staged dir removed,
+    corpus untouched, RuntimeError raised — never silent deletion."""
+    import os
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.extensions import curate as curate_mod
+    from nr_rfc_dischargeobs_spark.streaming.documents import (
+        compact_near_dups,
+    )
+
+    landed = str(tmp_path / "landed_abort")
+    spark.createDataFrame(
+        [(1, "some document text here"), (2, "other totally different")],
+        ["doc_id", "text"],
+    ).write.parquet(landed)
+    before = sorted(os.listdir(landed))
+
+    real = curate_mod.near_dup_drop_ids
+
+    def landing_mid_sweep(*a, **kw):
+        (tmp_path / "landed_abort" / "late-arrival.parquet").write_bytes(
+            b"PAR1"
+        )
+        return real(*a, **kw)
+
+    with mock.patch.object(
+        curate_mod, "near_dup_drop_ids", side_effect=landing_mid_sweep
+    ):
+        with _pytest.raises(RuntimeError, match="changed during the sweep"):
+            compact_near_dups(spark, landed)
+    assert "late-arrival.parquet" in os.listdir(landed)  # corpus untouched
+    assert sorted(
+        f for f in os.listdir(landed) if f != "late-arrival.parquet"
+    ) == before
+    assert not os.path.exists(landed + ".compacting")
+
+
+def test_compact_near_dups_recovers_from_crashed_swap(spark, tmp_path):
+    """Backup present + corpus dir missing (a crash between the two
+    moves) restores the backup before sweeping."""
+    import os
+    import shutil
+
+    from nr_rfc_dischargeobs_spark.streaming.documents import (
+        compact_near_dups,
+    )
+
+    landed = str(tmp_path / "landed_crash")
+    spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg"), (2, "totally different words here")],
+        ["doc_id", "text"],
+    ).write.parquet(landed)
+    # simulate the crash window: dir renamed to backup, swap never done
+    shutil.move(landed, landed + ".precompact")
+    assert not os.path.exists(landed)
+
+    kept_n, dropped_n = compact_near_dups(spark, landed)
+    assert (kept_n, dropped_n) == (2, 0)
+    assert os.path.exists(landed)
+    assert not os.path.exists(landed + ".precompact")
