@@ -1355,12 +1355,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
     # encode-once / search-many is PQ's production contract: the codes
     # table is a stored artifact (pq_codes → write; searches scan it).
-    # localCheckpoint reproduces that here — and keeps the optimizer from
-    # collapsing the encode expression into every ADC reference (measured
-    # 16 s → 0.6 s on this composed plan)
+    # persist() reproduces that here — the cache substitution keeps the
+    # optimizer from re-inlining the encode expression into every ADC
+    # reference (un-materialized: 16 s analyze per action), while staying
+    # lazy (plan audit never runs a job) and recompute-safe
     codes = similarity.pq_codes(
         prep.filter(F.col("vec_id") >= 28), cents, m=4, dim=64
-    ).localCheckpoint()
+    ).persist()
     return similarity.pq_adc_topk(queries, codes, cents, k=3, m=4, dim=64)
 
 
