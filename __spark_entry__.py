@@ -106,7 +106,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
         "tpch_q20_excess_shippers": tpch.excess_shippers,
         # dedup variants — never driver-checked
-        "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
         "ext_dedup_embedding_neardup": extensions.dedup_embedding_neardup,
         # similarity variants — never driver-checked
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
@@ -141,6 +140,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sim_pq_codes": extensions.sim_pq_codes,  # new r4
         "ext_sim_pq_adc_topk": extensions.sim_pq_adc_topk,  # new r4
         "ext_contamination_semantic": extensions.contamination_semantic,  # new r4
+        "ext_curate_semantic": extensions.curate_semantic,  # new r4
         # ---- driver 50-row window ends here ----
         # everything below was driver-green in CORRECTNESS_r03 (50/50) —
         # or, for the displaced rows (six text scans, simhash,
@@ -150,6 +150,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_mm_frame_sample": extensions.mm_frame_sample,
         "ext_mm_resize_dims": extensions.mm_resize_dims,
         "ext_dedup_simhash": extensions.dedup_simhash,
+        "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
         "ext_text_token_counts": extensions.text_token_counts,
         "ext_text_lang_id": extensions.text_lang_id,
         "ext_text_ngram_stats": extensions.text_ngram_stats,
@@ -302,6 +303,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_pq_codes": extensions.SIM_PQ_CODES_SQL,
         "ext_sim_pq_adc_topk": extensions.SIM_PQ_ADC_TOPK_SQL,
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
+        "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,
         "ext_dedup_embedding_neardup": extensions.DEDUP_EMBEDDING_NEARDUP_SQL,
         "ext_dedup_cc_clusters": extensions.DEDUP_CC_CLUSTERS_SQL,

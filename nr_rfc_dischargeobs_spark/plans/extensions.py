@@ -8,7 +8,7 @@ so every score column is bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..extensions import (
@@ -1458,4 +1458,104 @@ SELECT s.bench_id,
        MAX(nearest.nearest_id) AS nearest_id
 FROM scored s JOIN nearest ON s.bench_id = nearest.bench_id
 GROUP BY 1
+"""
+
+
+def curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup production flow end-to-end: rule-gate the documents,
+    join each survivor to its embedding (vec_id ≡ doc_id in the driver
+    testdata), coarse-cluster on the 8 smallest surviving ids, drop
+    within-cluster semantic near-dups — per-doc audit row out.
+
+    INNER-join semantics, stated: a gated doc with no embedding row
+    falls out (at sf0.1 the driver testdata has 5,000 docs but 2,000
+    embeddings — 997 of 2,434 gated docs carry one).  That is the
+    production contract too: the embedding stage runs first, and
+    SemDeDup only sees embedded docs.
+
+    Scale shape: the gate is scan-fused on the documents side; the
+    doc↔embedding join is a key-equality join (co-locatable by bucketing
+    both tables on the id at fleet scale); everything after is
+    :func:`~..extensions.similarity.semantic_dedup`'s audited plan."""
+    docs = load(spark, sf_dir, "documents")
+    quality = textops.quality_scores(docs)
+    gated = quality.filter(
+        (F.col("n_words") >= 25) & (F.col("uniq_ratio") >= 0.4)
+    ).select("doc_id", "n_words")
+    emb = load(spark, sf_dir, "embeddings")
+    prep = similarity.prepare(
+        emb.join(gated, emb["vec_id"] == gated["doc_id"]).select(
+            "vec_id", "embedding"
+        )
+    )
+    cents = (
+        prep.withColumn(
+            "__rn",
+            F.row_number().over(Window.orderBy(F.col("vec_id").asc())),
+        )
+        .filter(F.col("__rn") <= 8)
+        .drop("__rn")
+    )
+    out = similarity.semantic_dedup(prep, cents, threshold=0.3, dim=64)
+    return out.join(
+        gated, out["vec_id"] == gated["doc_id"]
+    ).select(
+        "doc_id", "n_words", "cluster_id", "kept", "canonical_id"
+    )
+
+
+CURATE_SEMANTIC_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+  FROM documents
+), gated AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM q
+  WHERE n_words >= 25
+    AND CAST(n_distinct AS DOUBLE) / n_words >= 0.4
+), u0 AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), u AS (
+  SELECT u0.* FROM u0 JOIN gated ON u0.vec_id = gated.doc_id
+), nv AS (SELECT vec_id, SUM(e * e) AS n FROM u GROUP BY 1),
+seeds AS (
+  SELECT vec_id FROM nv
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8
+), c0 AS (
+  SELECT u.vec_id AS cid, u.e, u.i FROM u JOIN seeds USING (vec_id)
+), cn0 AS (SELECT cid, SUM(e * e) AS cn FROM c0 GROUP BY 1),
+d1 AS (
+  SELECT u.vec_id, c0.cid, nv.n + cn0.cn - 2 * SUM(u.e * c0.e) AS d
+  FROM u JOIN c0 ON u.i = c0.i
+  JOIN nv ON u.vec_id = nv.vec_id
+  JOIN cn0 ON c0.cid = cn0.cid
+  GROUP BY 1, 2, nv.n, cn0.cn
+), a1 AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cid,
+         SUM(ux.e * uy.e) AS dot
+  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN u ux ON ux.vec_id = x.vec_id
+  JOIN u uy ON uy.vec_id = y.vec_id AND ux.i = uy.i
+  GROUP BY 1, 2, 3
+), near AS (
+  SELECT vec_a, vec_b
+  FROM pairs
+  JOIN nv na ON vec_a = na.vec_id
+  JOIN nv nb ON vec_b = nb.vec_id
+  WHERE na.n > 0 AND nb.n > 0
+    AND CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.3
+), dropped AS (
+  SELECT vec_b AS vec_id, MIN(vec_a) AS canon FROM near GROUP BY 1
+)
+SELECT a1.vec_id AS doc_id, gated.n_words, a1.cid AS cluster_id,
+       dropped.canon IS NULL AS kept,
+       COALESCE(dropped.canon, a1.vec_id) AS canonical_id
+FROM a1
+JOIN gated ON a1.vec_id = gated.doc_id
+LEFT JOIN dropped ON a1.vec_id = dropped.vec_id
 """
