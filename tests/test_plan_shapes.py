@@ -163,3 +163,75 @@ def test_q19_disjunction_still_prunes_columns(spark):
     # only the five referenced lineitem columns are read
     for col in ("l_orderkey", "l_shipdate", "l_returnflag", "l_tax"):
         assert f"{col}#" not in plan.split("Scan parquet")[1][:400]
+
+
+# ---------------------------------------------------------- round-4 shapes
+
+
+def test_hash_classifier_is_scan_local(spark):
+    """The classifier's whole promise is scan bandwidth: one parquet
+    scan, no join, no exchange before the compare harness would add one."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext
+
+    plan = _formatted(ext.text_hash_classifier(spark, SF))
+    # formatted mode lists each node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_shard_plan_single_shuffle_on_shard(spark):
+    """One exchange (keyed by shard) + per-shard local sort — never a
+    global sort barrier."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext
+
+    plan = _formatted(ext.sample_shard_plan(spark, SF))
+    # exactly one hash exchange (keyed by shard; formatted mode prints
+    # the keys in the node's Arguments detail, not on the node line)
+    assert plan.count("hashpartitioning(shard") == 1
+    assert "rangepartitioning" not in plan  # a global sort would add one
+
+
+def test_semantic_contamination_corpus_never_shuffles(spark):
+    """The benchmark side broadcasts (nested-loop over the scored pairs);
+    the corpus side reaches the scorer scan-direct — the only hash
+    exchange is the |benchmark|-row final aggregate."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext
+
+    plan = _formatted(ext.contamination_semantic(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the aggregate exchange is keyed by bench_id — benchmark-sized
+    assert plan.count("hashpartitioning(bench_id") == 1
+    assert plan.count("hashpartitioning") == 1  # and it is the ONLY one
+
+
+def test_pq_codes_scan_local_encode(spark):
+    """The literal-inlined codebook keeps the encode join-free and
+    shuffle-free: one scan, pure projection."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    prep = similarity.prepare(load(spark, SF, "embeddings"))
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 8).collect()
+    ]
+    plan = _formatted(similarity.pq_codes(prep, cents, m=4, dim=64))
+    assert plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_source_caps_two_stage_has_no_unbucketed_domain_sort(spark):
+    """Stage 1 must sort by (source, slice-bucket), never by source alone
+    before the survivors shrink — the hot-domain single-task sort the
+    two-stage plan exists to avoid appears as a sort keyed only by
+    source over the full input."""
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext
+
+    plan = _formatted(ext.sample_source_caps(spark, SF))
+    # two ranked windows: slice pre-rank then cap-bounded final rank
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count(
+        "Window"
+    ) >= 2
