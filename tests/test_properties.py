@@ -117,3 +117,94 @@ def test_pack_assignments_match_pure_python_packer(
         )
         assert got[d] == expect, d
         offsets[shard_of[d]] = start + n
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=60),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_entropy_bounds_and_classifier_score_bound(spark, texts):
+    """Two documented invariants under fuzzed corpora: 0 ≤ entropy ≤
+    log₂(n_tokens) (Shannon bound, within the 2⁻²⁰ integer-grid slack)
+    and |classifier score| ≤ 10 (weights live in [−10, 10])."""
+    import math
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    ent = {r["doc_id"]: r for r in text.token_entropy(docs).collect()}
+    for r in ent.values():
+        if r["n_tokens"] == 0:
+            assert r["entropy"] == 0.0
+        else:
+            assert -1e-6 <= r["entropy"]
+            assert r["entropy"] <= math.log2(r["n_tokens"]) + 1e-6
+    clf = text.hash_classifier(docs).collect()
+    for r in clf:
+        assert abs(r["score"]) <= 10.0
+        assert abs(r["weight_sum"]) <= 10 * max(r["n_tokens"], 1)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    shards=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_shard_plan_partition_of_input(spark, keys, shards):
+    """The layout is a PARTITION of the input: every key exactly once,
+    shards within range, positions dense 0..n-1 per shard."""
+    from nr_rfc_dischargeobs_spark.extensions import sampling
+
+    docs = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    rows = sampling.shard_plan(docs, "doc_id", shards).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(keys)
+    per: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < shards
+        per.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_int8_grid_bound_holds_under_fuzz(spark, vecs):
+    """|code| ≤ 127 for every dimension of every fuzzed vector — the
+    audit column must never report an out-of-grid code."""
+    from pyspark.sql import functions as F
+
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), ["vec_id", "embedding"]
+    )
+    out = similarity.quantize_int8_stats(similarity.prepare(emb))
+    assert out.filter(F.col("max_abs_code") > 127).count() == 0
+    # and the error bound: |err| ≤ m·127/2... conservatively, err ≤
+    # max-scale·64 (half a grid step per dim, scaled by 127)
+    assert out.filter(F.col("max_abs_err127") < 0).count() == 0
