@@ -71,16 +71,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate
     # checks the FIRST 50 entries.  Round 3's window covered every
     # operator family 50/50 green; this round's window holds, in order:
-    # 22 TPC-H shapes, 2 dedup variants, 2 similarity variants, 2
-    # time-series additions, 8 round-3 curation operators, the
-    # newly-oracled decode kernel, 2 re-checks of r03-green plans the
-    # hash_bucket conv rewrite changed (split, stratified), and all 11
+    # 22 TPC-H shapes, 1 dedup variant (embedding near-dup), 2 similarity
+    # variants, 2 time-series additions, 8 round-3 curation operators,
+    # the newly-oracled decode kernel, 2 re-checks of r03-green plans the
+    # hash_bucket conv rewrite changed (split, stratified), and all 12
     # brand-new round-4 operators (containment, mix planner, semdedup,
     # int8 audit, PQ codes, PQ-ADC search, semantic contamination,
-    # shard plan, source caps, classifier, entropy) = 50.  The displaced
-    # slots (six simple text scans, simhash, two metadata-only
-    # multimodal plans, the cosine-topk re-check) are twice-hash-verified
-    # locally instead.
+    # semantic curation, shard plan, source caps, classifier, entropy)
+    # = 50.  The displaced slots (six simple text scans, simhash, jaccard
+    # pairs, two metadata-only multimodal plans, the cosine-topk
+    # re-check) are twice-hash-verified locally instead.
     return {
         # relational core (S6 scans + joins + aggs) — never driver-checked
         "tpch_q1_pricing_summary": tpch.pricing_summary,
