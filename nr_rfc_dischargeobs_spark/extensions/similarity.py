@@ -589,6 +589,11 @@ def semantic_dedup(
         # without running them), recompute-safe under executor loss, and
         # the physical plan stays visible to PLANS.md (a checkpoint
         # collapses the whole subtree to an opaque ExistingRDD scan).
+        # Lifecycle: the cache entry lives until session end — right for
+        # the short-lived driver/bench runs this serves; a long-lived
+        # driver looping over changing corpora should pass
+        # materialize_assignment=False and manage storage at the call
+        # site (persist-and-unpersist, or write the assignment table).
         assigned = assigned.persist()
     a = assigned.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("vec_a"),

@@ -154,13 +154,35 @@ def compact_near_dups(
     staged = base + ".compacting"
     backup = base + ".precompact"
 
-    # recover from a previous crashed sweep before touching anything
+    # recover from a previous crashed sweep before touching anything.
+    # The crash states are fully distinguishable: the stage directory is
+    # renamed ONTO base as the swap's second move, so backup-present +
+    # stage-present proves the swap never completed (and base, if it
+    # exists, holds only post-crash landings); backup-present +
+    # stage-absent proves the swap completed and only the backup cleanup
+    # was missed.
     if os.path.exists(backup):
         if not os.path.exists(base):
-            shutil.move(backup, base)  # died between the two moves
+            # crashed between the two moves, nothing recreated base
+            shutil.move(backup, base)
+            shutil.rmtree(staged, ignore_errors=True)
+        elif os.path.exists(staged):
+            # crashed between the two moves AND a drain recreated base
+            # with new landings: the backup is the only full corpus —
+            # merge the new landings into it, restore, drop the stale
+            # stage.  (Parquet part-file names are UUIDs; collisions
+            # would indicate the same file and are skipped.)
+            for f in os.listdir(base):
+                if not os.path.exists(os.path.join(backup, f)):
+                    shutil.move(os.path.join(base, f), backup)
+            shutil.rmtree(base)
+            shutil.move(backup, base)
+            shutil.rmtree(staged)
         else:
-            shutil.rmtree(backup)  # died after the swap, before cleanup
-    if os.path.exists(staged):
+            # swap completed (stage was renamed onto base); only the
+            # backup cleanup was missed
+            shutil.rmtree(backup)
+    elif os.path.exists(staged):
         shutil.rmtree(staged)  # stale stage from an aborted run
 
     def listing() -> list[tuple[str, int]]:
@@ -172,19 +194,28 @@ def compact_near_dups(
         return sorted(out)
 
     snapshot = listing()
-    docs = spark.read.parquet(base)
-    total = docs.count()
-    drops = near_dup_drop_ids(
-        docs,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        shingle_n=shingle_n,
-        jaccard_threshold=jaccard_threshold,
-        cache_shingles=True,
-    )
-    dropped_n = drops.count()  # the drop list is tiny — count it, not
-    kept = docs.join(drops, "doc_id", "left_anti")  # the whole corpus ×2
-    kept.write.mode("overwrite").parquet(staged)
+    # the job owns its cache lifecycle: persist the scanned docs (the
+    # near-dup pipeline re-reads them several times), unpersist before
+    # returning — an unmanaged persist inside the helper would pin a
+    # CacheManager entry for the whole session
+    docs = spark.read.parquet(base).persist()
+    try:
+        total = docs.count()
+        drops = near_dup_drop_ids(
+            docs,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+        )
+        kept = docs.join(drops, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(staged)
+        # count the STAGED rows (the files that will become the corpus)
+        # — deriving kept from a distinct-id drop count miscounts when
+        # the landed dir carries duplicate doc_ids (same id, new text)
+        kept_n = spark.read.parquet(staged).count()
+    finally:
+        docs.unpersist()
 
     if listing() != snapshot:
         shutil.rmtree(staged, ignore_errors=True)
@@ -193,6 +224,21 @@ def compact_near_dups(
             "aborted without touching the corpus — re-run quiesced"
         )
     shutil.move(base, backup)
+    # last-line defense for the race between the re-list above and the
+    # rename: if anything landed in that window it traveled into the
+    # backup — detect it there and restore rather than delete it
+    moved = sorted(
+        (os.path.relpath(os.path.join(r, f), backup), os.path.getsize(os.path.join(r, f)))
+        for r, _, fs in os.walk(backup)
+        for f in fs
+    )
+    if moved != snapshot:
+        shutil.move(backup, base)
+        shutil.rmtree(staged, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_near_dups: {base} changed at the swap boundary; "
+            "restored untouched — re-run quiesced"
+        )
     shutil.move(staged, base)
     shutil.rmtree(backup)
-    return total - dropped_n, dropped_n
+    return kept_n, total - kept_n

@@ -232,6 +232,13 @@ def test_source_caps_two_stage_has_no_unbucketed_domain_sort(spark):
 
     plan = _formatted(ext.sample_source_caps(spark, SF))
     # two ranked windows: slice pre-rank then cap-bounded final rank
-    assert plan.count("RunningWindowFunction") >= 2 or plan.count(
-        "Window"
-    ) >= 2
+    assert plan.count("(Window") >= 2 or plan.count(") Window") >= 2
+    # the REAL guard: the slice-bucket column participates in a window
+    # exchange — its absence would mean some window re-sorts whole
+    # domains on one task (the plan this two-stage shape exists to avoid
+    # runs its first full-input window keyed by source alone)
+    assert "__b" in plan
+    import re as _re
+
+    first_part = _re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert first_part and "__b" in first_part.group(1)

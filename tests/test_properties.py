@@ -205,6 +205,13 @@ def test_quantize_int8_grid_bound_holds_under_fuzz(spark, vecs):
     )
     out = similarity.quantize_int8_stats(similarity.prepare(emb))
     assert out.filter(F.col("max_abs_code") > 127).count() == 0
-    # and the error bound: |err| ≤ m·127/2... conservatively, err ≤
-    # max-scale·64 (half a grid step per dim, scaled by 127)
-    assert out.filter(F.col("max_abs_err127") < 0).count() == 0
+    # the real reconstruction bound: err = e·127 − round(e·127/m)·m is
+    # rounding-to-nearest-multiple-of-m, so |err| ≤ m/2 per dimension —
+    # compute the per-dim scales m independently and assert against the
+    # loosest (largest) one
+    qmat = [[round(v * 100000) for v in vec] for vec in vecs]
+    m_per_dim = [
+        max(abs(q[j]) for q in qmat) for j in range(len(qmat[0]))
+    ]
+    bound = max(m_per_dim) / 2 + 1  # +1 for the round-half tie step
+    assert out.filter(F.col("max_abs_err127") > bound).count() == 0

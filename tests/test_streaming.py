@@ -566,3 +566,40 @@ def test_compact_near_dups_recovers_from_crashed_swap(spark, tmp_path):
     assert (kept_n, dropped_n) == (2, 0)
     assert os.path.exists(landed)
     assert not os.path.exists(landed + ".precompact")
+
+
+def test_compact_near_dups_recovers_interrupted_swap_with_new_landings(
+    spark, tmp_path
+):
+    """The nastiest crash state: backup + stale stage present AND a drain
+    recreated the corpus dir with new landings.  Recovery must merge the
+    landings into the restored backup — never delete either."""
+    import os
+    import shutil
+
+    from nr_rfc_dischargeobs_spark.streaming.documents import (
+        compact_near_dups,
+    )
+
+    landed = str(tmp_path / "landed_merge")
+    spark.createDataFrame(
+        [(1, "original corpus document one"), (2, "original corpus doc two")],
+        ["doc_id", "text"],
+    ).write.parquet(landed)
+    # simulate: swap interrupted (backup + stage exist), then a drain
+    # recreated the dir with ONE new landing
+    shutil.move(landed, landed + ".precompact")
+    os.makedirs(landed + ".compacting")
+    (tmp_path / "landed_merge.compacting" / "stale.parquet").write_bytes(
+        b"PAR1stale"
+    )
+    spark.createDataFrame(
+        [(3, "freshly landed document three")], ["doc_id", "text"]
+    ).write.parquet(landed)
+
+    kept_n, dropped_n = compact_near_dups(spark, landed)
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(landed).collect())
+    assert ids == [1, 2, 3]  # original corpus AND the new landing survive
+    assert (kept_n, dropped_n) == (3, 0)
+    assert not os.path.exists(landed + ".precompact")
+    assert not os.path.exists(landed + ".compacting")
