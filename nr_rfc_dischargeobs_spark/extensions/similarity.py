@@ -886,8 +886,18 @@ def semantic_contamination(
     closest cosine, and the closest corpus id (the evidence row an
     auditor pulls) — ``max_cosine``/``nearest_id`` come from one
     order-independent ``MIN(struct(−cosine, id))``, so ties break to the
-    smaller corpus id in any engine.  Zero-norm vectors are excluded on
-    both sides, like every cosine kernel here.
+    smaller corpus id in any engine.  Zero-norm vectors are excluded
+    from SCORING on both sides, like every cosine kernel here.
+
+    Output contract: EVERY benchmark id gets exactly one row — a
+    release-checklist consumer must never have to infer anything from an
+    absent row.  A vector with zero scored pairs (zero-norm benchmark
+    vector, or an empty / all-zero-norm corpus) reports
+    ``n_contaminated = 0`` with NULL ``max_cosine``/``nearest_id`` —
+    NULL evidence says "not screened / nothing comparable", while a
+    genuinely clean screen has ``n_contaminated = 0`` with a real
+    ``max_cosine`` below the threshold.  The two states stay
+    distinguishable without a second screen.
 
     Output: (bench_id, n_contaminated, max_cosine, nearest_id).
     """
@@ -895,10 +905,26 @@ def semantic_contamination(
         F.col("query_id").alias("bench_id"), "neighbor_id", "cosine"
     )
     best = F.min(F.struct((-F.col("cosine")).alias("nc"), F.col("neighbor_id")))
-    return scored.groupBy("bench_id").agg(
+    agg = scored.groupBy("bench_id").agg(
         F.sum((F.col("cosine") >= threshold).cast("long")).alias(
             "n_contaminated"
         ),
         (-best["nc"]).alias("max_cosine"),
         best["neighbor_id"].alias("nearest_id"),
+    )
+    # left-join back from the full benchmark id set: the |benchmark|-row
+    # aggregate is broadcast back against the (small) benchmark side, so
+    # the completeness guarantee costs one more broadcast hash join on
+    # metadata-scale rows, never a corpus-side exchange
+    return (
+        benchmark.select(F.col("vec_id").alias("bench_id"))
+        .join(F.broadcast(agg), "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            "max_cosine",
+            "nearest_id",
+        )
     )

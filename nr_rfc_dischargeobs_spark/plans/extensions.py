@@ -1450,14 +1450,22 @@ d AS (
   SELECT bench_id, neighbor_id AS nearest_id FROM scored
   QUALIFY ROW_NUMBER() OVER (PARTITION BY bench_id
                              ORDER BY cosine DESC, neighbor_id ASC) = 1
+), agg AS (
+  SELECT s.bench_id,
+         CAST(SUM(CASE WHEN s.cosine >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         MAX(s.cosine) AS max_cosine,
+         MAX(nearest.nearest_id) AS nearest_id
+  FROM scored s JOIN nearest ON s.bench_id = nearest.bench_id
+  GROUP BY 1
 )
-SELECT s.bench_id,
-       CAST(SUM(CASE WHEN s.cosine >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_contaminated,
-       MAX(s.cosine) AS max_cosine,
-       MAX(nearest.nearest_id) AS nearest_id
-FROM scored s JOIN nearest ON s.bench_id = nearest.bench_id
-GROUP BY 1
+-- every benchmark id gets a row: zero scored pairs → n_contaminated = 0
+-- with NULL evidence columns (matches the Spark operator's contract)
+SELECT b.vec_id AS bench_id,
+       COALESCE(agg.n_contaminated, 0) AS n_contaminated,
+       agg.max_cosine, agg.nearest_id
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 30) b
+LEFT JOIN agg ON b.vec_id = agg.bench_id
 """
 
 

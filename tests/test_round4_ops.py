@@ -504,9 +504,33 @@ def test_semantic_contamination_finds_planted_leak(spark):
         r["bench_id"]: r
         for r in semantic_contamination(bench, corpus, 0.9).collect()
     }
-    assert set(out) == {0, 1}  # zero-norm bench vector excluded
+    # EVERY benchmark id reports — the zero-norm vector (2) is excluded
+    # from scoring but still gets its row, with NULL evidence columns so
+    # "not screened" stays distinguishable from "screened clean"
+    assert set(out) == {0, 1, 2}
     assert out[0]["n_contaminated"] == 1
     assert out[0]["nearest_id"] == 10
     assert out[0]["max_cosine"] > 0.99
     assert out[1]["n_contaminated"] == 0
     assert out[1]["max_cosine"] < 0.9
+    assert out[2]["n_contaminated"] == 0
+    assert out[2]["max_cosine"] is None
+    assert out[2]["nearest_id"] is None
+
+
+def test_semantic_contamination_empty_corpus_reports_all_rows(spark):
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        prepare,
+        semantic_contamination,
+    )
+
+    emb = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    bench = prepare(emb)
+    corpus = prepare(emb.filter(F.col("vec_id") < 0))  # empty
+    out = {
+        r["bench_id"]: r
+        for r in semantic_contamination(bench, corpus, 0.9).collect()
+    }
+    assert set(out) == {0, 1}
+    assert all(r["n_contaminated"] == 0 for r in out.values())
+    assert all(r["max_cosine"] is None for r in out.values())
