@@ -20,6 +20,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from nr_rfc_dischargeobs_spark.plans.extensions import (  # noqa: E402
+    release_plan_caches,
+)
 from nr_rfc_dischargeobs_spark.session import get_spark  # noqa: E402
 
 # Headline subset: one per operator family; bench runs each to completion
@@ -62,6 +65,13 @@ def main() -> None:
     # JVM carry ±20% scheduler/GC noise; the min is the plan's cost.
     # A failing query must never kill the run — the one-JSON-line contract
     # survives, the failure lands on stderr and as a null timing.
+    # Plan-owned caches (PQ codes, SemDeDup assignment) are released after
+    # EVERY timed execution: without the release, each invocation pins a
+    # fresh CacheManager entry, later queries (and the whole second pass)
+    # run under accreting storage-memory pressure, and — because the
+    # CacheManager substitutes cached fragments into semantically equal
+    # plans — pass 2 of the PQ queries would silently time a cache read
+    # instead of the plan.  (See BENCH_NOTES.md for the measured effect.)
     timings: dict[str, float] = {}
     failed: list[str] = []
     for _ in range(2):
@@ -79,6 +89,15 @@ def main() -> None:
             elapsed = round(time.time() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+            release_plan_caches()
+
+    # the lifecycle promise, checked: a full bench run ends cache-clean
+    try:
+        cache_empty = bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+    except Exception:  # noqa: BLE001 — introspection only, never fatal
+        cache_empty = None
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -91,6 +110,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "failed": failed,
+        "cache_empty_at_end": cache_empty,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"

@@ -44,6 +44,7 @@ def curate_corpus(
     text: str = "text",
     doc_id: str = "doc_id",
     cache_shingles: bool = False,
+    cache_registry: list | None = None,
     classifier_min_score: float | None = None,
     entropy_band: tuple[float, float] | None = None,
 ) -> DataFrame:
@@ -105,6 +106,8 @@ def curate_corpus(
         # the final anti-join); same materialize-once trade as the shingle
         # table — at fleet scale both are intermediate TABLES, not caches
         survivors = survivors.persist()
+        if cache_registry is not None:
+            cache_registry.append(survivors)
 
     # near-dup: banded MinHash candidates, Jaccard-verified, drop higher id.
     # Trigram shingles + r=2 bands: unigrams over a small vocabulary give
@@ -119,6 +122,7 @@ def curate_corpus(
         text=text,
         doc_id=doc_id,
         cache_shingles=cache_shingles,
+        cache_registry=cache_registry,
     )
     kept = survivors.join(dropped, doc_id, "left_anti")
     return kept.select(doc_id, "n_words", "uniq_ratio")
@@ -133,6 +137,7 @@ def near_dup_drop_ids(
     text: str = "text",
     doc_id: str = "doc_id",
     cache_shingles: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The near-dup DROP LIST (one ``doc_id`` column): the higher id of
     every Jaccard-verified MinHash-LSH candidate pair.  Shared by the
@@ -147,6 +152,8 @@ def near_dup_drop_ids(
     shingles = dd.shingle_rows(docs, text=text, doc_id=doc_id, n=shingle_n)
     if cache_shingles:
         shingles = shingles.persist()
+        if cache_registry is not None:
+            cache_registry.append(shingles)
     sigs = dd.minhash_signatures(
         shingles, bands=bands, rows_per_band=rows_per_band, doc_id=doc_id
     )

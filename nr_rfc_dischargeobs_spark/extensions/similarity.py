@@ -547,6 +547,8 @@ def semantic_dedup(
     threshold: float = 0.3,
     dim: int | None = None,
     materialize_assignment: bool = True,
+    salt: int = 1,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): assign every vector to its nearest coarse centroid,
@@ -563,8 +565,23 @@ def semantic_dedup(
     index, a stored artifact in production), then ONE shuffle keyed by
     ``cluster_id`` for the self-join; per-cluster pair generation is
     node-local after that.  Skewed clusters are the known failure mode at
-    fleet scale — AQE skew-join splits them, and the k dial is the real
-    fix (more centroids → smaller clusters).
+    fleet scale — the k dial is the structural fix (more centroids →
+    smaller clusters), and ``salt`` is the in-plan guard: with
+    ``salt = S > 1`` the pair join keys on ``(cluster_id, vec_b mod S)``
+    — the b-side of a hot cluster splits across S shuffle partitions
+    (largest task |cluster|²/S instead of |cluster|²) while the a-side
+    replicates S× (replication is bounded by S · |corpus| rows of
+    (id, vector) — scan-scale, not pair-scale).  Every (a, b) pair still
+    meets EXACTLY once (a is replicated to all S salt values, b carries
+    exactly one), so the output is bit-identical for any S — salt only
+    re-cuts the shuffle, never the semantics.  AQE's skew-join split
+    remains layered on top for residual imbalance.
+
+    ``cache_registry``: when given, the persisted assignment handle is
+    appended so a long-lived caller can ``unpersist()`` it after
+    consuming the result (see ``plans.extensions.release_plan_caches``);
+    without it the cache lives until session end — fine for short-lived
+    driver/bench runs.
 
     Semantics are one-hop and engine-exact: ``kept = no smaller-id
     clustermate with cosine ≥ threshold``; ``canonical_id`` is the
@@ -593,8 +610,11 @@ def semantic_dedup(
         # the short-lived driver/bench runs this serves; a long-lived
         # driver looping over changing corpora should pass
         # materialize_assignment=False and manage storage at the call
-        # site (persist-and-unpersist, or write the assignment table).
+        # site (persist-and-unpersist, or write the assignment table),
+        # or hand in cache_registry and unpersist through it.
         assigned = assigned.persist()
+        if cache_registry is not None:
+            cache_registry.append(assigned)
     a = assigned.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -607,9 +627,23 @@ def semantic_dedup(
         F.col("n").alias("nb"),
         F.col("list_id").alias("cluster_id"),
     )
+    if salt > 1:
+        # salted self-join: b carries its own salt, a replicates to all
+        # S values — the join stays a pure equality join on
+        # (cluster_id, __salt), so Catalyst still plans a hash join and
+        # a hot cluster's pairs spread over S reducers
+        b = b.withColumn(
+            "__salt", F.pmod(F.col("vec_b"), F.lit(salt)).cast("int")
+        )
+        a = a.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt)])),
+        )
+        joined = a.join(b, ["cluster_id", "__salt"]).drop("__salt")
+    else:
+        joined = a.join(b, "cluster_id")
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        joined.filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
             cosine(
                 dot(F.col("qa"), F.col("qb"), dim), F.col("na"), F.col("nb")

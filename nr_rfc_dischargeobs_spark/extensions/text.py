@@ -519,8 +519,9 @@ def hash_classifier(
     The weights here are a deterministic function of the bucket hash
     (``(bucket mod 21) − 10`` ∈ [−10, 10]) — the operator ships the
     *shape* (hashed sparse linear model evaluated at scan bandwidth);
-    production swaps in a trained weight table via the same
-    token→bucket→weight path (a broadcast map lookup, identical plan).
+    :func:`hash_classifier_trained` is the production swap-in that takes
+    an actual trained weight table through the same
+    token→bucket→weight path and the same plan.
 
     Everything is row-local higher-order-function arithmetic over one
     ``split`` — no shuffle, no UDF, no vocabulary join — so the op runs
@@ -539,6 +540,78 @@ def hash_classifier(
     weight = lambda t: (hash_bucket(t, salt) % buckets_mod).cast(  # noqa: E731
         "long"
     ) - (buckets_mod // 2)
+    wsum = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(doc_id),
+        *[F.col(c) for c in passthrough],
+        F.size(toks).cast("long").alias("n_tokens"),
+        wsum.alias("weight_sum"),
+        F.when(F.size(toks) > 0, wsum.cast("double") / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        F.when(
+            F.size(toks) > 0, (wsum.cast("double") / F.size(toks)) > 0
+        )
+        .otherwise(F.lit(False))
+        .alias("positive"),
+    )
+
+
+def hash_classifier_trained(
+    docs: DataFrame,
+    weights,
+    n_buckets: int = 1 << 16,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "clf",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`hash_classifier` with TRAINED weights — the production
+    swap-in: ``weights`` is the model's weight table, either plain
+    ``[(bucket, weight_int), ...]`` rows or a small (bucket, weight)
+    DataFrame (collected driver-side — a hashing-trick weight table is
+    ``n_buckets`` ints, a MODEL PARAMETER like the PQ codebook, not
+    data).  Buckets absent from the table weigh 0, so a sparse table —
+    the normal outcome of L1-regularized training — stays sparse.
+
+    The plan is the same scan-bandwidth shape as the deterministic
+    variant: token → md5 bucket → weight, all row-local expression
+    arithmetic over one ``split`` — no shuffle, no UDF, no vocabulary
+    join.  The weight lookup is ``element_at`` into ONE dense literal
+    array composed as SQL text (a single server-side parse — building
+    2¹⁶ ``lit()`` Columns through py4j would cost seconds of pure driver
+    chatter for the identical plan).  Weights are integers by contract
+    (fixed-point: scale float model weights by 1e4 upstream), which
+    keeps ``weight_sum`` an exact BIGINT — the same engine-portability
+    discipline as every score column here.
+
+    Output: (doc_id, n_tokens, weight_sum, score, positive) — identical
+    schema to :func:`hash_classifier`, so the two are drop-in
+    interchangeable in :func:`~.curate.curate_corpus` and the streaming
+    gate.
+    """
+    from .sampling import hash_bucket
+
+    if hasattr(weights, "collect"):  # small weight DataFrame
+        weights = [(r[0], r[1]) for r in weights.collect()]
+    dense = [0] * n_buckets
+    for b, wt in weights:
+        if not 0 <= int(b) < n_buckets:
+            raise ValueError(f"bucket {b} outside [0, {n_buckets})")
+        dense[int(b)] = int(wt)
+    warr = F.expr(
+        "array(" + ",".join(f"{v}L" for v in dense) + ")"
+    )
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+    )
+    weight = lambda t: F.element_at(  # noqa: E731
+        warr, (hash_bucket(t, salt) % n_buckets).cast("int") + 1
+    )
     wsum = F.aggregate(
         F.transform(toks, weight),
         F.lit(0).cast("long"),

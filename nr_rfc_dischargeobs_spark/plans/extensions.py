@@ -23,6 +23,28 @@ from ..extensions import (
 )
 from . import load
 
+# Plan-owned cache handles: two registered plans persist an intermediate
+# (the PQ codes table, the SemDeDup assignment) because it is re-read
+# several times within the same query.  Those persists are appended here
+# so a long-lived caller — the bench loop, the oracle sweep, a resident
+# driver — can release them between queries instead of accreting
+# CacheManager entries for the whole session.  Short-lived runs may
+# ignore this entirely (session teardown frees everything).
+_PLAN_CACHES: list[DataFrame] = []
+
+
+def release_plan_caches() -> int:
+    """Unpersist every cache a registered plan builder pinned since the
+    last call; returns how many were released.  Call AFTER consuming the
+    plan's result — the handles are lazy, so releasing early just costs
+    recomputation, never correctness."""
+    n = 0
+    while _PLAN_CACHES:
+        _PLAN_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -648,7 +670,8 @@ def curate_corpus_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate → exact dedup →
     MinHash-LSH candidates → Jaccard-verified near-dup drop."""
     return curate.curate_corpus(
-        load(spark, sf_dir, "documents"), cache_shingles=True
+        load(spark, sf_dir, "documents"), cache_shingles=True,
+        cache_registry=_PLAN_CACHES,
     )
 
 
@@ -1113,11 +1136,17 @@ FROM scored WHERE rank <= 3
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over vec_id < 300: coarse-assign to the 8 seed centroids
     (vec_id < 8), drop any vector with a smaller-id clustermate at
-    cosine ≥ 0.3, emit the kept/dropped audit with canonical ids."""
+    cosine ≥ 0.3, emit the kept/dropped audit with canonical ids.
+
+    salt=4 exercises the hot-cluster guard on the registered plan (same
+    output for any salt — the salted join re-cuts the shuffle only)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     prep = similarity.prepare(emb)
     cents = similarity.prepare(emb.filter(F.col("vec_id") < 8))
-    return similarity.semantic_dedup(prep, cents, threshold=0.3, dim=64)
+    return similarity.semantic_dedup(
+        prep, cents, threshold=0.3, dim=64, salt=4,
+        cache_registry=_PLAN_CACHES,
+    )
 
 
 SIM_SEMANTIC_DEDUP_SQL = f"""
@@ -1303,7 +1332,15 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode the whole corpus: 4 subspaces × 16 dims, codebook =
     subvectors of the 8 seed vectors (collected driver-side — k·dim ints,
-    a model parameter), codes + exact integer reconstruction error."""
+    a model parameter), codes + exact integer reconstruction error.
+
+    STATED EXCEPTION to "building a plan never runs a job": the codebook
+    collect above executes one metadata-scale Spark job (8 rows) at plan
+    construction — the price of literal-inlined encode expressions (see
+    ``similarity.pq_codes``).  In production the codebook is trained
+    offline and passed in as plain data, and plan construction is free;
+    only this registry path, which derives the codebook from the corpus
+    itself, pays a build-time job."""
     prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
     cents = [
         (r["vec_id"], r["q"])
@@ -1345,7 +1382,13 @@ FROM a GROUP BY vec_id
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search over the PQ-compressed corpus: codebook = seeds
     (vec_id < 8), queries 8 ≤ vec_id < 28 exact, corpus vec_id ≥ 28
-    scanned as codes only — top-3 by reconstructed cosine."""
+    scanned as codes only — top-3 by reconstructed cosine.
+
+    STATED EXCEPTION to "building a plan never runs a job": like
+    :func:`sim_pq_codes`, constructing this plan executes ONE
+    metadata-scale Spark job — the 8-row codebook collect (a model
+    parameter, the same driver-side exception as the store's month
+    keys).  ``tools/audit_plans.py`` documents the same carve-out."""
     emb = load(spark, sf_dir, "embeddings")
     prep = similarity.prepare(emb)
     cents = [
@@ -1357,11 +1400,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table is a stored artifact (pq_codes → write; searches scan it).
     # persist() reproduces that here — the cache substitution keeps the
     # optimizer from re-inlining the encode expression into every ADC
-    # reference (un-materialized: 16 s analyze per action), while staying
-    # lazy (plan audit never runs a job) and recompute-safe
+    # reference (un-materialized: 16 s analyze per action); it stays
+    # lazy and recompute-safe, and the handle lands in _PLAN_CACHES so
+    # release_plan_caches() can free it between queries
     codes = similarity.pq_codes(
         prep.filter(F.col("vec_id") >= 28), cents, m=4, dim=64
     ).persist()
+    _PLAN_CACHES.append(codes)
     return similarity.pq_adc_topk(queries, codes, cents, k=3, m=4, dim=64)
 
 
@@ -1504,7 +1549,10 @@ def curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 8)
         .drop("__rn")
     )
-    out = similarity.semantic_dedup(prep, cents, threshold=0.3, dim=64)
+    out = similarity.semantic_dedup(
+        prep, cents, threshold=0.3, dim=64, salt=4,
+        cache_registry=_PLAN_CACHES,
+    )
     return out.join(
         gated, out["vec_id"] == gated["doc_id"]
     ).select(

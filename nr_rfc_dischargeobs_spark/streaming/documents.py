@@ -185,12 +185,20 @@ def compact_near_dups(
     elif os.path.exists(staged):
         shutil.rmtree(staged)  # stale stage from an aborted run
 
-    def listing() -> list[tuple[str, int]]:
+    def listing() -> list[tuple[str, int, int]]:
+        # (relpath, size, mtime_ns): size alone misses a file rewritten
+        # in place with unchanged length between snapshot and swap; the
+        # nanosecond mtime closes that hole (rename preserves mtime, so
+        # the post-move backup listing stays comparable).  The quiesced
+        # contract remains the primary defense — this is the tripwire.
         out = []
         for root, _, files in os.walk(base):
             for f in files:
                 p = os.path.join(root, f)
-                out.append((os.path.relpath(p, base), os.path.getsize(p)))
+                st = os.stat(p)
+                out.append(
+                    (os.path.relpath(p, base), st.st_size, st.st_mtime_ns)
+                )
         return sorted(out)
 
     snapshot = listing()
@@ -228,7 +236,11 @@ def compact_near_dups(
     # rename: if anything landed in that window it traveled into the
     # backup — detect it there and restore rather than delete it
     moved = sorted(
-        (os.path.relpath(os.path.join(r, f), backup), os.path.getsize(os.path.join(r, f)))
+        (
+            os.path.relpath(os.path.join(r, f), backup),
+            os.stat(os.path.join(r, f)).st_size,
+            os.stat(os.path.join(r, f)).st_mtime_ns,
+        )
         for r, _, fs in os.walk(backup)
         for f in fs
     )

@@ -76,6 +76,48 @@ def test_semantic_dedup_is_cluster_local(spark):
     assert out.filter(~F.col("kept")).count() == 0
 
 
+def test_semantic_dedup_salt_is_output_invariant(spark):
+    # the hot-cluster salt re-cuts the pair-join shuffle only: every
+    # (a, b) pair still meets exactly once, so the audit output is
+    # bit-identical for any salt — including S larger than the corpus
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(40)
+    ]
+    emb = _emb(spark, rows)
+    prep = similarity.prepare(emb)
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 3))
+    base = sorted(
+        map(tuple, similarity.semantic_dedup(prep, cents, 0.8).collect())
+    )
+    for s in (2, 4, 64):
+        salted = sorted(
+            map(
+                tuple,
+                similarity.semantic_dedup(
+                    prep, cents, 0.8, salt=s
+                ).collect(),
+            )
+        )
+        assert salted == base, f"salt={s} changed the output"
+
+
+def test_semantic_dedup_salted_join_keys_on_cluster_and_salt(spark):
+    # plan guard: with salt > 1 the pair join is still a pure EQUALITY
+    # join whose key includes the salt column — a hot cluster's b-side
+    # spreads across S hash partitions instead of landing on one task
+    emb = _emb(spark, [(i, [1.0, float(i)]) for i in range(6)])
+    prep = similarity.prepare(emb)
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 1))
+    plan = similarity.semantic_dedup(
+        prep, cents, 0.9, salt=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+
+
 def test_semantic_dedup_zero_norm_always_kept(spark):
     emb = _emb(
         spark, [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])]
@@ -250,6 +292,61 @@ def test_hash_classifier_deterministic_and_fails_closed(spark):
         assert out[d]["positive"] is False
     # per-token weights live in [-10, 10] ⇒ |sum| ≤ 10·n
     assert abs(out[0]["weight_sum"]) <= 10 * out[0]["n_tokens"]
+
+
+def test_hash_classifier_trained_planted_weights(spark):
+    """The trained-weights swap-in scores exactly what the planted weight
+    table says: bucket(token) computed the same way in the fixture, so
+    weight_sum is the literal sum of planted weights."""
+    import hashlib
+
+    n_buckets = 4096
+
+    def bucket(tok):
+        h = hashlib.md5(f"clf|{tok}".encode()).hexdigest()
+        return int(h[:4], 16) % n_buckets
+
+    # planted model: "good" strongly positive, "bad" strongly negative,
+    # everything else 0 (sparse table — absent buckets weigh zero)
+    weights = [(bucket("good"), 70000), (bucket("bad"), -50000)]
+    docs = spark.createDataFrame(
+        [
+            (0, "good good bad filler"),
+            (1, "bad bad filler"),
+            (2, "filler only text"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.hash_classifier_trained(
+            docs, weights, n_buckets=n_buckets
+        ).collect()
+    }
+    assert out[0]["weight_sum"] == 2 * 70000 - 50000
+    assert out[0]["positive"] is True
+    assert out[1]["weight_sum"] == -2 * 50000
+    assert out[1]["positive"] is False
+    assert out[2]["weight_sum"] == 0 and out[2]["positive"] is False
+    assert out[3]["n_tokens"] == 0 and out[3]["positive"] is False
+    # identical output schema to the deterministic variant — drop-in
+    assert (
+        textops.hash_classifier_trained(docs, weights, n_buckets).columns
+        == textops.hash_classifier(docs).columns
+    )
+
+
+def test_hash_classifier_trained_weight_df_and_plan_shape(spark):
+    """Weights may arrive as a small DataFrame (collected — a model
+    parameter); the plan stays scan-local: no exchange, no Python."""
+    wdf = spark.createDataFrame([(7, 123), (9, -5)], ["bucket", "weight"])
+    docs = spark.createDataFrame([(0, "alpha beta")], ["doc_id", "text"])
+    df = textops.hash_classifier_trained(docs, wdf, n_buckets=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    df.collect()  # and it runs
 
 
 def test_document_stream_classifier_gate_batch_twin(spark):

@@ -543,6 +543,51 @@ def test_compact_near_dups_aborts_on_concurrent_landing(spark, tmp_path):
     assert not os.path.exists(landed + ".compacting")
 
 
+def test_compact_near_dups_aborts_on_same_size_rewrite(spark, tmp_path):
+    """A file REWRITTEN IN PLACE with unchanged size mid-sweep is invisible
+    to a (path, size) snapshot; the mtime_ns in the listing catches it —
+    sweep aborts, the rewritten content survives."""
+    import os
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.extensions import curate as curate_mod
+    from nr_rfc_dischargeobs_spark.streaming.documents import (
+        compact_near_dups,
+    )
+
+    landed = str(tmp_path / "landed_rewrite")
+    spark.createDataFrame(
+        [(1, "some document text here"), (2, "other totally different")],
+        ["doc_id", "text"],
+    ).write.parquet(landed)
+    part = next(
+        f for f in os.listdir(landed) if f.endswith(".parquet")
+    )
+    victim = os.path.join(landed, part)
+    original = open(victim, "rb").read()
+
+    real = curate_mod.near_dup_drop_ids
+
+    def rewrite_mid_sweep(*a, **kw):
+        out = real(*a, **kw)
+        out.count()  # force the read of the original bytes first
+        rewritten = bytes(reversed(original))  # same length, new content
+        with open(victim, "wb") as fh:
+            fh.write(rewritten)
+        os.utime(victim, ns=(1, 1))  # distinct mtime even on coarse clocks
+        return out
+
+    with mock.patch.object(
+        curate_mod, "near_dup_drop_ids", side_effect=rewrite_mid_sweep
+    ):
+        with _pytest.raises(RuntimeError, match="changed during the sweep"):
+            compact_near_dups(spark, landed)
+    assert open(victim, "rb").read() == bytes(reversed(original))
+    assert not os.path.exists(landed + ".compacting")
+
+
 def test_compact_near_dups_recovers_from_crashed_swap(spark, tmp_path):
     """Backup present + corpus dir missing (a crash between the two
     moves) restores the backup before sweeping."""

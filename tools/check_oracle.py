@@ -66,6 +66,10 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    from nr_rfc_dischargeobs_spark.plans.extensions import (
+        release_plan_caches,
+    )
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, missing_oracle = [], []
@@ -79,6 +83,9 @@ def main() -> int:
         srows = [tuple(r) for r in sdf.collect()]
         s_fp = frame_fingerprint(sdf.columns, srows)
         spark_s = time.time() - t0
+        # plan-owned caches (PQ codes, SemDeDup assignment) must not
+        # accrete across a 109-query sweep
+        release_plan_caches()
         if name not in oracles:
             missing_oracle.append(name)
             print(f"  ~ {name}: rows={s_fp[0]} (no oracle — rows-only) "
