@@ -46,13 +46,23 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     are CodegenFallback (interpreted per element), while the unrolled sum
     whole-stage-codegens — measured 44.7 s → 9.0 s scoring 29.7M
     16-dim pairs, bit-identical by construction (same integer ops, same
-    order).  The dial has TWO sides: unrolling costs ~1 s of driver-side
-    expression construction per plan build (py4j chatter, ~200 calls at
-    dim=64), so pass ``dim`` only where the dot sits on PAIR-SCALE row
-    counts (within-cluster/bucket self-joins — semantic dedup, near-dup
-    pairs); bounded top-k batches build more plans than rows they score
-    and measured FASTER with the 3-call HOF fold (ivf_topk at sf0.1:
-    0.9 s HOF vs 2.6 s unrolled — all build cost).
+    order).  The dial has THREE sides:
+
+    - unrolling costs ~1 s of driver-side expression construction per
+      plan build (py4j chatter, ~200 calls at dim=64), so pass ``dim``
+      only where the dot sits on PAIR-SCALE row counts
+      (within-cluster/bucket self-joins — semantic dedup, near-dup
+      pairs); bounded top-k batches build more plans than rows they
+      score and measured FASTER with the 3-call HOF fold (ivf_topk at
+      sf0.1: 0.9 s HOF vs 2.6 s unrolled — all build cost);
+    - the unrolled win exists ONLY in codegen-capable stages (the
+      equality pair joins are SMJ/BHJ → project, which whole-stage
+      codegens).  A broadcast CROSS join (BroadcastNestedLoopJoin — the
+      bounded-batch scoring scaffold) cannot whole-stage-codegen, so
+      BOTH spellings run interpreted there — and then the giant
+      unrolled tree LOSES to the 3-node fold ~6× (measured 35.9 s vs
+      6.1 s scoring 12.8M 64-dim pairs).  Never pass ``dim`` into
+      :func:`broadcast_scored_pairs`-shaped plans.
     """
     if dim is not None:
         out = F.element_at(a, 1) * F.element_at(b, 1)
@@ -574,8 +584,16 @@ def semantic_dedup(
     (id, vector) — scan-scale, not pair-scale).  Every (a, b) pair still
     meets EXACTLY once (a is replicated to all S salt values, b carries
     exactly one), so the output is bit-identical for any S — salt only
-    re-cuts the shuffle, never the semantics.  AQE's skew-join split
-    remains layered on top for residual imbalance.
+    re-cuts the shuffle, never the semantics.  Measured across repeated
+    100k-vector / 20%-hot-cluster probes (SCALE_PROBE.json): salt=1
+    swings 37.9 s → 89.0 s between runs — AQE's skew split is a
+    runtime-estimate decision and sometimes leaves the hot partition's
+    tail on few tasks — while salt=8 holds a stable 35-44 s.  That is
+    the dial's real value: it makes the worst case DETERMINISTIC
+    instead of dependent on AQE's estimate, at the price of S×
+    replication of (id, vector) rows (scan-scale).  At the registered
+    sf0.1 scale salt=4 is a wash (1.6 s either way), so the registered
+    plans run salted and the library default stays salt=1.
 
     ``cache_registry``: when given, the persisted assignment handle is
     appended so a long-lived caller can ``unpersist()`` it after

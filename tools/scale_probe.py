@@ -89,6 +89,7 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vecs", type=int, default=200_000)
+    ap.add_argument("--adc-vecs", type=int, default=1_000_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -186,6 +187,142 @@ def main() -> int:
     pq_cents = [(r["vec_id"], r["q"])
                 for r in prep.filter(F.col("vec_id") < 8).collect()]
     timed(t, "pq_codes_m4_d64", similarity.pq_codes(prep, pq_cents))
+
+    # --- PQ-ADC at production shape: the codes table is a STORED
+    # artifact (encode once), search is the marginal cost.  1M codes ×
+    # 256 queries: the corpus side scanned is 4 small ints/vector —
+    # localCheckpoint stands in for the stored table so the timing is
+    # the search alone, exactly the deployment split.
+    adc_n = args.adc_vecs
+    prep_adc = similarity.prepare(synth_embs(spark, adc_n)).localCheckpoint()
+    codes_1m = similarity.pq_codes(
+        prep_adc.filter(F.col("vec_id") >= 256), pq_cents
+    ).localCheckpoint()
+    timed(t, f"pq_adc_topk_{adc_n // 1_000_000}m_codes_256q",
+          similarity.pq_adc_topk(
+              prep_adc.filter(F.col("vec_id") < 256), codes_1m, pq_cents,
+              k=10))
+
+    # --- semantic decontamination at volume: 64-vector benchmark
+    # broadcast against a 1M-vector corpus, corpus scanned ONCE.  dim is
+    # deliberately NOT passed: the scoring sits in a
+    # BroadcastNestedLoopJoin stage, which whole-stage-codegen cannot
+    # cover, so the unrolled dot runs INTERPRETED there and the 3-node
+    # HOF fold beats it ~6× (measured 6.1 s vs 35.9 s on 12.8M d64
+    # pairs) — the unrolled dial only pays inside codegen-capable
+    # stages (see similarity.dot)
+    timed(t, f"contamination_semantic_{adc_n // 1_000_000}m_corpus_64bench",
+          similarity.semantic_contamination(
+              prep_adc.filter(F.col("vec_id") < 64),
+              prep_adc.filter(F.col("vec_id") >= 64),
+              threshold=0.9))
+
+    # --- SemDeDup under deliberate skew (the fleet failure mode): one
+    # cluster holds ~20% of the corpus, so its pair count dominates
+    # Σ|cluster|².  A/B the same probe with salt=1 vs salt=8 — identical
+    # output by construction, the salted join spreads the hot cluster's
+    # b-side over 8 reducers instead of landing |hot|² work on one task.
+    skew_n = min(args.vecs, 100_000)
+    skew = spark.range(skew_n).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 5 == 0,  # 20% hot: all ≈ e0, tiny unique tilt
+            F.expr(
+                "transform(sequence(0, 7), i -> cast("
+                "case when i = 0 then 1.0 else id * 1e-9 + i * 1e-6 end"
+                " as float))"
+            ),
+        ).otherwise(
+            F.expr(
+                "transform(sequence(0, 7),"
+                " i -> cast(sin(id * 0.37 + i * 1.13) as float))"
+            )
+        ).alias("embedding"),
+    )
+    prep_skew = similarity.prepare(skew).localCheckpoint()
+    # ONE hot centroid (vec_id 0 ≈ e0 — every hot vector lands on it)
+    # plus 64 spread centroids: k=65, one cluster at ~20% of the corpus
+    cents_skew = prep_skew.filter(
+        (F.col("vec_id") == 0)
+        | ((F.col("vec_id") % 5 != 0) & (F.col("vec_id") < 81))
+    )
+    timed(t, f"semantic_dedup_skew20pct_{skew_n // 1000}k_salt1",
+          similarity.semantic_dedup(
+              prep_skew, cents_skew, threshold=0.9999, dim=8, salt=1))
+    timed(t, f"semantic_dedup_skew20pct_{skew_n // 1000}k_salt8",
+          similarity.semantic_dedup(
+              prep_skew, cents_skew, threshold=0.9999, dim=8, salt=8))
+
+    # --- EP2 end-to-end at probe volume: the reference's actual daily
+    # job (pruned store read → A1 hourly+override → dense spine → W1
+    # ffill → A3 daily+override → A5 pivot + formula estimates), run
+    # against a real partitioned ObservationStore holding the full
+    # events-tier row count — ~60× the reference's production day
+    # (173k obs) at the default 10M.
+    print(f"pipelines tier (EP2 chain, {args.events:,} obs):",
+          file=sys.stderr)
+    import datetime as dt
+
+    from nr_rfc_dischargeobs_spark import pipelines
+    from nr_rfc_dischargeobs_spark.sources import ObservationStore
+
+    n_st = 300
+    obs = spark.range(args.events).select(
+        F.format_string("S%03d", (F.col("id") % n_st).cast("int")).alias(
+            "station_id"
+        ),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / n_st).cast("long") * 300
+        ).alias("obs_time"),
+        F.lit("Q").alias("datatype"),
+        F.round(F.sin(F.col("id") / 97.0) * 50 + 50, 3).alias("value"),
+        F.lit("raw").alias("qc_level"),
+        F.lit("synth").alias("source"),
+    )
+    store_dir = tempfile.mkdtemp(
+        prefix="scale_store_", dir=str(Path(__file__).parent)
+    )
+    try:
+        t0 = time.time()
+        store = ObservationStore(spark, store_dir)
+        store.write(obs)
+        t["ep2_store_write"] = {
+            "sec": round(time.time() - t0, 1), "rows": args.events,
+        }
+        print(f"  {t['ep2_store_write']['sec']:7.1f} s  "
+              f"{args.events:>12,} rows  ep2_store_write", file=sys.stderr)
+        end = dt.datetime.utcfromtimestamp(
+            1704067200 + (args.events // n_st) * 300
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        stations = [f"S{i:03d}" for i in range(n_st)]
+        t0 = time.time()
+        hourly = pipelines.update_hourly(
+            store, "2024-01-01 00:00:00", end,
+            ffill_until=F.lit(end).cast("timestamp"),
+        )
+        n_h = force(hourly)
+        daily = pipelines.update_daily(hourly)
+        n_d = force(daily)
+        export = pipelines.model_export_frame(
+            daily,
+            stations,
+            estimates={
+                "EST1": "{S001} + {S002} * 2",
+                "EST2": "({S003} + {S004}) / 2",
+            },
+        )
+        n_e = force(export)
+        t["ep2_rollup_export_chain"] = {
+            "sec": round(time.time() - t0, 1),
+            "rows": n_e,
+            "hourly_rows": n_h,
+            "daily_rows": n_d,
+        }
+        print(f"  {t['ep2_rollup_export_chain']['sec']:7.1f} s  "
+              f"{n_e:>12,} rows  ep2_rollup_export_chain "
+              f"(hourly {n_h:,}, daily {n_d:,})", file=sys.stderr)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
 
     out = json.dumps(results, indent=2)
     if args.out:
