@@ -70,16 +70,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate
     # checks the FIRST 50 entries.  Round-5 window goal: make the UNION
-    # of driver rows across rounds cover all 109 registered queries.
+    # of driver rows across rounds cover the whole registered surface.
     # In order: the 10 queries never inside any previous driver window
     # (jaccard pairs, simhash, the two metadata-only multimodal plans,
     # six simple text scans), then 6 re-checks of plans whose code
     # changed THIS round (semantic-contamination completeness contract,
     # the salted SemDeDup pair join in both its plans, the cache-registry
-    # plumbing through the curation and PQ plans), then 34 re-checks of
-    # r3-green relational/window/function families = 50.  Everything
-    # displaced (22 TPC-H shapes, the r4 batch) was driver-green in r4
-    # and is re-verified locally via tools/check_oracle.py each round.
+    # plumbing through the curation and PQ plans), then the brand-new
+    # IVF-PQ composition, then 33 re-checks of r3-green
+    # relational/window/function families = 50.  Everything displaced
+    # (22 TPC-H shapes, the r4 batch, ts_percentile_summary) was
+    # driver-green in r3/r4 and is re-verified locally via
+    # tools/check_oracle.py each round.
     return {
         # --- never driver-checked before this round ---
         "ext_dedup_jaccard_pairs": extensions.dedup_jaccard_pairs,
@@ -99,6 +101,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_corpus": extensions.curate_corpus_plan,
         "ext_sim_pq_adc_topk": extensions.sim_pq_adc_topk,
         "ext_sim_pq_codes": extensions.sim_pq_codes,
+        "ext_sim_ivf_pq_topk": extensions.sim_ivf_pq_topk,  # new r5
         # --- r3-green family re-checks fill the window ---
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
@@ -140,8 +143,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series representatives
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
         "ts_interpolate_hourly": timeseries.interpolate_hourly,
-        "ts_percentile_summary": timeseries.percentile_summary,
         # ---- driver 50-row window ends here ----
+        "ts_percentile_summary": timeseries.percentile_summary,
         # everything below was driver-green in CORRECTNESS_r04 (50/50)
         # and stays replicable via tools/check_oracle.py
         # relational core (S6 scans + joins + aggs)
@@ -298,6 +301,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_text_entropy": extensions.TEXT_ENTROPY_SQL,
         "ext_sim_pq_codes": extensions.SIM_PQ_CODES_SQL,
         "ext_sim_pq_adc_topk": extensions.SIM_PQ_ADC_TOPK_SQL,
+        "ext_sim_ivf_pq_topk": extensions.SIM_IVF_PQ_TOPK_SQL,
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

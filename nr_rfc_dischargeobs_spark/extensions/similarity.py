@@ -742,6 +742,7 @@ def pq_codes(
     centroid_rows: list[tuple[int, list[int]]],
     m: int = 4,
     dim: int = 64,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., TPAMI 2011): split
     each vector into ``m`` subvectors and snap every subvector to its
@@ -772,7 +773,10 @@ def pq_codes(
     reconstruction error (the PQ analogue of
     :func:`quantize_int8_stats`'s audit).
 
-    Output: (vec_id, code_0..code_{m-1}, sq_err).
+    Output: (vec_id, *passthrough, code_0..code_{m-1}, sq_err) —
+    ``passthrough`` names columns of ``prepared`` carried through
+    unchanged (e.g. the coarse ``list_id`` when building an IVF-PQ
+    index via :func:`ivf_pq_index`).
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -787,13 +791,27 @@ def pq_codes(
     # array_position(d_arr, array_min(d_arr)) — first-min index ≡
     # smallest cid on ties (cents are cid-sorted), with a tree linear in
     # k instead of the k-fold duplication a CASE-per-centroid chain pays.
-    out_cols = ["vec_id"]
-    err_terms = []
+    out_cols = ["vec_id", *passthrough]
+    # STAGED projections, deliberately: the naive single-project spelling
+    # inlines the 8-distance array THREE times per subspace (argmin
+    # position, min, error term) and the 16-term nsub sum EIGHT times per
+    # distance — a ~6× bigger tree that blew past janino's method limits
+    # in the composed IVF-PQ plan (codegen compile failed, whole stage
+    # fell back interpreted, ~6 s of fixed cost per execution).  Staging
+    # nsub_s and d_arr_s as named columns keeps each evaluated ONCE:
+    # CollapseProject declines to re-inline a non-cheap expression that is
+    # referenced more than once, so the staged shape survives
+    # optimization (verified by timing and janino silence; values
+    # identical by construction).
+    stage0 = list(out_cols) + ["q"]
     for s in range(m):
         nsub = " + ".join(
             f"element_at(q, {s * dsub + j + 1}) * element_at(q, {s * dsub + j + 1})"
             for j in range(dsub)
         )
+        stage0.append(f"({nsub}) AS nsub_{s}")
+    stage1 = list(out_cols)
+    for s in range(m):
         ds = []
         for cid, cq in cents:
             csub = cq[s * dsub : (s + 1) * dsub]
@@ -802,15 +820,24 @@ def pq_codes(
                 f"element_at(q, {s * dsub + j + 1}) * CAST({int(cv)} AS BIGINT)"
                 for j, cv in enumerate(csub)
             )
-            ds.append(f"(({nsub}) + CAST({int(cn)} AS BIGINT) - 2 * ({dot_sql}))")
-        d_arr = f"array({', '.join(ds)})"
-        out_cols.append(
-            f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS INT)"
-            f" AS code_{s}"
+            ds.append(
+                f"(nsub_{s} + CAST({int(cn)} AS BIGINT) - 2 * ({dot_sql}))"
+            )
+        stage1.append(f"array({', '.join(ds)}) AS d_arr_{s}")
+    stage2 = list(out_cols)
+    for s in range(m):
+        stage2.append(
+            f"CAST(array_position(d_arr_{s}, array_min(d_arr_{s})) - 1"
+            f" AS INT) AS code_{s}"
         )
-        err_terms.append(f"array_min({d_arr})")
-    out_cols.append(" + ".join(err_terms) + " AS sq_err")
-    return prepared.selectExpr(*out_cols)
+    stage2.append(
+        " + ".join(f"array_min(d_arr_{s})" for s in range(m)) + " AS sq_err"
+    )
+    return (
+        prepared.selectExpr(*stage0)
+        .selectExpr(*stage1)
+        .selectExpr(*stage2)
+    )
 
 
 def pq_adc_topk(
@@ -899,6 +926,140 @@ def pq_adc_topk(
     scored = (
         codes.select("vec_id", *[f"code_{s}" for s in range(m)])
         .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(adot, F.col("qn"), rn).alias("cosine_adc"),
+            rn.alias("__rn"),
+        )
+        .filter(F.col("__rn") > 0)
+        .drop("__rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_adc")
+    )
+
+
+def ivf_pq_index(
+    prepared: DataFrame,
+    coarse_centroids: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Build the IVF-PQ INDEX — the stored artifact of production ANN
+    (Jégou et al., TPAMI 2011; the FAISS ``IVFx,PQy`` layout): every
+    corpus vector is coarse-assigned to exactly one inverted list
+    (:func:`ivf_assign`, centroids broadcast) and stored as its m-byte
+    PQ code (:func:`pq_codes`, codebook literal-inlined).  One pass over
+    the corpus, zero shuffles — write the result partitioned/bucketed by
+    ``list_id`` and searches scan only probed lists.
+
+    Output: (vec_id, list_id, code_0..code_{m-1}, sq_err).
+    """
+    # assignment dot: HOF fold, never unrolled — the coarse assignment is
+    # a broadcast CROSS join (BroadcastNestedLoopJoin, no whole-stage
+    # codegen), where the fold beats the unrolled tree ~6× (the third
+    # side of the dot dial, see :func:`dot`)
+    assigned = ivf_assign(prepared, coarse_centroids, 1, None)
+    return pq_codes(
+        assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ search — the full production ANN shape, composed from the
+    audited pieces: each query probes its ``nprobe`` nearest inverted
+    lists (:func:`ivf_assign` on the QUERY side only — coarse centroids
+    broadcast) and ADC-scores only the :func:`ivf_pq_index` codes in
+    those lists.  Per-query corpus work drops from |corpus| rows of
+    m-byte codes (:func:`pq_adc_topk`) to Σ|probed lists| — with the
+    codes already 16× smaller than raw vectors, this is the
+    two-multiplier cost reduction that serves billion-vector corpora.
+
+    Scale shape: the index never shuffles and never replicates — the
+    (small) probe side is exploded ``nprobe``× and broadcast, and the
+    equality join on ``list_id`` scans inverted lists in place (store
+    the index partitioned by ``list_id`` and partition pruning applies
+    before the join).  Every (query, code) pair is unique by
+    construction (one list per code, distinct probed lists per query),
+    so no candidate dedup is needed.
+
+    Scores are the same exactly-computable reconstructed cosine as
+    :func:`pq_adc_topk` (hence the DuckDB oracle); the approximation
+    axes are codebook quality AND coarse recall (``nprobe`` × list
+    count) — with ``nprobe`` ≥ the list count this returns
+    :func:`pq_adc_topk`'s answer exactly (the recall-oracle identity,
+    pinned in tests).
+
+    Output: (query_id, neighbor_id, rank, cosine_adc).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    cents = sorted(centroid_rows)
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        raise ValueError("codebook cids must be contiguous 0..k-1")
+    lut_cols = []
+    for s in range(m):
+        dots = []
+        for _, cq in cents:
+            csub = cq[s * dsub : (s + 1) * dsub]
+            dots.append(
+                " + ".join(
+                    f"element_at(q, {s * dsub + j + 1})"
+                    f" * CAST({int(cv)} AS BIGINT)"
+                    for j, cv in enumerate(csub)
+                )
+            )
+        lut_cols.append(
+            f"array({', '.join(f'({d})' for d in dots)}) AS lut_{s}"
+        )
+    # probe-side assignment: HOF fold for the same BNLJ-stage reason as
+    # the index build (and the query batch is tiny anyway)
+    q = (
+        ivf_assign(queries, coarse_centroids, nprobe, None)
+        .filter(F.col("n") > 0)
+        .selectExpr("vec_id AS query_id", "n AS qn", "list_id", *lut_cols)
+    )
+
+    rn_consts = [
+        F.array(
+            *[
+                F.lit(
+                    sum(v * v for v in cq[s * dsub : (s + 1) * dsub])
+                ).cast("long")
+                for _, cq in cents
+            ]
+        )
+        for s in range(m)
+    ]
+    adot = None
+    rn = None
+    for s in range(m):
+        a = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        r = F.element_at(rn_consts[s], F.col(f"code_{s}") + 1)
+        adot = a if adot is None else adot + a
+        rn = r if rn is None else rn + r
+    scored = (
+        index.select(
+            "vec_id", "list_id", *[f"code_{s}" for s in range(m)]
+        )
+        .join(F.broadcast(q), "list_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -1463,6 +1463,122 @@ QUALIFY rank <= 3
 """
 
 
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search end-to-end: PQ codebook = seeds (vec_id < 8), coarse
+    quantizer = 4 lists (8 ≤ vec_id < 12), queries 12 ≤ vec_id < 28
+    probing nprobe=2 of the 4 lists, corpus vec_id ≥ 28 stored as
+    list-assigned m-byte codes — top-3 by reconstructed cosine over only
+    the probed lists.
+
+    Same stated plan-build exception as the other PQ plans: the 8-row
+    codebook collect runs one metadata-scale job at construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    prep = similarity.prepare(emb)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 8).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    # the index is a STORED artifact in production (build once, search
+    # many; write it partitioned by list_id).  persist() reproduces that
+    # split here AND is load-bearing for plan compilation: inlining the
+    # assignment-window + staged-encode subtree under the search join
+    # regenerates a method janino refuses to compile, and the failed
+    # compile re-runs on EVERY execution (~5 s fixed, measured — compile
+    # failures are not cached).  The cache barrier keeps the encode and
+    # the search in separate, compilable stages: 19.9 s → ~3 s at sf0.01.
+    index = similarity.ivf_pq_index(
+        corpus, coarse, cents, m=4, dim=64
+    ).persist()
+    _PLAN_CACHES.append(index)
+    return similarity.ivf_pq_topk(
+        queries, index, coarse, cents, k=3, nprobe=2, m=4, dim=64
+    )
+
+
+SIM_IVF_PQ_TOPK_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), us AS (
+  SELECT vec_id, e, i // 16 AS s, i % 16 AS j FROM u WHERE vec_id >= 28
+), c AS (
+  SELECT vec_id AS cid, e AS ce, i // 16 AS s, i % 16 AS j
+  FROM u WHERE vec_id < 8
+), uq AS (
+  SELECT vec_id, e, i // 16 AS s, i % 16 AS j
+  FROM u WHERE vec_id >= 12 AND vec_id < 28
+), nq AS (SELECT vec_id, SUM(e * e) AS n FROM u
+          WHERE vec_id >= 12 AND vec_id < 28 GROUP BY 1),
+nv AS (SELECT vec_id, s, SUM(e * e) AS nsub FROM us GROUP BY 1, 2),
+cn AS (SELECT cid, s, SUM(ce * ce) AS cn FROM c GROUP BY 1, 2),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM u WHERE vec_id >= 28 GROUP BY 1),
+co AS (SELECT vec_id AS lid, e AS le, i FROM u
+       WHERE vec_id >= 8 AND vec_id < 12),
+nco AS (SELECT lid, SUM(le * le) AS ln FROM co GROUP BY 1),
+ca AS (
+  SELECT uu.vec_id, co.lid, nc.n + nco.ln - 2 * SUM(uu.e * co.le) AS d
+  FROM (SELECT vec_id, e, i FROM u WHERE vec_id >= 28) uu
+  JOIN co ON uu.i = co.i
+  JOIN nc ON uu.vec_id = nc.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY 1, 2, nc.n, nco.ln
+), corpus_list AS (
+  SELECT vec_id, lid FROM ca
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) = 1
+), qa AS (
+  SELECT uu.vec_id, co.lid, nq.n + nco.ln - 2 * SUM(uu.e * co.le) AS d
+  FROM (SELECT vec_id, e, i FROM u
+        WHERE vec_id >= 12 AND vec_id < 28) uu
+  JOIN co ON uu.i = co.i
+  JOIN nq ON uu.vec_id = nq.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY 1, 2, nq.n, nco.ln
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM qa
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) <= 2
+), d AS (
+  SELECT us.vec_id, us.s, c.cid, nv.nsub + cn.cn - 2 * SUM(us.e * c.ce) AS d
+  FROM us JOIN c ON us.s = c.s AND us.j = c.j
+  JOIN nv ON us.vec_id = nv.vec_id AND us.s = nv.s
+  JOIN cn ON c.cid = cn.cid AND c.s = cn.s
+  GROUP BY 1, 2, 3, nv.nsub, cn.cn
+), code AS (
+  SELECT vec_id, s, cid, d FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+), lut AS (
+  SELECT uq.vec_id AS query_id, c.s, c.cid, SUM(uq.e * c.ce) AS dotpart
+  FROM uq JOIN c ON uq.s = c.s AND uq.j = c.j
+  GROUP BY 1, 2, 3
+), adc AS (
+  SELECT lut.query_id, code.vec_id AS neighbor_id,
+         SUM(lut.dotpart) AS adot, SUM(cn.cn) AS rn
+  FROM code
+  JOIN corpus_list ON code.vec_id = corpus_list.vec_id
+  JOIN query_probe ON corpus_list.lid = query_probe.lid
+  JOIN lut ON code.s = lut.s AND code.cid = lut.cid
+          AND lut.query_id = query_probe.query_id
+  JOIN cn ON code.cid = cn.cid AND code.s = cn.s
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(adot AS DOUBLE)
+           / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(rn AS DOUBLE)))
+           AS cosine_adc
+  FROM adc JOIN nq ON query_id = nq.vec_id
+  WHERE nq.n > 0 AND rn > 0
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_adc DESC, neighbor_id ASC)
+            AS INT) AS rank,
+       cosine_adc
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-leakage screen: benchmark vec_id < 30
     broadcast against the vec_id ≥ 30 corpus, cosine ≥ 0.3 counted per

@@ -520,6 +520,92 @@ def test_pq_adc_equals_exact_when_reconstruction_is_lossless(spark):
         assert abs(adc[key][1] - score) < 1e-12
 
 
+def test_ivf_pq_full_probe_equals_plain_adc(spark):
+    """The recall-oracle identity: probing EVERY list makes IVF-PQ return
+    exactly pq_adc_topk's answer — the coarse tier only prunes."""
+    import random
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codes,
+        prepare,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    prep = prepare(_emb(spark, rows))
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 4).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 7))
+    queries = prep.filter((F.col("vec_id") >= 7) & (F.col("vec_id") < 12))
+    corpus = prep.filter(F.col("vec_id") >= 12)
+    index = ivf_pq_index(corpus, coarse, cents, m=2, dim=4)
+    full = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                queries, index, coarse, cents, k=3, nprobe=3, m=2, dim=4
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                queries, pq_codes(corpus, cents, m=2, dim=4), cents,
+                k=3, m=2, dim=4,
+            ).collect(),
+        )
+    )
+    assert full == plain
+
+
+def test_ivf_pq_probes_restrict_candidates(spark):
+    """With nprobe=1 every returned neighbor lives in its query's single
+    probed list — candidates from unprobed lists never appear."""
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_pq_index,
+        ivf_pq_topk,
+        prepare,
+    )
+
+    # two well-separated lists on the first axis; queries sit near one
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # codebook
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.1, 0.0, 0.0]),    # coarse centroid A
+        (5, [-1.0, 0.1, 0.0, 0.0]),   # coarse centroid B
+        (10, [0.9, 0.2, 0.0, 0.0]),   # query near A
+        (20, [0.95, 0.05, 0.0, 0.0]),  # corpus in A
+        (21, [-0.9, 0.1, 0.0, 0.0]),  # corpus in B
+    ]
+    prep = prepare(_emb(spark, rows))
+    cents = [
+        (0, prep.filter(F.col("vec_id") == 0).collect()[0]["q"]),
+        (1, prep.filter(F.col("vec_id") == 1).collect()[0]["q"]),
+    ]
+    coarse = prep.filter(F.col("vec_id").isin(4, 5))
+    queries = prep.filter(F.col("vec_id") == 10)
+    corpus = prep.filter(F.col("vec_id") >= 20)
+    index = ivf_pq_index(corpus, coarse, cents, m=2, dim=4)
+    lists = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(corpus, coarse, 1).collect()
+    }
+    assert lists[20] != lists[21], "fixture must separate the lists"
+    out = ivf_pq_topk(
+        queries, index, coarse, cents, k=5, nprobe=1, m=2, dim=4
+    ).collect()
+    assert {r["neighbor_id"] for r in out} == {20}  # B never scanned
+
+
 # ------------------------------------------------------- curate v2 gates
 
 

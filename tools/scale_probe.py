@@ -203,6 +203,24 @@ def main() -> int:
               prep_adc.filter(F.col("vec_id") < 256), codes_1m, pq_cents,
               k=10))
 
+    # --- IVF-PQ at the same volume: the coarse tier prunes the scored
+    # set to Σ|probed lists| (~nprobe/n_lists of the corpus) ON TOP of
+    # the 16× code-size reduction.  64 lists, nprobe=4 → ~1/16 of the
+    # codes scored per query vs pq_adc's full scan; the index is
+    # localCheckpoint-materialized (it is a stored artifact — and the
+    # barrier keeps the encode and search stages separately compilable,
+    # see sim_ivf_pq_topk).
+    coarse_cents = similarity.prepare(
+        synth_embs(spark, 320).filter(F.col("vec_id") >= 256)
+    )
+    ivfpq_index = similarity.ivf_pq_index(
+        prep_adc.filter(F.col("vec_id") >= 256), coarse_cents, pq_cents
+    ).localCheckpoint()
+    timed(t, f"ivf_pq_topk_{adc_n // 1_000_000}m_codes_64lists_nprobe4_256q",
+          similarity.ivf_pq_topk(
+              prep_adc.filter(F.col("vec_id") < 256), ivfpq_index,
+              coarse_cents, pq_cents, k=10, nprobe=4))
+
     # --- semantic decontamination at volume: 64-vector benchmark
     # broadcast against a 1M-vector corpus, corpus scanned ONCE.  dim is
     # deliberately NOT passed: the scoring sits in a
