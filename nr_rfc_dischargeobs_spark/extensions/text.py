@@ -633,6 +633,142 @@ def hash_classifier_trained(
     )
 
 
+def _bigram_structs(toks: Column) -> Column:
+    """(w1, 'w1 w2') structs for consecutive token pairs; empty array for
+    docs with fewer than 2 tokens (``F.sequence(1, 0)`` would DESCEND —
+    the guard is load-bearing, not cosmetic)."""
+    pair = lambda i: F.struct(  # noqa: E731
+        F.element_at(toks, i).alias("w1"),
+        F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ).alias("bg"),
+    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    n_buckets: int = 4096,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "lm",
+) -> DataFrame:
+    """Hashed bigram language-model quality score — the perplexity-style
+    gate of CCNet/KenLM-based curation (Wenzek et al., LREC 2020),
+    re-cut to bounded-memory engine form: instead of an external n-gram
+    LM binary, the model is a pair of BUCKET-HASHED count tables
+    (bigram and unigram-context), so model size is fixed at
+    ``n_buckets`` regardless of corpus vocabulary — the count-min
+    posture that makes the operator a pure Spark plan at any scale.
+
+    Score: avg log₂ P̂(w₂|w₁) per bigram with add-one-over-buckets
+    smoothing — ``P̂ = (c(bucket(w₁w₂)) + 1) / (c(bucket(w₁)) +
+    n_buckets)``.  Natural prose re-uses frequent continuations and
+    scores high (less negative); shuffled or mashed text pairs rare
+    buckets and scores low.  Hash collisions inflate counts for
+    colliding n-grams — the standard hashing-trick tradeoff, dialed by
+    ``n_buckets`` exactly like :func:`hash_classifier`'s weight buckets.
+
+    ``model_docs`` is the corpus the counts are TRAINED on — in
+    production a clean reference corpus (the CCNet recipe: score web
+    text under a Wikipedia-trained model); defaults to ``docs``
+    (self-scored perplexity, the bootstrap variant).
+
+    Scale shape: counts are two combine-friendly aggregations whose
+    output is ≤ ``n_buckets`` rows each — broadcast back, so SCORING
+    never shuffles the corpus; the only corpus-keyed exchange is the
+    final per-doc aggregate.  Exactness: each bigram's log term is
+    snapped to the integer grid FIRST (``round(log₂(c)·2²⁰)`` of exact
+    integer counts — the :func:`token_entropy` discipline), summed as
+    BIGINTs, so ``slogp`` is bit-identical across engines and
+    partitionings; ``avg_logp2`` is one final double division.  NULL /
+    sub-2-token docs fail closed (0 bigrams, score 0).
+
+    Output: (doc_id, n_bigrams, slogp, avg_logp2).
+    """
+    from .sampling import hash_bucket
+
+    SCALE = 1 << 20
+    model = model_docs if model_docs is not None else docs
+    bucket = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int")  # noqa: E731
+
+    # the token array is STAGED as a named column before any lambda
+    # touches it: higher-order functions are CodegenFallback with no
+    # common-subexpression elimination, so element_at(<full split+filter
+    # tree>, i) inside the transform re-tokenizes the document for EVERY
+    # bigram (~3 refs/element → O(n²) per doc; measured 10.4 s → 0.9 s
+    # exploding 266k bigrams at sf0.1).  CollapseProject leaves the
+    # staging in place because the array is non-cheap and
+    # multiply-referenced — the same rule gopher_rules relies on.
+    def with_toks(frame: DataFrame, *keep: str) -> DataFrame:
+        return frame.select(
+            *keep,
+            F.filter(
+                _tokens(F.coalesce(F.col(text), F.lit(""))),
+                lambda t: t != "",
+            ).alias("__toks"),
+        )
+
+    bcounts = (
+        with_toks(model)
+        .select(F.explode(_bigram_structs(F.col("__toks"))).alias("p"))
+        .groupBy(bucket(F.col("p.bg")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ucounts = (
+        with_toks(model)
+        .select(F.explode(F.col("__toks")).alias("w"))
+        .groupBy(bucket(F.col("w")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+
+    grid = lambda c: F.round(  # noqa: E731
+        F.log2(c.cast("double")) * SCALE, 0
+    ).cast("long")
+    exploded = with_toks(docs, doc_id).select(
+        F.col(doc_id),
+        F.explode_outer(_bigram_structs(F.col("__toks"))).alias("p"),
+    ).select(
+        doc_id,
+        F.col("p.bg").isNotNull().alias("has"),
+        bucket(F.col("p.bg")).alias("bb"),
+        bucket(F.col("p.w1")).alias("ub"),
+    )
+    term = grid(F.coalesce(F.col("cb"), F.lit(0)) + 1) - grid(
+        F.coalesce(F.col("cu"), F.lit(0)) + n_buckets
+    )
+    per = (
+        exploded.join(
+            F.broadcast(bcounts), exploded["bb"] == bcounts["bucket"], "left"
+        )
+        .drop("bucket")
+        .join(
+            F.broadcast(ucounts), exploded["ub"] == ucounts["bucket"], "left"
+        )
+        .drop("bucket")
+        .groupBy(doc_id)
+        .agg(
+            F.sum(F.col("has").cast("long")).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("has"), term).otherwise(F.lit(0))
+            ).alias("slogp"),
+        )
+    )
+    avg = (F.col("slogp").cast("double") / SCALE) / F.col("n_bigrams")
+    return per.select(
+        doc_id,
+        "n_bigrams",
+        "slogp",
+        F.when(F.col("n_bigrams") > 0, avg).otherwise(F.lit(0.0)).alias(
+            "avg_logp2"
+        ),
+    )
+
+
 def token_entropy(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

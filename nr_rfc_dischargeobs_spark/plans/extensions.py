@@ -1329,6 +1329,65 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bigram LM quality score, self-trained on the corpus
+    (bootstrap variant): bounded 4096-bucket count tables broadcast back,
+    integer-grid log terms, one corpus-keyed aggregate."""
+    return textops.bigram_lm_scores(
+        load(spark, sf_dir, "documents"), n_buckets=4096
+    )
+
+
+_LM_B = 4096
+TEXT_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     t -> t != '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks), 1)),
+             i -> struct_pack(w1 := toks[i],
+                              bg := toks[i] || ' ' || toks[i + 1])) AS ps
+  FROM toks
+), exf AS (
+  SELECT doc_id, p.w1 AS w1, p.bg AS bg
+  FROM (SELECT doc_id, unnest(ps) AS p FROM pairs)
+), bc AS (
+  SELECT ({sampling.hash_bucket_sql("bg", "lm")} % {_LM_B}) AS bucket,
+         COUNT(*) AS cb
+  FROM exf GROUP BY 1
+), uc AS (
+  SELECT ({sampling.hash_bucket_sql("w", "lm")} % {_LM_B}) AS bucket,
+         COUNT(*) AS cu
+  FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY 1
+), scored AS (
+  SELECT exf.doc_id,
+         CAST(ROUND(log2(CAST(COALESCE(bc.cb, 0) + 1 AS DOUBLE))
+                    * 1048576, 0) AS BIGINT)
+         - CAST(ROUND(log2(CAST(COALESCE(uc.cu, 0) + {_LM_B} AS DOUBLE))
+                      * 1048576, 0) AS BIGINT) AS term
+  FROM exf
+  LEFT JOIN bc
+    ON ({sampling.hash_bucket_sql("exf.bg", "lm")} % {_LM_B}) = bc.bucket
+  LEFT JOIN uc
+    ON ({sampling.hash_bucket_sql("exf.w1", "lm")} % {_LM_B}) = uc.bucket
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(term) AS BIGINT) AS slogp
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.slogp, 0) AS slogp,
+       CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+            THEN (CAST(per.slogp AS DOUBLE) / 1048576) / per.n_bigrams
+            ELSE 0.0 END AS avg_logp2
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode the whole corpus: 4 subspaces × 16 dims, codebook =
     subvectors of the 8 seed vectors (collected driver-side — k·dim ints,

@@ -717,3 +717,92 @@ def test_semantic_contamination_empty_corpus_reports_all_rows(spark):
     assert set(out) == {0, 1}
     assert all(r["n_contaminated"] == 0 for r in out.values())
     assert all(r["max_cosine"] is None for r in out.values())
+
+
+# ---------------------------------------------------------- bigram LM (r5)
+
+
+def test_bigram_lm_orders_natural_above_shuffled(spark):
+    """Self-trained hashed bigram LM: text that re-uses frequent
+    continuations scores higher (less negative) than the same tokens
+    shuffled, which scores higher than gibberish; degenerate docs fail
+    closed."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the cat sat on the mat"),
+            (1, "mat the on cat sat mat the and sat cat on the"),
+            (2, "zq xv wp lk jh gf"),
+            (3, None),
+            (4, "single"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in textops.bigram_lm_scores(docs).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc reports
+    assert out[0]["avg_logp2"] > out[1]["avg_logp2"] > out[2]["avg_logp2"]
+    for d in (3, 4):  # NULL text / one token: no bigrams, fails closed
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["slogp"] == 0
+        assert out[d]["avg_logp2"] == 0.0
+
+
+def test_bigram_lm_reference_model_corpus(spark):
+    """The CCNet split: score one corpus under counts trained on ANOTHER.
+    A doc matching the reference model's phrases outscores one that
+    doesn't, even when both are natural text."""
+    reference = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "purple elephants compute underwater symphonies"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["avg_logp2"]
+        for r in textops.bigram_lm_scores(
+            docs, model_docs=reference
+        ).collect()
+    }
+    assert out[0] > out[1]
+
+
+def test_bigram_lm_partition_invariant(spark):
+    """slogp is an integer-grid sum — bit-identical across shuffle
+    partitionings (the exactness discipline)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} w{(i + 2) % 7} end")
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    results = []
+    for parts in ("2", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            results.append(
+                sorted(map(tuple, textops.bigram_lm_scores(docs).collect()))
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert results[0] == results[1]
+
+
+def test_bigram_lm_plan_broadcasts_counts(spark):
+    """Plan guard: both count tables reach the scoring side as BROADCAST
+    joins — the corpus is never shuffled for scoring (its only exchange
+    is the final per-doc aggregate)."""
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    plan = (
+        textops.bigram_lm_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan

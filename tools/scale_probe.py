@@ -157,6 +157,7 @@ def main() -> int:
     timed(t, "top_terms_k3", text.top_terms(docs, k=3))
     timed(t, "hash_classifier", text.hash_classifier(docs))
     timed(t, "token_entropy", text.token_entropy(docs))
+    timed(t, "bigram_lm_selftrained", text.bigram_lm_scores(docs))
     timed(t, "shard_plan_1024", sampling.shard_plan(docs, "doc_id", 1024))
     # skewed domains: 30% of docs in one hot domain — the shape the
     # two-stage pre-rank exists for
