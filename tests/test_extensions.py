@@ -346,6 +346,48 @@ def test_lsh_bucketed_topk_recall_on_testdata(spark):
     assert r0 <= r1 <= r2
 
 
+def test_ivf_pq_nprobe_recall_dial_on_testdata(spark):
+    """Recall of the composed IVF-PQ path vs the PLAIN-ADC oracle on the
+    real embeddings table: the coarse tier only prunes, so recall@1 must
+    be monotone in nprobe and reach 1.0 when every list is probed (the
+    same dial discipline as the LSH/IVF paths).  The baseline is
+    pq_adc_topk, not brute force — the PQ reconstruction error is the
+    codebook's property, not the coarse tier's."""
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    coarse = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    q = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    c = emb.filter(F.col("vec_id") >= 28)
+    adc_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.pq_adc_topk(
+            q, similarity.pq_codes(c, cents), cents, k=1
+        ).collect()
+    }
+    index = similarity.ivf_pq_index(c, coarse, cents)
+
+    def recall(nprobe: int) -> float:
+        top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.ivf_pq_topk(
+                q, index, coarse, cents, k=1, nprobe=nprobe
+            ).collect()
+        }
+        return sum(
+            top1.get(qid) == n for qid, n in adc_top1.items()
+        ) / len(adc_top1)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r2 >= 0.5  # the registered configuration (nprobe=2 of 4)
+    assert r4 == 1.0  # all lists probed ≡ plain ADC
+
+
 def test_lsh_neardup_subset_and_single_bucket_recall(spark):
     """The bucketed near-dup path must (a) emit only true near-dups —
     a subset of the exact all-pairs oracle — and (b) reproduce the oracle
