@@ -769,6 +769,124 @@ def bigram_lm_scores(
     )
 
 
+def bigram_lm_scores_trained(
+    docs: DataFrame,
+    bigram_counts,
+    unigram_counts,
+    n_buckets: int = 4096,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "lm",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`bigram_lm_scores` under a PRE-TRAINED model — the
+    production split (train the counts once on a reference corpus, score
+    everything under them) and the STREAMING-safe form: the counts are
+    plain ``[(bucket, count), ...]`` rows or small DataFrames (a model
+    parameter, like the classifier's weight table), folded in Python
+    into two dense literal arrays of PRE-COMPUTED integer-grid log
+    terms — so scoring is one md5 + two array lookups per bigram, no
+    joins, no aggregating over the corpus, no runtime logarithms.
+    Fully row-local ⇒ stateless ⇒ lifts onto Structured Streaming
+    unchanged (the :func:`~..streaming.documents.curate_document_stream`
+    gate), and bit-identical to the batch operator under the same
+    counts (the grid terms round HALF-UP exactly as ``F.round`` does —
+    pinned by an equivalence test).
+
+    Output: (doc_id, *passthrough, n_bigrams, slogp, avg_logp2) —
+    identical schema to :func:`bigram_lm_scores`.
+    """
+    import math
+
+    from .sampling import hash_bucket
+
+    SCALE = 1 << 20
+
+    def dense(rows, smooth_add: int):
+        if hasattr(rows, "collect"):  # small count DataFrame
+            rows = [(r[0], r[1]) for r in rows.collect()]
+        counts = [0] * n_buckets
+        for b, c in rows:
+            if not 0 <= int(b) < n_buckets:
+                raise ValueError(f"bucket {b} outside [0, {n_buckets})")
+            counts[int(b)] = int(c)
+        # HALF-UP like F.round (never Python's banker's round) so the
+        # precomputed grid equals the batch operator's runtime grid
+        return [
+            int(math.floor(math.log2(c + smooth_add) * SCALE + 0.5))
+            for c in counts
+        ]
+
+    tb = F.expr(
+        "array(" + ",".join(f"{v}L" for v in dense(bigram_counts, 1)) + ")"
+    )
+    tu = F.expr(
+        "array("
+        + ",".join(f"{v}L" for v in dense(unigram_counts, n_buckets))
+        + ")"
+    )
+    bucket1 = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int") + 1  # noqa: E731
+    term = lambda p: F.element_at(tb, bucket1(p["bg"])) - F.element_at(  # noqa: E731
+        tu, bucket1(p["w1"])
+    )
+    staged = docs.select(
+        F.col(doc_id),
+        *[F.col(c) for c in passthrough],
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks"),
+    ).select(
+        doc_id,
+        *passthrough,
+        _bigram_structs(F.col("__toks")).alias("__bigrams"),
+    )
+    slogp = F.aggregate(
+        F.col("__bigrams"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + term(p),
+    )
+    n_bi = F.size(F.col("__bigrams")).cast("long")
+    avg = (slogp.cast("double") / SCALE) / n_bi
+    return staged.select(
+        doc_id,
+        *passthrough,
+        n_bi.alias("n_bigrams"),
+        slogp.alias("slogp"),
+        F.when(n_bi > 0, avg).otherwise(F.lit(0.0)).alias("avg_logp2"),
+    )
+
+
+def bigram_lm_counts(
+    model_docs: DataFrame,
+    n_buckets: int = 4096,
+    text: str = "text",
+    salt: str = "lm",
+) -> tuple[DataFrame, DataFrame]:
+    """The training half of the pre-trained split: (bigram_counts,
+    unigram_counts) DataFrames of (bucket, count) over ``model_docs`` —
+    run once on the reference corpus, collect (≤ ``n_buckets`` rows
+    each), and feed :func:`bigram_lm_scores_trained`."""
+    from .sampling import hash_bucket
+
+    bucket = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int")  # noqa: E731
+    staged = model_docs.select(
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks")
+    )
+    bcounts = (
+        staged.select(F.explode(_bigram_structs(F.col("__toks"))).alias("p"))
+        .groupBy(bucket(F.col("p.bg")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ucounts = (
+        staged.select(F.explode(F.col("__toks")).alias("w"))
+        .groupBy(bucket(F.col("w")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    return bcounts, ucounts
+
+
 def token_entropy(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

@@ -53,16 +53,27 @@ def curate_document_stream(
     ts: str = "ingest_time",
     meta: tuple[str, ...] = ("lang", "source", "ingest_time"),
     classifier_min_score: float | None = None,
+    lm_counts: tuple | None = None,
+    lm_min_score: float | None = None,
 ) -> DataFrame:
-    """Gate → (optional classifier gate) → scrub → fingerprint-dedup, all
-    streaming-safe, one linear lineage (works identically on a batch
-    frame — same gates, two drivers).
+    """Gate → (optional classifier gate) → (optional LM-perplexity gate)
+    → scrub → fingerprint-dedup, all streaming-safe, one linear lineage
+    (works identically on a batch frame — same gates, two drivers).
 
     ``classifier_min_score`` switches on the hashed-linear-model quality
     gate (:func:`~..extensions.text.hash_classifier`) between the rule
     battery and the scrub: docs scoring below the threshold drop.  Like
     every other gate here it is a scan-local generated expression —
     stateless, so it lifts onto the stream unchanged.
+
+    ``lm_counts`` + ``lm_min_score`` switch on the bigram-LM perplexity
+    gate (:func:`~..extensions.text.bigram_lm_scores_trained`): counts
+    are PRE-TRAINED model parameters (plain (bucket, count) rows from
+    :func:`~..extensions.text.bigram_lm_counts` on a reference corpus),
+    folded into literal lookup arrays — scoring is row-local, hence
+    stream-safe; docs whose ``avg_logp2`` falls below the threshold
+    drop.  This completes the production gate stack: rules → trained
+    classifier → LM perplexity → scrub → dedup.
 
     Returns the curated stream: (doc_id, *meta, n_words, text=redacted,
     fingerprint).  A re-landed shard (same content, later arrival inside
@@ -82,6 +93,18 @@ def curate_document_stream(
             )
             .filter(F.col("score") >= classifier_min_score)
             .drop("n_tokens", "weight_sum", "score", "positive")
+        )
+    if lm_min_score is not None:
+        if lm_counts is None:
+            raise ValueError("lm_min_score requires lm_counts")
+        gated = (
+            tx.bigram_lm_scores_trained(
+                gated,
+                *lm_counts,
+                passthrough=("text", "n_words", *meta),
+            )
+            .filter(F.col("avg_logp2") >= lm_min_score)
+            .drop("n_bigrams", "slogp", "avg_logp2")
         )
     scrubbed = tx.pii_scrub(
         gated, passthrough=("n_words", *meta)

@@ -806,3 +806,67 @@ def test_bigram_lm_plan_broadcasts_counts(spark):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_trained_equals_selftrained_bitwise(spark):
+    """The pre-trained split must reproduce the batch operator EXACTLY
+    when fed its own counts: Python HALF-UP grid terms == F.round grid
+    terms, lookups == joins, bit-for-bit."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the cat sat on the mat"),
+            (1, "mat the on cat sat mat the and sat cat on the"),
+            (2, "zq xv wp lk jh gf"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = sorted(map(tuple, textops.bigram_lm_scores(docs).collect()))
+    bc, uc = textops.bigram_lm_counts(docs)
+    trained = sorted(
+        map(
+            tuple,
+            textops.bigram_lm_scores_trained(docs, bc, uc).collect(),
+        )
+    )
+    assert trained == batch
+
+
+def test_document_stream_lm_gate_batch_twin(spark):
+    """The LM-perplexity gate drops low-scoring docs on the batch
+    (backfill) driver and keeps the stream contract: identical output
+    schema with and without the gate."""
+    from nr_rfc_dischargeobs_spark.streaming import curate_document_stream
+
+    natural = (
+        "the river rose through the morning and the gauges tracked the "
+        "rise while the forecast centre watched the upstream stations"
+    )
+    mash = " ".join(f"zx{i}qv wk{i}jh" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, natural, "en", "crawl", "2024-06-01T10:00:00"),
+            (2, mash, "en", "crawl", "2024-06-01T10:00:00"),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "ingest_time string",
+    ).withColumn("ingest_time", F.col("ingest_time").cast("timestamp"))
+    # train the model on the natural reference only
+    ref = spark.createDataFrame(
+        [(100 + i, natural) for i in range(3)], ["doc_id", "text"]
+    )
+    counts = textops.bigram_lm_counts(ref)
+    scores = {
+        r["doc_id"]: r["avg_logp2"]
+        for r in textops.bigram_lm_scores_trained(docs, *counts).collect()
+    }
+    assert scores[1] > scores[2], "fixture must separate the docs"
+    cut = (scores[1] + scores[2]) / 2
+
+    ungated = curate_document_stream(docs, min_words=5)
+    gated = curate_document_stream(
+        docs, min_words=5, lm_counts=counts, lm_min_score=cut
+    )
+    assert gated.columns == ungated.columns
+    kept = {r["doc_id"] for r in gated.collect()}
+    assert kept == {1}

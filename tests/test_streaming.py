@@ -648,3 +648,72 @@ def test_compact_near_dups_recovers_interrupted_swap_with_new_landings(
     assert (kept_n, dropped_n) == (3, 0)
     assert not os.path.exists(landed + ".precompact")
     assert not os.path.exists(landed + ".compacting")
+
+
+def test_document_stream_lm_gate_runs_on_real_stream(spark, tmp_path):
+    """The pre-trained bigram-LM gate is row-local (literal lookup
+    arrays), so it must run under the real streaming engine — proven
+    here end-to-end, not just on the batch twin: low-perplexity doc
+    lands, gibberish is gated out mid-stream."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.extensions import text as tx
+    from nr_rfc_dischargeobs_spark.streaming import (
+        curate_document_stream,
+        stream_documents_jsonl,
+    )
+
+    natural = (
+        "the river rose through the morning and the gauges tracked the "
+        "rise while the forecast centre watched the upstream stations"
+    )
+    mash = " ".join(f"zx{i}qv wk{i}jh nb{i}tr" for i in range(8))
+    landing = tmp_path / "docs_lm"
+    landing.mkdir()
+    (landing / "shard1.jsonl").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "doc_id": i,
+                    "text": t,
+                    "lang": "en",
+                    "source": "crawl",
+                    "ingest_time": "2024-06-01T10:00:00",
+                }
+            )
+            for i, t in ((1, natural), (2, mash))
+        )
+        + "\n"
+    )
+    ref = spark.createDataFrame(
+        [(100 + i, natural) for i in range(3)], ["doc_id", "text"]
+    )
+    counts = tx.bigram_lm_counts(ref)
+    scores = {
+        r["doc_id"]: r["avg_logp2"]
+        for r in tx.bigram_lm_scores_trained(
+            spark.createDataFrame(
+                [(1, natural), (2, mash)], ["doc_id", "text"]
+            ),
+            *counts,
+        ).collect()
+    }
+    cut = (scores[1] + scores[2]) / 2
+
+    stream = curate_document_stream(
+        stream_documents_jsonl(spark, str(landing)),
+        min_words=5,
+        lm_counts=counts,
+        lm_min_score=cut,
+    )
+    out_dir = str(tmp_path / "curated_lm")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1}
