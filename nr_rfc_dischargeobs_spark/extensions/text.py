@@ -887,6 +887,69 @@ def bigram_lm_counts(
     return bcounts, ucounts
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line deduplication — the C4/CCNet boilerplate
+    remover (Raffel et al. 2020 drop repeated ≥3-sentence spans; CCNet
+    dedups paragraph hashes): a line whose hash appears in ≥ ``min_df``
+    DISTINCT documents is removed from EVERY document — navbars, cookie
+    banners, license footers, and share-bars are precisely the lines a
+    crawl repeats across pages, and exact whole-text duplicates hollow
+    out to empty (on a corpus without line structure every doc is one
+    line, so the op degenerates to whole-text document-frequency —
+    still exercised end-to-end by the registered query's planted
+    duplicates).
+
+    Scale shape: explode lines with positions → ONE shuffle keyed by
+    line hash for the distinct-doc count (two-phase, partial aggregation
+    absorbs repeats map-side; only 16-byte md5 + doc_id cross the wire,
+    never text) → the frequent-hash set joins back (AQE broadcasts it
+    when small — at web scale boilerplate is heavy-tailed, so with any
+    sensible ``min_df`` the frequent set is tiny next to the corpus) →
+    one doc-keyed aggregate reassembles the text in original order
+    (``array_sort`` over (pos, line) structs — deterministic, pos is
+    unique per doc).  Pure integer/string ops, no floats anywhere, so
+    the DuckDB twin is exact.
+
+    NULL text behaves as one empty line (which is removed wherever
+    ``min_df`` empty-ish docs exist — C4 drops blank lines too).
+
+    Output: (doc_id, n_lines, n_removed, clean_text).
+    """
+    lines = docs.select(
+        F.col(doc_id),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text), F.lit("")), sep)
+        ).alias("pos", "ln"),
+    ).withColumn("h", F.md5(F.col("ln")))
+    frequent = (
+        lines.groupBy("h")
+        .agg(F.countDistinct(doc_id).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h", F.lit(True).alias("__rm"))
+    )
+    joined = lines.join(frequent, "h", "left")
+    kept_struct = F.when(
+        F.col("__rm").isNull(), F.struct(F.col("pos"), F.col("ln"))
+    )
+    return joined.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__rm").isNotNull().cast("long")).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["ln"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def token_entropy(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

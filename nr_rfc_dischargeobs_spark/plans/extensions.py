@@ -1388,6 +1388,39 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup at min_df=2: on this corpus
+    (no newlines) each doc is one line, so planted exact duplicates
+    hollow out to empty clean_text — the full explode → df-count →
+    join-back → ordered-reassembly machinery runs regardless."""
+    return textops.line_dedup(load(spark, sf_dir, "documents"), min_df=2)
+
+
+TEXT_LINE_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM documents
+), l AS (
+  SELECT doc_id, p.pos AS pos, p.ln AS ln
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ls) + 1),
+                   i -> struct_pack(pos := i, ln := ls[i]))) AS p
+        FROM t)
+), rm AS (
+  SELECT md5(ln) AS h FROM l GROUP BY 1
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT l.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rm.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN rm.h IS NULL THEN l.ln END, chr(10)
+                           ORDER BY l.pos), '') AS clean_text
+FROM l LEFT JOIN rm ON md5(l.ln) = rm.h
+GROUP BY 1
+"""
+
+
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode the whole corpus: 4 subspaces × 16 dims, codebook =
     subvectors of the 8 seed vectors (collected driver-side — k·dim ints,

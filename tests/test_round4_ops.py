@@ -870,3 +870,68 @@ def test_document_stream_lm_gate_batch_twin(spark):
     assert gated.columns == ungated.columns
     kept = {r["doc_id"] for r in gated.collect()}
     assert kept == {1}
+
+
+# ------------------------------------------------------ line dedup (r5)
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    """The C4/CCNet boilerplate case: a footer line repeated across docs
+    is removed from every doc, unique lines survive in original order,
+    and the counts audit the removal."""
+    footer = "copyright example corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha unique line one\n{footer}\nalpha unique line two"),
+            (1, f"{footer}\nbeta content here"),
+            (2, "gamma only unique lines\nno boilerplate at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.line_dedup(docs).collect()}
+    assert out[0]["clean_text"] == (
+        "alpha unique line one\nalpha unique line two"
+    )
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 1
+    assert out[1]["clean_text"] == "beta content here"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == (
+        "gamma only unique lines\nno boilerplate at all"
+    )
+
+
+def test_line_dedup_within_doc_repeats_dont_count(spark):
+    """df counts DISTINCT documents: a line repeated many times inside
+    ONE doc is not boilerplate and survives."""
+    docs = spark.createDataFrame(
+        [
+            (0, "chorus line\nchorus line\nchorus line"),
+            (1, "something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.line_dedup(docs).collect()}
+    assert out[0]["n_removed"] == 0
+    assert out[0]["clean_text"] == "chorus line\nchorus line\nchorus line"
+
+
+def test_line_dedup_hollows_exact_duplicates_and_min_df_dial(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "identical whole document"),
+            (1, "identical whole document"),
+            (2, "identical whole document"),
+            (3, None),  # one empty line, unique here
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.line_dedup(docs).collect()}
+    for d in (0, 1, 2):
+        assert out[d]["clean_text"] == "" and out[d]["n_removed"] == 1
+    assert out[3]["n_lines"] == 1 and out[3]["n_removed"] == 0
+    # min_df above the duplicate count keeps everything
+    out4 = {
+        r["doc_id"]: r
+        for r in textops.line_dedup(docs, min_df=4).collect()
+    }
+    assert all(r["n_removed"] == 0 for r in out4.values())

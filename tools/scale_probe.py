@@ -158,6 +158,13 @@ def main() -> int:
     timed(t, "hash_classifier", text.hash_classifier(docs))
     timed(t, "token_entropy", text.token_entropy(docs))
     timed(t, "bigram_lm_selftrained", text.bigram_lm_scores(docs))
+    # synthetic docs are unique, so plant line structure: every doc gets
+    # the same boilerplate footer line — the op must strip 1M of them
+    lined = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("\nshared boilerplate footer line")),
+    )
+    timed(t, "line_dedup_1m_footers", text.line_dedup(lined))
     timed(t, "shard_plan_1024", sampling.shard_plan(docs, "doc_id", 1024))
     # skewed domains: 30% of docs in one hot domain — the shape the
     # two-stage pre-rank exists for
