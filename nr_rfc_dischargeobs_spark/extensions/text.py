@@ -582,9 +582,11 @@ def hash_classifier_trained(
     variant: token → md5 bucket → weight, all row-local expression
     arithmetic over one ``split`` — no shuffle, no UDF, no vocabulary
     join.  The weight lookup is ``element_at`` into ONE dense literal
-    array composed as SQL text (a single server-side parse — building
-    2¹⁶ ``lit()`` Columns through py4j would cost seconds of pure driver
-    chatter for the identical plan).  Weights are integers by contract
+    array composed as SQL text (a single server-side parse) — measured
+    at the full 2¹⁶ default: 3.6-9.6 s of ONE-TIME plan parse/fold,
+    amortized over the corpus scan, vs ~28 s for the ``F.lit(list)``
+    spelling whose per-element py4j serialization dominates.  Weights
+    are integers by contract
     (fixed-point: scale float model weights by 1e4 upstream), which
     keeps ``weight_sum`` an exact BIGINT — the same engine-portability
     discipline as every score column here.
