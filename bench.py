@@ -81,15 +81,21 @@ def main() -> None:
             t0 = time.time()
             try:
                 queries[name](spark, sf_dir).count()
+                elapsed = round(time.time() - t0, 3)
             except Exception as ex:  # noqa: BLE001 — report, don't die
                 print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
                 failed.append(name)
                 timings.pop(name, None)
                 continue
-            elapsed = round(time.time() - t0, 3)
+            finally:
+                # ALSO on failure: plan construction may already have
+                # pinned caches (the PQ/IVF-PQ persists happen at build
+                # time) — a failed query must not leak them into every
+                # subsequent timing.  The clock is stopped before this
+                # runs, so the release cost stays out of the numbers.
+                release_plan_caches()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
-            release_plan_caches()
 
     # the lifecycle promise, checked: a full bench run ends cache-clean
     try:

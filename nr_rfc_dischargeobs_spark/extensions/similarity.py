@@ -840,6 +840,100 @@ def pq_codes(
     )
 
 
+def _pq_check(
+    centroid_rows: list[tuple[int, list[int]]], m: int, dim: int
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """Shared PQ codebook validation: dim splits into m subspaces and
+    cids are contiguous 0..k-1 (LUT position IS the code — true for any
+    trained codebook that numbers its centroids; re-number upstream
+    otherwise)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    cents = sorted(centroid_rows)
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        raise ValueError("codebook cids must be contiguous 0..k-1")
+    return cents, dim // m
+
+
+def _adc_lut_cols(
+    cents: list[tuple[int, list[int]]], m: int, dsub: int
+) -> list[str]:
+    """Per-subspace ADC lookup tables as SQL text (one server-side parse
+    each — the py4j-chatter economics of pq_codes): LUT_s[c] =
+    dot(q_sub_s, c_sub), unrolled integer dots against the literal
+    codebook.  ONE implementation shared by :func:`pq_adc_topk` and
+    :func:`ivf_pq_topk` so the LUT spelling can never drift between
+    them."""
+    lut_cols = []
+    for s in range(m):
+        dots = []
+        for _, cq in cents:
+            csub = cq[s * dsub : (s + 1) * dsub]
+            dots.append(
+                " + ".join(
+                    f"element_at(q, {s * dsub + j + 1})"
+                    f" * CAST({int(cv)} AS BIGINT)"
+                    for j, cv in enumerate(csub)
+                )
+            )
+        lut_cols.append(
+            f"array({', '.join(f'({d})' for d in dots)}) AS lut_{s}"
+        )
+    return lut_cols
+
+
+def _adc_score_rank(
+    joined: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    m: int,
+    dsub: int,
+    k: int,
+) -> DataFrame:
+    """Shared ADC scoring + ranking over a frame carrying
+    (query_id, qn, lut_*, vec_id, code_*): reconstruction norms are
+    Python-folded constants looked up by code, the score is the
+    reconstructed cosine, ties rank to the smaller neighbor id."""
+    rn_consts = [
+        F.array(
+            *[
+                F.lit(
+                    sum(
+                        v * v
+                        for v in cq[s * dsub : (s + 1) * dsub]
+                    )
+                ).cast("long")
+                for _, cq in cents
+            ]
+        )
+        for s in range(m)
+    ]
+    adot = None
+    rn = None
+    for s in range(m):
+        a = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        r = F.element_at(rn_consts[s], F.col(f"code_{s}") + 1)
+        adot = a if adot is None else adot + a
+        rn = r if rn is None else rn + r
+    scored = (
+        joined.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(adot, F.col("qn"), rn).alias("cosine_adc"),
+            rn.alias("__rn"),
+        )
+        .filter(F.col("__rn") > 0)
+        .drop("__rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_adc")
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -871,78 +965,14 @@ def pq_adc_topk(
 
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    dsub = dim // m
-    cents = sorted(centroid_rows)
-    if [cid for cid, _ in cents] != list(range(len(cents))):
-        # LUT position IS the code — true for any trained codebook that
-        # numbers its centroids 0..k-1; re-number upstream otherwise
-        raise ValueError("codebook cids must be contiguous 0..k-1")
-    # LUTs composed as SQL text, one server-side parse per subspace —
-    # same py4j-chatter economics as pq_codes' encode expressions
-    lut_cols = []
-    for s in range(m):
-        dots = []
-        for _, cq in cents:
-            csub = cq[s * dsub : (s + 1) * dsub]
-            dots.append(
-                " + ".join(
-                    f"element_at(q, {s * dsub + j + 1})"
-                    f" * CAST({int(cv)} AS BIGINT)"
-                    for j, cv in enumerate(csub)
-                )
-            )
-        lut_cols.append(
-            f"array({', '.join(f'({d})' for d in dots)}) AS lut_{s}"
-        )
+    cents, dsub = _pq_check(centroid_rows, m, dim)
     q = queries.filter(F.col("n") > 0).selectExpr(
-        "vec_id AS query_id", "n AS qn", *lut_cols
+        "vec_id AS query_id", "n AS qn", *_adc_lut_cols(cents, m, dsub)
     )
-
-    # reconstruction norms are constants of the codebook — folded in
-    # Python, exact, and looked up by code
-    rn_consts = [
-        F.array(
-            *[
-                F.lit(
-                    sum(
-                        v * v
-                        for v in cq[s * dsub : (s + 1) * dsub]
-                    )
-                ).cast("long")
-                for _, cq in cents
-            ]
-        )
-        for s in range(m)
-    ]
-    adot = None
-    rn = None
-    for s in range(m):
-        a = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
-        r = F.element_at(rn_consts[s], F.col(f"code_{s}") + 1)
-        adot = a if adot is None else adot + a
-        rn = r if rn is None else rn + r
-    scored = (
-        codes.select("vec_id", *[f"code_{s}" for s in range(m)])
-        .crossJoin(F.broadcast(q))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(adot, F.col("qn"), rn).alias("cosine_adc"),
-            rn.alias("__rn"),
-        )
-        .filter(F.col("__rn") > 0)
-        .drop("__rn")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine_adc")
-    )
+    joined = codes.select(
+        "vec_id", *[f"code_{s}" for s in range(m)]
+    ).crossJoin(F.broadcast(q))
+    return _adc_score_rank(joined, cents, m, dsub, k)
 
 
 def ivf_pq_index(
@@ -956,9 +986,17 @@ def ivf_pq_index(
     (Jégou et al., TPAMI 2011; the FAISS ``IVFx,PQy`` layout): every
     corpus vector is coarse-assigned to exactly one inverted list
     (:func:`ivf_assign`, centroids broadcast) and stored as its m-byte
-    PQ code (:func:`pq_codes`, codebook literal-inlined).  One pass over
-    the corpus, zero shuffles — write the result partitioned/bucketed by
-    ``list_id`` and searches scan only probed lists.
+    PQ code (:func:`pq_codes`, codebook literal-inlined).  Cost shape,
+    stated precisely: the corpus is READ once and the PQ encode is
+    scan-local, but :func:`ivf_assign`'s per-vector argmin is a
+    ``row_number`` window partitioned by ``vec_id`` — ONE corpus-keyed
+    exchange of (vec_id, q, n, list, d) candidate rows.  (A fully
+    shuffle-free build exists — fold the k coarse centroids into a
+    literal array and argmin row-locally, the :func:`pq_codes` trick
+    applied to the coarse tier — at the price of another large literal
+    expression; the exchange is paid ONCE per index build, which is why
+    the window spelling is kept.)  Write the result partitioned/bucketed
+    by ``list_id`` and searches scan only probed lists.
 
     Output: (vec_id, list_id, code_0..code_{m-1}, sq_err).
     """
@@ -1008,75 +1046,21 @@ def ivf_pq_topk(
 
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    dsub = dim // m
-    cents = sorted(centroid_rows)
-    if [cid for cid, _ in cents] != list(range(len(cents))):
-        raise ValueError("codebook cids must be contiguous 0..k-1")
-    lut_cols = []
-    for s in range(m):
-        dots = []
-        for _, cq in cents:
-            csub = cq[s * dsub : (s + 1) * dsub]
-            dots.append(
-                " + ".join(
-                    f"element_at(q, {s * dsub + j + 1})"
-                    f" * CAST({int(cv)} AS BIGINT)"
-                    for j, cv in enumerate(csub)
-                )
-            )
-        lut_cols.append(
-            f"array({', '.join(f'({d})' for d in dots)}) AS lut_{s}"
-        )
+    cents, dsub = _pq_check(centroid_rows, m, dim)
     # probe-side assignment: HOF fold for the same BNLJ-stage reason as
     # the index build (and the query batch is tiny anyway)
     q = (
         ivf_assign(queries, coarse_centroids, nprobe, None)
         .filter(F.col("n") > 0)
-        .selectExpr("vec_id AS query_id", "n AS qn", "list_id", *lut_cols)
-    )
-
-    rn_consts = [
-        F.array(
-            *[
-                F.lit(
-                    sum(v * v for v in cq[s * dsub : (s + 1) * dsub])
-                ).cast("long")
-                for _, cq in cents
-            ]
+        .selectExpr(
+            "vec_id AS query_id", "n AS qn", "list_id",
+            *_adc_lut_cols(cents, m, dsub),
         )
-        for s in range(m)
-    ]
-    adot = None
-    rn = None
-    for s in range(m):
-        a = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
-        r = F.element_at(rn_consts[s], F.col(f"code_{s}") + 1)
-        adot = a if adot is None else adot + a
-        rn = r if rn is None else rn + r
-    scored = (
-        index.select(
-            "vec_id", "list_id", *[f"code_{s}" for s in range(m)]
-        )
-        .join(F.broadcast(q), "list_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(adot, F.col("qn"), rn).alias("cosine_adc"),
-            rn.alias("__rn"),
-        )
-        .filter(F.col("__rn") > 0)
-        .drop("__rn")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine_adc")
-    )
+    joined = index.select(
+        "vec_id", "list_id", *[f"code_{s}" for s in range(m)]
+    ).join(F.broadcast(q), "list_id")
+    return _adc_score_rank(joined, cents, m, dsub, k)
 
 
 def semantic_contamination(

@@ -561,6 +561,18 @@ def hash_classifier(
     )
 
 
+def _check_n_buckets(n_buckets: int) -> None:
+    """``hash_bucket`` yields [0, 65536) (a 4-hex-digit md5 prefix —
+    ``sampling.hash_bucket``), so a table wider than 2^16 would accept
+    weights/counts in buckets that can never fire: fail loudly instead
+    of silently truncating the model."""
+    if not 1 <= n_buckets <= 1 << 16:
+        raise ValueError(
+            f"n_buckets {n_buckets} outside [1, 65536]: hash_bucket "
+            "produces [0, 65536), so larger tables are unreachable"
+        )
+
+
 def hash_classifier_trained(
     docs: DataFrame,
     weights,
@@ -598,6 +610,7 @@ def hash_classifier_trained(
     """
     from .sampling import hash_bucket
 
+    _check_n_buckets(n_buckets)
     if hasattr(weights, "collect"):  # small weight DataFrame
         weights = [(r[0], r[1]) for r in weights.collect()]
     dense = [0] * n_buckets
@@ -695,43 +708,34 @@ def bigram_lm_scores(
     from .sampling import hash_bucket
 
     SCALE = 1 << 20
+    _check_n_buckets(n_buckets)
     model = model_docs if model_docs is not None else docs
+
+    # ONE implementation of the count aggregations — the pre-trained
+    # split trains through the same function, so count semantics can
+    # never diverge between the self-trained and trained paths (the
+    # bitwise-equivalence test relies on this)
+    bcounts, ucounts = bigram_lm_counts(
+        model, n_buckets=n_buckets, text=text, salt=salt
+    )
     bucket = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int")  # noqa: E731
-
-    # the token array is STAGED as a named column before any lambda
-    # touches it: higher-order functions are CodegenFallback with no
-    # common-subexpression elimination, so element_at(<full split+filter
-    # tree>, i) inside the transform re-tokenizes the document for EVERY
-    # bigram (~3 refs/element → O(n²) per doc; measured 10.4 s → 0.9 s
-    # exploding 266k bigrams at sf0.1).  CollapseProject leaves the
-    # staging in place because the array is non-cheap and
-    # multiply-referenced — the same rule gopher_rules relies on.
-    def with_toks(frame: DataFrame, *keep: str) -> DataFrame:
-        return frame.select(
-            *keep,
-            F.filter(
-                _tokens(F.coalesce(F.col(text), F.lit(""))),
-                lambda t: t != "",
-            ).alias("__toks"),
-        )
-
-    bcounts = (
-        with_toks(model)
-        .select(F.explode(_bigram_structs(F.col("__toks"))).alias("p"))
-        .groupBy(bucket(F.col("p.bg")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    ucounts = (
-        with_toks(model)
-        .select(F.explode(F.col("__toks")).alias("w"))
-        .groupBy(bucket(F.col("w")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
 
     grid = lambda c: F.round(  # noqa: E731
         F.log2(c.cast("double")) * SCALE, 0
     ).cast("long")
-    exploded = with_toks(docs, doc_id).select(
+    # the token array is STAGED before the bigram lambda touches it:
+    # HOFs are CodegenFallback with no common-subexpression elimination,
+    # so element_at(<full split+filter tree>, i) inside the transform
+    # would re-tokenize the document for EVERY bigram (~3 refs/element →
+    # O(n²) per doc; measured 10.4 s → 0.9 s exploding 266k bigrams at
+    # sf0.1).  CollapseProject leaves the staging in place because the
+    # array is non-cheap and multiply-referenced.
+    exploded = docs.select(
+        F.col(doc_id),
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks"),
+    ).select(
         F.col(doc_id),
         F.explode_outer(_bigram_structs(F.col("__toks"))).alias("p"),
     ).select(
@@ -803,6 +807,7 @@ def bigram_lm_scores_trained(
     from .sampling import hash_bucket
 
     SCALE = 1 << 20
+    _check_n_buckets(n_buckets)
 
     def dense(rows, smooth_add: int):
         if hasattr(rows, "collect"):  # small count DataFrame
@@ -923,10 +928,16 @@ def line_dedup(
 
     Output: (doc_id, n_lines, n_removed, clean_text).
     """
+    import re
+
+    # F.split takes a Java REGEX while concat_ws reassembles with the
+    # LITERAL separator — escape sep so the two agree for any separator
+    # (un-escaped, sep="|" would split between every character and
+    # rebuild mangled text)
     lines = docs.select(
         F.col(doc_id),
         F.posexplode(
-            F.split(F.coalesce(F.col(text), F.lit("")), sep)
+            F.split(F.coalesce(F.col(text), F.lit("")), re.escape(sep))
         ).alias("pos", "ln"),
     ).withColumn("h", F.md5(F.col("ln")))
     frequent = (

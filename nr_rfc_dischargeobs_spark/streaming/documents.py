@@ -97,13 +97,19 @@ def curate_document_stream(
     if lm_min_score is not None:
         if lm_counts is None:
             raise ValueError("lm_min_score requires lm_counts")
+        # fail CLOSED: a 0-bigram doc scores the sentinel 0.0, which is
+        # ABOVE any realistic (negative) threshold — unscorable docs must
+        # drop, not sail through on the sentinel
         gated = (
             tx.bigram_lm_scores_trained(
                 gated,
                 *lm_counts,
                 passthrough=("text", "n_words", *meta),
             )
-            .filter(F.col("avg_logp2") >= lm_min_score)
+            .filter(
+                (F.col("n_bigrams") > 0)
+                & (F.col("avg_logp2") >= lm_min_score)
+            )
             .drop("n_bigrams", "slogp", "avg_logp2")
         )
     scrubbed = tx.pii_scrub(

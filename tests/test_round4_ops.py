@@ -935,3 +935,55 @@ def test_line_dedup_hollows_exact_duplicates_and_min_df_dial(spark):
         for r in textops.line_dedup(docs, min_df=4).collect()
     }
     assert all(r["n_removed"] == 0 for r in out4.values())
+
+
+def test_line_dedup_regex_metachar_separator(spark):
+    """sep is a LITERAL separator, not a regex: '|' must split on pipes
+    only (un-escaped it would split between every character)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "shared footer|alpha unique"),
+            (1, "shared footer|beta unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.line_dedup(docs, sep="|").collect()
+    }
+    assert out[0]["n_lines"] == 2 and out[0]["n_removed"] == 1
+    assert out[0]["clean_text"] == "alpha unique"
+    assert out[1]["clean_text"] == "beta unique"
+
+
+def test_document_stream_lm_gate_fails_closed_on_unscorable(spark):
+    """A 0-bigram doc scores the 0.0 sentinel — ABOVE any realistic
+    negative threshold — so the gate must drop it explicitly rather than
+    let it sail through on the sentinel."""
+    from nr_rfc_dischargeobs_spark.streaming import curate_document_stream
+
+    natural = (
+        "the river rose through the morning and the gauges tracked the "
+        "rise while the forecast centre watched the upstream stations"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, natural, "en", "crawl", "2024-06-01T10:00:00"),
+            (2, "solo", "en", "crawl", "2024-06-01T10:00:00"),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "ingest_time string",
+    ).withColumn("ingest_time", F.col("ingest_time").cast("timestamp"))
+    ref = spark.createDataFrame(
+        [(100 + i, natural) for i in range(3)], ["doc_id", "text"]
+    )
+    counts = textops.bigram_lm_counts(ref)
+    # min_words=1 lets the 1-token doc REACH the LM gate; a negative
+    # threshold would pass its 0.0 sentinel without the n_bigrams guard
+    kept = {
+        r["doc_id"]
+        for r in curate_document_stream(
+            docs, min_words=1, lm_counts=counts, lm_min_score=-15.0
+        ).collect()
+    }
+    assert kept == {1}

@@ -83,8 +83,8 @@ def main() -> int:
         srows = [tuple(r) for r in sdf.collect()]
         s_fp = frame_fingerprint(sdf.columns, srows)
         spark_s = time.time() - t0
-        # plan-owned caches (PQ codes, SemDeDup assignment) must not
-        # accrete across a 109-query sweep
+        # plan-owned caches (PQ codes, SemDeDup assignment, IVF-PQ
+        # index) must not accrete across a full-registry sweep
         release_plan_caches()
         if name not in oracles:
             missing_oracle.append(name)
