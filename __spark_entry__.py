@@ -76,10 +76,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # six simple text scans), then 6 re-checks of plans whose code
     # changed THIS round (semantic-contamination completeness contract,
     # the salted SemDeDup pair join in both its plans, the cache-registry
-    # plumbing through the curation and PQ plans), then the three
+    # plumbing through the curation and PQ plans), then the four
     # brand-new r5 operators (IVF-PQ composition, hashed bigram LM
-    # scorer, C4-style line dedup), then 31 re-checks of r3-green
-    # relational/window/function families = 50.  Everything displaced
+    # scorer, C4-style line dedup, ExactSubstr span dedup), then 30
+    # re-checks of r3-green relational/window/function families = 50.  Everything displaced
     # (22 TPC-H shapes, the r4 batch, the ts family) was
     # driver-green in r3/r4 and is re-verified locally via
     # tools/check_oracle.py each round.
@@ -105,6 +105,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sim_ivf_pq_topk": extensions.sim_ivf_pq_topk,  # new r5
         "ext_text_bigram_lm": extensions.text_bigram_lm,  # new r5
         "ext_text_line_dedup": extensions.text_line_dedup,  # new r5
+        "ext_text_span_dedup": extensions.text_span_dedup,  # new r5
         # --- r3-green family re-checks fill the window ---
         # projections / filters / predicates
         "p1_p3_projection_timerange": events.projection_timerange,
@@ -142,8 +143,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar functions + formula DSL
         "fn_unit_conversion": events.unit_conversion,
         "fn_json_props_stats": events.json_props_stats,
-        "fn_formula_estimate": events.formula_estimate,
         # ---- driver 50-row window ends here ----
+        "fn_formula_estimate": events.formula_estimate,
         # time-series representatives (driver-checked r3)
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
         "ts_interpolate_hourly": timeseries.interpolate_hourly,
@@ -307,6 +308,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_ivf_pq_topk": extensions.SIM_IVF_PQ_TOPK_SQL,
         "ext_text_bigram_lm": extensions.TEXT_BIGRAM_LM_SQL,
         "ext_text_line_dedup": extensions.TEXT_LINE_DEDUP_SQL,
+        "ext_text_span_dedup": extensions.TEXT_SPAN_DEDUP_SQL,
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

@@ -963,6 +963,133 @@ def line_dedup(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-span removal at n-gram granularity — the ExactSubstr
+    recipe of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better": remove every LATER occurrence of a repeated
+    ≥50-token substring, keep exactly one), re-cut from suffix arrays to
+    an engine shape: every token n-gram that occurs more than once in
+    the corpus keeps only its FIRST occurrence (lexicographically
+    smallest (doc_id, pos) — deterministic in any engine); the tokens of
+    every later occurrence are removed and the document is rebuilt from
+    the survivors.  Overlapping duplicate spans union naturally (a token
+    is removed if ANY covering span is a later occurrence).  ``n`` is
+    the granularity dial — the paper's 50-token threshold ≈ ``n=50``;
+    smaller n is more aggressive.
+
+    Distinct roles vs the siblings: :func:`line_dedup` removes
+    STRUCTURAL boilerplate (cross-doc line hashes, within-doc repeats
+    exempt); this removes VERBATIM REPETITION wherever it occurs —
+    including self-repeats inside one document — at token granularity
+    with no dependence on line structure.
+
+    Scale shape: ONE shuffle keyed by gram hash (16-byte md5 + (doc,
+    pos) — text never shuffles) finds first occurrences via an
+    order-independent ``MIN(struct(doc, pos))`` with a ``COUNT > 1``
+    gate; later occurrences aggregate to a per-doc sorted start list
+    (second shuffle, doc-keyed); the rebuild is row-local HOF arithmetic
+    over the staged token array (O(tokens × spans) per doc — spans are
+    the duplicate mass, small for healthy corpora).  Output text is the
+    token stream rejoined with single spaces (tokenizer-granular, the
+    :func:`chunk_windows` convention).  Docs with < n tokens carry no
+    grams and pass through untouched; NULL text → 0 tokens, empty
+    clean_text.
+
+    Output: (doc_id, n_tokens, n_spans_removed, n_tokens_removed,
+    clean_text).
+    """
+    staged = docs.select(
+        F.col(doc_id),
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks"),
+    )
+    gram = lambda toks, i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        )
+    )
+    grams = staged.select(
+        F.col(doc_id).alias("g_doc"),
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - n + 1),
+                    lambda i: F.struct(
+                        (i - 1).alias("pos"),
+                        gram(F.col("__toks"), i).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+        ).alias("g"),
+    ).select("g_doc", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup_firsts = (
+        grams.groupBy("h")
+        .agg(
+            F.min(
+                F.struct(F.col("g_doc").alias("d"), F.col("pos").alias("p"))
+            ).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+    # NOT broadcast: the duplicate-hash set is corpus-scale in a dirty
+    # corpus; the equality join on h rides the same hash partitioning
+    # the groupBy already established (exchange reuse), so no new
+    # corpus-side shuffle is introduced
+    removed = grams.join(dup_firsts, "h").filter(
+        (F.col("g_doc") != F.col("first.d"))
+        | (F.col("pos") != F.col("first.p"))
+    )
+    spans = removed.groupBy(F.col("g_doc").alias(doc_id)).agg(
+        F.array_sort(F.collect_list("pos")).alias("__starts")
+    )
+    joined = staged.join(spans, doc_id, "left").withColumn(
+        "__starts",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__starts"), lambda s: (i >= s) & (i < s + n)
+    )
+    # the empty guard is load-bearing: sequence(0, -1) DESCENDS and its
+    # element_at(toks, 0) is an ANSI error on a 0-token doc
+    kept = F.filter(
+        F.when(
+            F.size("__toks") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 1),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.element_at(F.col("__toks"), i + 1).alias("t"),
+                    covered(i).alias("c"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<i:int,t:string,c:boolean>>")
+        ),
+        lambda s: ~s["c"],
+    )
+    n_tok = F.size("__toks").cast("long")
+    return joined.select(
+        doc_id,
+        n_tok.alias("n_tokens"),
+        F.size("__starts").cast("long").alias("n_spans_removed"),
+        F.when(
+            n_tok > 0,
+            (n_tok - F.size(kept).cast("long")),
+        ).otherwise(F.lit(0).cast("long")).alias("n_tokens_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])
+        ).alias("clean_text"),
+    )
+
+
 def token_entropy(
     docs: DataFrame, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

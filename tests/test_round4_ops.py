@@ -987,3 +987,57 @@ def test_document_stream_lm_gate_fails_closed_on_unscorable(spark):
         ).collect()
     }
     assert kept == {1}
+
+
+# ------------------------------------------------------ span dedup (r5)
+
+
+def test_span_dedup_removes_later_occurrences_keeps_first(spark):
+    """ExactSubstr semantics: the lexicographically-first (doc_id, pos)
+    occurrence of a repeated n-gram survives; every later occurrence
+    loses its tokens; overlapping spans union; self-repeats count."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e unique tail zero"),
+            (1, "x y a b c d e other words"),
+            (2, "a b c d e a b c d e"),
+            (3, None),
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in textops.span_dedup(docs, n=5).collect()
+    }
+    assert out[0]["clean_text"] == "a b c d e unique tail zero"
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["clean_text"] == "x y other words"
+    assert out[1]["n_spans_removed"] == 1
+    assert out[1]["n_tokens_removed"] == 5
+    # self-repeat: both occurrences are LATER than doc 0's → whole doc
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_spans_removed"] == 2
+    assert out[2]["n_tokens_removed"] == 10
+    # degenerates pass through untouched
+    assert out[3]["n_tokens"] == 0 and out[3]["clean_text"] == ""
+    assert out[4]["clean_text"] == "tiny doc"
+
+
+def test_span_dedup_no_duplicates_is_identity_on_tokens(spark):
+    """A corpus with no repeated n-gram comes back token-identical —
+    the removal machinery must not touch unique content."""
+    docs = spark.createDataFrame(
+        [
+            (0, "every doc here is made of distinct words one"),
+            (1, "completely different material with other tokens two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in textops.span_dedup(docs, n=3).collect()
+    }
+    for d, txt in ((0, "every doc here is made of distinct words one"),
+                   (1, "completely different material with other tokens two")):
+        assert out[d]["clean_text"] == txt
+        assert out[d]["n_spans_removed"] == 0
+        assert out[d]["n_tokens_removed"] == 0

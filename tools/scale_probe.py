@@ -165,6 +165,29 @@ def main() -> int:
         F.concat(F.col("text"), F.lit("\nshared boilerplate footer line")),
     )
     timed(t, "line_dedup_1m_footers", text.line_dedup(lined))
+    # plant verbatim repetition: every 10th doc appends the same 12-token
+    # passage — span_dedup must strip the later occurrences corpus-wide.
+    # Position-unique tokens here (NOT synth_docs' 17-token cycle, whose
+    # period-17 self-repeats make every 8-gram a within-doc duplicate —
+    # a pathological 100%-duplicate corpus): the planted passage is the
+    # only repetition, so the entry measures the intended healthy-corpus
+    # case.
+    spanned = spark.range(args.docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, 59),"
+                " i -> substr(md5(concat(cast(id as string), '_',"
+                " cast(i as string))), 1, 6)))"
+            ),
+            F.when(
+                F.col("id") % 10 == 0,
+                F.lit(" the twelve token passage that repeats across"
+                      " many documents verbatim again"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    ).localCheckpoint()
+    timed(t, "span_dedup_1m_planted", text.span_dedup(spanned, n=8))
     timed(t, "shard_plan_1024", sampling.shard_plan(docs, "doc_id", 1024))
     # skewed domains: 30% of docs in one hot domain — the shape the
     # two-stage pre-rank exists for
