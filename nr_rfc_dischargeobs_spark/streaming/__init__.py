@@ -1,7 +1,13 @@
 """Structured Streaming tier (SURVEY.md §2.9): the reference's cron-polled
 incremental batch semantics, re-founded on file streams + watermarks."""
 
-from .documents import curate_document_stream, stream_documents_jsonl
+from .documents import (
+    compact_boilerplate,
+    compact_corpus,
+    compact_near_dups,
+    curate_document_stream,
+    stream_documents_jsonl,
+)
 from .ingest import (
     hourly_stream_rollup,
     session_stream_rollup,
@@ -12,6 +18,9 @@ from .ingest import (
 from .stateful import rising_falling_stream
 
 __all__ = [
+    "compact_boilerplate",
+    "compact_corpus",
+    "compact_near_dups",
     "curate_document_stream",
     "hourly_stream_rollup",
     "rising_falling_stream",

@@ -133,25 +133,25 @@ def curate_document_stream(
     ).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
-def compact_near_dups(
+def compact_corpus(
     spark: SparkSession,
     landed_dir: str,
-    jaccard_threshold: float = 0.8,
-    shingle_n: int = 3,
-    bands: int = 4,
-    rows_per_band: int = 2,
+    transform,
 ) -> tuple[int, int]:
-    """The periodic BATCH compaction this module's header promises: LSH
-    near-dup candidate generation is a corpus-wide self-join — not an
-    incremental-state shape — so the stream lands exact-deduped documents
-    and THIS job sweeps the landed directory on a schedule (the standard
-    lambda split: streaming handles per-arrival work, compaction handles
-    corpus-wide work).
+    """The periodic BATCH compaction engine this module's header
+    promises: corpus-wide curation (near-dup candidate generation,
+    cross-document line/span dedup) is a corpus-wide join or self-join —
+    not an incremental-state shape — so the stream lands exact-deduped
+    documents and THIS job sweeps the landed directory on a schedule
+    (the standard lambda split: streaming handles per-arrival work,
+    compaction handles corpus-wide work).
 
-    Drop rule is the batch pipeline's exactly
-    (:func:`~..extensions.curate.near_dup_drop_ids` — higher doc_id of
-    every Jaccard-verified pair), so a corpus curated by the stream +
-    this sweep converges to what the batch pipeline would have produced.
+    ``transform`` is any ``DataFrame → DataFrame`` corpus rewrite —
+    :func:`compact_near_dups` drops near-duplicate docs,
+    :func:`compact_boilerplate` rewrites text through the line/span
+    dedup operators — run inside ONE shared implementation of the
+    staged-swap machinery, so every sweep variant inherits the same
+    snapshot guard and crash recovery.
 
     Operational contract — stated, not hand-waved:
 
@@ -172,12 +172,12 @@ def compact_near_dups(
       → restore; backup present + dir present → finished swap, drop
       backup).
 
-    Returns (kept_rows, dropped_rows).
+    Returns (staged_rows, input_rows − staged_rows) — for doc-dropping
+    transforms that is (kept, dropped); for text rewrites the second
+    element is 0 unless the transform also drops rows.
     """
     import os
     import shutil
-
-    from ..extensions.curate import near_dup_drop_ids
 
     base = landed_dir.rstrip("/")
     staged = base + ".compacting"
@@ -231,22 +231,14 @@ def compact_near_dups(
         return sorted(out)
 
     snapshot = listing()
-    # the job owns its cache lifecycle: persist the scanned docs (the
-    # near-dup pipeline re-reads them several times), unpersist before
-    # returning — an unmanaged persist inside the helper would pin a
-    # CacheManager entry for the whole session
+    # the job owns its cache lifecycle: persist the scanned docs (every
+    # compaction transform re-reads them several times), unpersist
+    # before returning — an unmanaged persist inside the helper would
+    # pin a CacheManager entry for the whole session
     docs = spark.read.parquet(base).persist()
     try:
         total = docs.count()
-        drops = near_dup_drop_ids(
-            docs,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            shingle_n=shingle_n,
-            jaccard_threshold=jaccard_threshold,
-        )
-        kept = docs.join(drops, "doc_id", "left_anti")
-        kept.write.mode("overwrite").parquet(staged)
+        transform(docs).write.mode("overwrite").parquet(staged)
         # count the STAGED rows (the files that will become the corpus)
         # — deriving kept from a distinct-id drop count miscounts when
         # the landed dir carries duplicate doc_ids (same id, new text)
@@ -257,7 +249,7 @@ def compact_near_dups(
     if listing() != snapshot:
         shutil.rmtree(staged, ignore_errors=True)
         raise RuntimeError(
-            f"compact_near_dups: {base} changed during the sweep; "
+            f"compact_corpus: {base} changed during the sweep; "
             "aborted without touching the corpus — re-run quiesced"
         )
     shutil.move(base, backup)
@@ -277,9 +269,106 @@ def compact_near_dups(
         shutil.move(backup, base)
         shutil.rmtree(staged, ignore_errors=True)
         raise RuntimeError(
-            f"compact_near_dups: {base} changed at the swap boundary; "
+            f"compact_corpus: {base} changed at the swap boundary; "
             "restored untouched — re-run quiesced"
         )
     shutil.move(staged, base)
     shutil.rmtree(backup)
     return kept_n, total - kept_n
+
+
+def compact_near_dups(
+    spark: SparkSession,
+    landed_dir: str,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> tuple[int, int]:
+    """Near-duplicate DOC compaction over the landed corpus: the drop
+    rule is the batch pipeline's exactly
+    (:func:`~..extensions.curate.near_dup_drop_ids` — higher doc_id of
+    every Jaccard-verified pair), so a corpus curated by the stream +
+    this sweep converges to what the batch pipeline would have produced.
+    Runs inside :func:`compact_corpus`'s guarded staged swap.
+
+    Returns (kept_rows, dropped_rows).
+    """
+    from ..extensions.curate import near_dup_drop_ids
+
+    def transform(docs: DataFrame) -> DataFrame:
+        drops = near_dup_drop_ids(
+            docs,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+        )
+        return docs.join(drops, "doc_id", "left_anti")
+
+    return compact_corpus(spark, landed_dir, transform)
+
+
+def compact_boilerplate(
+    spark: SparkSession,
+    landed_dir: str,
+    min_df: int = 3,
+    span_n: int | None = None,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> tuple[int, int]:
+    """Sub-document compaction over the landed corpus: rewrite every
+    document through :func:`~..extensions.text.line_dedup` (cross-doc
+    boilerplate lines, df ≥ ``min_df``) and — when ``span_n`` is set —
+    :func:`~..extensions.text.span_dedup` (ExactSubstr verbatim spans at
+    ``span_n``-gram granularity) on top.  Both are corpus-wide shapes
+    (the df count and the first-occurrence pick need the whole corpus),
+    which is exactly why they live in the scheduled sweep rather than
+    the stream — the same lambda split as the near-dup sweep, through
+    the same :func:`compact_corpus` guard machinery.
+
+    The rewrite PRESERVES the landed schema: only ``text`` is replaced;
+    when the stream's ``n_words`` / ``fingerprint`` columns are present
+    they are RECOMPUTED from the cleaned text (a stale fingerprint would
+    break the stream's future cross-batch dedup against this corpus).
+
+    Returns (rows, 0) — rewrites keep every row.
+    """
+    def transform(docs: DataFrame) -> DataFrame:
+        cleaned = tx.line_dedup(
+            docs, min_df=min_df, text=text, doc_id=doc_id
+        ).select(doc_id, "clean_text")
+        out = (
+            docs.join(cleaned, doc_id)
+            .withColumn(text, F.col("clean_text"))
+            .drop("clean_text")
+        )
+        if span_n is not None:
+            spanned = tx.span_dedup(
+                out, n=span_n, text=text, doc_id=doc_id
+            ).select(doc_id, F.col("clean_text").alias("__sp"))
+            out = (
+                out.join(spanned, doc_id)
+                .withColumn(text, F.col("__sp"))
+                .drop("__sp")
+            )
+        if "n_words" in out.columns:
+            out = out.withColumn(
+                "n_words",
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col(text)), " "),
+                        lambda t: t != "",
+                    )
+                ).cast("long"),
+            )
+        if "fingerprint" in out.columns:
+            out = out.drop("fingerprint")
+            keep = [c for c in out.columns]
+            out = tx.fingerprint(
+                out, text=text, doc_id=doc_id,
+                passthrough=tuple(c for c in keep if c != doc_id),
+            )
+        return out
+
+    return compact_corpus(spark, landed_dir, transform)

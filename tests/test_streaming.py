@@ -717,3 +717,62 @@ def test_document_stream_lm_gate_runs_on_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert kept == {1}
+
+
+def test_compact_boilerplate_rewrites_and_recomputes_derived_columns(
+    spark, tmp_path
+):
+    """The sub-document sweep: shared footer lines stripped corpus-wide,
+    verbatim repeated spans stripped on top (span_n), and the landed
+    schema's derived columns (n_words, fingerprint) recomputed from the
+    cleaned text — a stale fingerprint would poison the stream's future
+    cross-batch dedup."""
+    import os
+
+    from nr_rfc_dischargeobs_spark.extensions import text as tx
+    from nr_rfc_dischargeobs_spark.streaming import compact_boilerplate
+
+    footer = "copyright example corp all rights reserved"
+    passage = "alpha beta gamma delta"
+    # the passage stays space-delimited inside one line: span_dedup
+    # tokenizes on spaces, so a newline-glued token would not match
+    rows = [
+        (1, f"unique one content here {passage} first body\n{footer}"),
+        (2, f"{footer}\nsecond document {passage} trailing words"),
+        (3, "third document with entirely original material"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    landed_df = tx.fingerprint(
+        docs, passthrough=("text",)
+    ).withColumn("n_words", F.size(F.split(F.col("text"), " ")).cast("long"))
+    landed = str(tmp_path / "landed_bp")
+    landed_df.write.parquet(landed)
+
+    kept_n, dropped_n = compact_boilerplate(
+        spark, landed, min_df=2, span_n=4
+    )
+    assert (kept_n, dropped_n) == (3, 0)  # rewrites drop no rows
+    out = {
+        r["doc_id"]: r for r in spark.read.parquet(landed).collect()
+    }
+    # footer gone everywhere; the repeated 4-token passage keeps only
+    # its first occurrence (doc 1)
+    for d in (1, 2):
+        assert footer not in out[d]["text"]
+    assert passage in out[1]["text"]
+    assert passage not in out[2]["text"]
+    assert out[3]["text"] == "third document with entirely original material"
+    # derived columns recomputed from the CLEANED text
+    for d in (1, 2, 3):
+        toks = [t for t in out[d]["text"].lower().split(" ") if t]
+        assert out[d]["n_words"] == len(toks)
+    fresh = {
+        r["doc_id"]: r["fingerprint"]
+        for r in tx.fingerprint(
+            spark.read.parquet(landed).select("doc_id", "text")
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["fingerprint"] == fresh[d]
+    assert not os.path.exists(landed + ".compacting")
+    assert not os.path.exists(landed + ".precompact")
