@@ -27,6 +27,17 @@ def _tokens(text: Column) -> Column:
     return F.split(F.lower(text), " ")
 
 
+def n_words_expr(text: Column) -> Column:
+    """THE canonical ``n_words`` formula — ``size(split(lower(text), ' '))``
+    with empty tokens INCLUDED (so ``''`` counts 1, ``'a  b'`` counts 3),
+    exactly what :func:`gopher_rules` emits (its ``F.size(words)`` over the
+    staged ``_tokens`` array is this same expression).  Every consumer that
+    RECOMPUTES ``n_words`` downstream (the compaction sweeps rewriting
+    landed text) must use this helper so stream-produced and recomputed
+    values agree on identical text."""
+    return F.size(_tokens(text)).cast("long")
+
+
 def marker_hits_tokens(toks: Column, markers: tuple[str, ...]) -> Column:
     """How many tokens (with multiplicity) are in the marker set — an
     IN-list filter, ~2× cheaper than the per-token arrays_overlap
@@ -259,6 +270,7 @@ def gopher_rules(
     )
     t = F.col(text)
     words = F.col("__toks")
+    # == n_words_expr(t) — staged array reused; keep the two in lockstep
     n_words = F.size(words)
     # total non-whitespace glyphs / word count == mean word length
     mean_wl = (
@@ -968,6 +980,7 @@ def span_dedup(
     n: int = 8,
     text: str = "text",
     doc_id: str = "doc_id",
+    spans: str = "gram",
 ) -> DataFrame:
     """Duplicate-span removal at n-gram granularity — the ExactSubstr
     recipe of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -992,23 +1005,51 @@ def span_dedup(
     pos) — text never shuffles) finds first occurrences via an
     order-independent ``MIN(struct(doc, pos))`` with a ``COUNT > 1``
     gate; later occurrences aggregate to a per-doc sorted start list
-    (second shuffle, doc-keyed); the rebuild is row-local HOF arithmetic
-    over the staged token array (O(tokens × spans) per doc — spans are
-    the duplicate mass, small for healthy corpora).  Output text is the
-    token stream rejoined with single spaces (tokenizer-granular, the
-    :func:`chunk_windows` convention).  Docs with < n tokens carry no
-    grams and pass through untouched; NULL text → 0 tokens, empty
+    (second shuffle, doc-keyed); the rebuild first FOLDS the sorted
+    starts into disjoint ``[lo, hi)`` intervals (one ``aggregate`` pass,
+    O(spans)), inverts them into kept gaps, and reassembles the document
+    from ``slice`` calls over the staged token array — O(tokens + spans)
+    per doc, so a pathologically dirty corpus (every doc mostly
+    duplicate mass) costs the same scan bandwidth as a clean one.  The
+    earlier per-token ``exists(starts, …)`` coverage test was
+    O(tokens × spans) per doc and dominated the 1M-doc planted-dup probe
+    (68.7 s → see SCALE_PROBE.json ``span_dedup_1m_planted``); the
+    interval form is output-identical by construction.  Output text is
+    the token stream rejoined with single spaces (tokenizer-granular,
+    the :func:`chunk_windows` convention).  Docs with < n tokens carry
+    no grams and pass through untouched; NULL text → 0 tokens, empty
     clean_text.
+
+    ``spans`` picks the reported span granularity:
+
+    - ``"gram"`` (default): ``n_spans_removed`` counts removed gram
+      OCCURRENCES — a later copy of a 3n-token repeat counts 2n+1.
+    - ``"maximal"``: removed positions are chained per (doc,
+      first-occurrence) — consecutive starts whose first occurrences
+      are also consecutive in the same source doc extend ONE maximal
+      repeated substring, so the 3n-token repeat counts 1 (Lee et
+      al.'s maximal-match semantics at gram resolution).  Token
+      removal and clean_text are identical in both modes; only the
+      span count differs.
 
     Output: (doc_id, n_tokens, n_spans_removed, n_tokens_removed,
     clean_text).
     """
+    if spans not in ("gram", "maximal"):
+        raise ValueError(f"spans must be 'gram' or 'maximal', got {spans!r}")
     staged = docs.select(
         F.col(doc_id),
         F.filter(
             _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
         ).alias("__toks"),
     )
+    # gram key: md5 over the space-joined window, built from unrolled
+    # element_at calls.  MEASURED dial (1M×60-token docs, 54M grams,
+    # hash+groupBy path): this spelling 17.5 s; slice()+concat_ws 24.4 s
+    # (the window copy costs more than 8 interpreted element_at nodes);
+    # a 2×xxhash64-of-slice 128-bit pair 22.8 s; unhex(md5(slice))
+    # 21.9 s.  HOF lambdas are interpreted, so node count ≠ cost — the
+    # array materialization is the expensive part, not the hash.
     gram = lambda toks, i: F.md5(  # noqa: E731
         F.concat_ws(
             " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
@@ -1047,46 +1088,163 @@ def span_dedup(
         (F.col("g_doc") != F.col("first.d"))
         | (F.col("pos") != F.col("first.p"))
     )
-    spans = removed.groupBy(F.col("g_doc").alias(doc_id)).agg(
-        F.array_sort(F.collect_list("pos")).alias("__starts")
+    if spans == "maximal":
+        # carry each removed gram's first-occurrence coordinates; the
+        # chain fold runs HERE, on the (small) spans aggregate — docs
+        # with no dups never pay it, and the shared rebuild below stays
+        # identical to gram mode.  A new maximal span starts unless the
+        # gram is the +1 continuation of the previous one in BOTH the
+        # duplicate doc and its first-occurrence doc (NULL-seeded
+        # compare → first element always opens a span).
+        chain = F.aggregate(
+            F.col("__occ"),
+            F.struct(
+                F.lit(None).cast("int").alias("pp"),
+                F.lit(None).cast("string").alias("pd"),
+                F.lit(None).cast("int").alias("pf"),
+                F.lit(0).alias("cnt"),
+            ),
+            lambda acc, o: F.struct(
+                o["pos"].alias("pp"),
+                o["fd"].alias("pd"),
+                o["fp"].alias("pf"),
+                (
+                    acc["cnt"]
+                    + F.when(
+                        (o["pos"] == acc["pp"] + 1)
+                        & (o["fd"] == acc["pd"])
+                        & (o["fp"] == acc["pf"] + 1),
+                        F.lit(0),
+                    ).otherwise(F.lit(1))
+                ).alias("cnt"),
+            ),
+            lambda acc: acc["cnt"],
+        )
+        spans_df = (
+            removed.groupBy(F.col("g_doc").alias(doc_id))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            # doc ids may be any orderable type; the
+                            # chain only tests equality — normalize
+                            F.col("first.d").cast("string").alias("fd"),
+                            F.col("first.p").alias("fp"),
+                        )
+                    )
+                ).alias("__occ")
+            )
+            .select(
+                doc_id,
+                F.transform(
+                    F.col("__occ"), lambda o: o["pos"]
+                ).alias("__starts"),
+                chain.alias("__n_spans"),
+            )
+        )
+    else:
+        spans_df = removed.groupBy(F.col("g_doc").alias(doc_id)).agg(
+            F.array_sort(F.collect_list("pos")).alias("__starts"),
+            F.count(F.lit(1)).cast("int").alias("__n_spans"),
+        )
+    joined = staged.join(spans_df, doc_id, "left").withColumns(
+        {
+            "__starts": F.coalesce(
+                F.col("__starts"), F.array().cast("array<int>")
+            ),
+            "__n_spans": F.coalesce(F.col("__n_spans"), F.lit(0)),
+        }
     )
-    joined = staged.join(spans, doc_id, "left").withColumn(
-        "__starts",
-        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
-    )
-    covered = lambda i: F.exists(  # noqa: E731
-        F.col("__starts"), lambda s: (i >= s) & (i < s + n)
-    )
-    # the empty guard is load-bearing: sequence(0, -1) DESCENDS and its
-    # element_at(toks, 0) is an ANSI error on a 0-token doc
-    kept = F.filter(
-        F.when(
-            F.size("__toks") > 0,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - 1),
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.element_at(F.col("__toks"), i + 1).alias("t"),
-                    covered(i).alias("c"),
-                ),
+    starts = F.col("__starts")
+    n_spans = F.col("__n_spans").cast("long")
+    # fold the (strictly increasing — one gram per (doc, pos)) starts
+    # into disjoint [lo, hi) intervals: fixed span length n means a
+    # start s <= last.hi always extends to exactly s + n, so the merge
+    # never needs a greatest()
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    intervals = F.aggregate(
+        starts,
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) == 0) | (s > F.element_at(acc, -1)["hi"]),
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("lo"), (s + n).alias("hi"))),
             ),
         ).otherwise(
-            F.array().cast("array<struct<i:int,t:string,c:boolean>>")
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + n).alias("hi"),
+                    )
+                ),
+            )
         ),
-        lambda s: ~s["c"],
     )
-    n_tok = F.size("__toks").cast("long")
-    return joined.select(
+    # invert intervals into kept gaps and reassemble from slice() calls
+    # — O(tokens + spans); empty gaps are filtered so slice never sees a
+    # zero length
+    n_tok_i = F.size("__toks")
+    gaps = F.filter(
+        F.aggregate(
+            intervals,
+            F.struct(F.lit(0).alias("prev"), empty_iv.alias("gaps")),
+            lambda acc, iv: F.struct(
+                iv["hi"].alias("prev"),
+                F.concat(
+                    acc["gaps"],
+                    F.array(
+                        F.struct(
+                            acc["prev"].alias("lo"), iv["lo"].alias("hi")
+                        )
+                    ),
+                ).alias("gaps"),
+            ),
+            lambda acc: F.concat(
+                acc["gaps"],
+                F.array(
+                    F.struct(
+                        acc["prev"].alias("lo"), n_tok_i.alias("hi")
+                    )
+                ),
+            ),
+        ),
+        lambda g: g["hi"] > g["lo"],
+    )
+    kept = F.flatten(
+        F.transform(
+            gaps,
+            lambda g: F.slice(
+                F.col("__toks"), g["lo"] + 1, g["hi"] - g["lo"]
+            ),
+        )
+    )
+    # stage the rebuild chain (interval fold → gap fold → slices) as ONE
+    # named column: HOF aggregates are CodegenFallback with no CSE, and
+    # the final project references the kept array twice (size +
+    # concat_ws) — CollapseProject declines to re-inline a non-cheap
+    # expression referenced more than once, so this keeps the chain
+    # single-evaluation (the inlined spelling evaluated it twice per
+    # row, interpreted)
+    rebuilt = joined.select(
+        F.col(doc_id),
+        n_tok_i.cast("long").alias("__n_tok"),
+        n_spans.alias("__n_spans"),
+        kept.alias("__kept"),
+    )
+    n_tok = F.col("__n_tok")
+    return rebuilt.select(
         doc_id,
         n_tok.alias("n_tokens"),
-        F.size("__starts").cast("long").alias("n_spans_removed"),
+        F.col("__n_spans").alias("n_spans_removed"),
         F.when(
             n_tok > 0,
-            (n_tok - F.size(kept).cast("long")),
+            (n_tok - F.size("__kept").cast("long")),
         ).otherwise(F.lit(0).cast("long")).alias("n_tokens_removed"),
-        F.concat_ws(
-            " ", F.transform(kept, lambda s: s["t"])
-        ).alias("clean_text"),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
     )
 
 

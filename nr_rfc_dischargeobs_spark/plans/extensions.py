@@ -1486,6 +1486,82 @@ LEFT JOIN sp ON dd.doc_id = sp.doc_id
 """
 
 
+def text_span_dedup_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr maximal-span variant: same token removal as
+    :func:`text_span_dedup`, but removed grams chained per (doc,
+    first-occurrence) so ``n_spans_removed`` counts maximal repeated
+    substrings (a later copy of one long repeat = ONE span), the Lee et
+    al. 2022 accounting at gram resolution."""
+    return textops.span_dedup(
+        load(spark, sf_dir, "documents"), n=8, spans="maximal"
+    )
+
+
+TEXT_SPAN_DEDUP_MAXIMAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, p.pos AS pos, p.h AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - {_SPAN_N} + 2, 1)),
+                   i -> struct_pack(pos := i - 1,
+                                    h := md5(concat_ws(' ', {_SPAN_GRAM})))))
+                 AS p
+        FROM t)
+), d AS (
+  SELECT h, MIN(struct_pack(d := doc_id, p := pos)) AS first
+  FROM g GROUP BY 1 HAVING COUNT(*) > 1
+), r AS (
+  SELECT g.doc_id, g.pos,
+         CAST((d.first).d AS VARCHAR) AS fd, (d.first).p AS fp
+  FROM g JOIN d USING (h)
+  WHERE g.doc_id != (d.first).d OR g.pos != (d.first).p
+), ch AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w = pos - 1
+               AND lag(fd) OVER w = fd
+               AND lag(fp) OVER w = fp - 1
+              THEN 0 ELSE 1 END AS is_new
+  FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), tok AS (
+  SELECT doc_id, q.i AS i, q.tk AS tk
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(i := i - 1, tk := toks[i]))) AS q
+        FROM t)
+), marked AS (
+  SELECT tok.doc_id, tok.i, tok.tk,
+         EXISTS (SELECT 1 FROM r
+                 WHERE r.doc_id = tok.doc_id
+                   AND tok.i >= r.pos AND tok.i < r.pos + {_SPAN_N}) AS c
+  FROM tok
+), per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens_removed,
+         COALESCE(string_agg(CASE WHEN NOT c THEN tk END, ' '
+                             ORDER BY i), '') AS clean_text
+  FROM marked GROUP BY 1
+), sp AS (
+  SELECT doc_id, CAST(SUM(is_new) AS BIGINT) AS n_spans_removed
+  FROM ch GROUP BY 1
+)
+SELECT dd.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(sp.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(per.n_tokens_removed, 0) AS n_tokens_removed,
+       COALESCE(per.clean_text, '') AS clean_text
+FROM documents dd
+LEFT JOIN per ON dd.doc_id = per.doc_id
+LEFT JOIN sp ON dd.doc_id = sp.doc_id
+"""
+
+
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode the whole corpus: 4 subspaces × 16 dims, codebook =
     subvectors of the 8 seed vectors (collected driver-side — k·dim ints,

@@ -6,6 +6,7 @@ from .documents import (
     compact_corpus,
     compact_near_dups,
     curate_document_stream,
+    land_document_stream,
     stream_documents_jsonl,
 )
 from .ingest import (
@@ -23,6 +24,7 @@ __all__ = [
     "compact_near_dups",
     "curate_document_stream",
     "hourly_stream_rollup",
+    "land_document_stream",
     "rising_falling_stream",
     "session_stream_rollup",
     "stream_conformed_csv",

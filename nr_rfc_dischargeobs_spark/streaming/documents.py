@@ -133,6 +133,62 @@ def curate_document_stream(
     ).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def land_document_stream(
+    curated: DataFrame,
+    landed_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Land the curated stream with CROSS-RUN dedup: each micro-batch
+    anti-joins its content fingerprints against the already-landed
+    corpus before appending — the C4-at-scale posture where the landed
+    store itself is the authoritative seen-fingerprint set.
+
+    Why this exists: ``dropDuplicatesWithinWatermark`` bounds its state
+    by the late-arrival horizon, so a REDEPLOYED pipeline (fresh
+    checkpoint, or content re-crawled after the horizon) would re-admit
+    fingerprints the corpus already holds.  The batch-start anti-join
+    closes that: dedup state is the corpus, which outlives every
+    checkpoint.
+
+    Bounded-state accounting: no driver state and no streaming state
+    grows here — the anti-join reads ONLY the ``fingerprint`` column of
+    the landed parquet (column-pruned scan, 16 bytes/doc), and the
+    in-stream watermark dedup keeps doing the high-frequency work so
+    the landed set stays near-unique.  At fleet scale the same join
+    targets a compacted fingerprint-only side table maintained by the
+    scheduled sweep instead of the full store — same plan shape, one
+    column either way.
+
+    The anti-join also makes the append IDEMPOTENT under foreachBatch's
+    at-least-once replay: rows a crashed batch already landed filter
+    themselves out on retry, so replays converge instead of
+    double-landing.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` gives the
+    drain-then-exit cron model; pass ``available_now=False`` for a
+    continuous run).
+    """
+    import os
+
+    def _land(batch_df: DataFrame, _batch_id: int) -> None:
+        out = batch_df
+        sess = batch_df.sparkSession
+        if os.path.isdir(landed_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(landed_dir)
+        ):
+            seen = sess.read.parquet(landed_dir).select("fingerprint")
+            out = out.join(seen, "fingerprint", "left_anti")
+        out.write.mode("append").parquet(landed_dir)
+
+    writer = curated.writeStream.foreachBatch(_land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_corpus(
     spark: SparkSession,
     landed_dir: str,
@@ -333,8 +389,26 @@ def compact_boilerplate(
     break the stream's future cross-batch dedup against this corpus).
 
     Returns (rows, 0) — rewrites keep every row.
+
+    PRECONDITION: doc_ids must be unique.  The near-dup sweep tolerates
+    the landed dir carrying duplicate doc_ids (same id, re-landed text)
+    because its drop rule is id-keyed; a sub-document REWRITE cannot —
+    line/span dedup group by doc_id, so two versions of one id would
+    merge into a single interleaved clean_text fanned back onto both
+    rows.  The transform fails loudly instead of corrupting: run the
+    near-dup sweep (or any id-level dedup) first.
     """
     def transform(docs: DataFrame) -> DataFrame:
+        n_rows, n_ids = docs.select(
+            F.count(F.lit(1)), F.countDistinct(F.col(doc_id))
+        ).first()
+        if n_rows != n_ids:
+            raise ValueError(
+                f"compact_boilerplate: landed corpus carries {n_rows - n_ids}"
+                " duplicate doc_id row(s); a sub-document rewrite would"
+                " merge versions — dedup ids first (compact_near_dups or"
+                " an exact id-level sweep), then re-run"
+            )
         cleaned = tx.line_dedup(
             docs, min_df=min_df, text=text, doc_id=doc_id
         ).select(doc_id, "clean_text")
@@ -353,15 +427,10 @@ def compact_boilerplate(
                 .drop("__sp")
             )
         if "n_words" in out.columns:
-            out = out.withColumn(
-                "n_words",
-                F.size(
-                    F.filter(
-                        F.split(F.lower(F.col(text)), " "),
-                        lambda t: t != "",
-                    )
-                ).cast("long"),
-            )
+            # the stream's n_words comes from gopher_rules; recompute
+            # with the SAME shared formula so stream-produced and
+            # compaction-recomputed values agree on identical text
+            out = out.withColumn("n_words", tx.n_words_expr(F.col(text)))
         if "fingerprint" in out.columns:
             out = out.drop("fingerprint")
             keep = [c for c in out.columns]

@@ -606,6 +606,55 @@ def test_ivf_pq_probes_restrict_candidates(spark):
     assert {r["neighbor_id"] for r in out} == {20}  # B never scanned
 
 
+def test_ivf_pq_stored_index_round_trip_prunes_partitions(spark, tmp_path):
+    """The index docstring's storage contract, proven end-to-end: write
+    the index ``partitionBy('list_id')``, search the read-back artifact,
+    and (a) the top-k matches the in-memory index bit-for-bit, (b) the
+    scan of the stored index carries a dynamic partition-pruning filter
+    on list_id — searches read only probed lists off disk."""
+    import random
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        prepare,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+    ]
+    prep = prepare(_emb(spark, rows))
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 4).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+    queries = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    corpus = prep.filter(F.col("vec_id") >= 12)
+    index = ivf_pq_index(corpus, coarse, cents, m=2, dim=4)
+    path = str(tmp_path / "ivfpq_index")
+    index.write.partitionBy("list_id").parquet(path)
+    stored = spark.read.parquet(path)
+    search = ivf_pq_topk(
+        queries, stored, coarse, cents, k=3, nprobe=2, m=2, dim=4
+    )
+    in_mem = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                queries, index, coarse, cents, k=3, nprobe=2, m=2, dim=4
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, search.collect())) == in_mem
+    plan = search._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "stored-index scan must carry a dynamic partition-pruning filter"
+        f" on list_id; got plan:\n{plan[:2000]}"
+    )
+
+
 # ------------------------------------------------------- curate v2 gates
 
 
@@ -1021,6 +1070,86 @@ def test_span_dedup_removes_later_occurrences_keeps_first(spark):
     # degenerates pass through untouched
     assert out[3]["n_tokens"] == 0 and out[3]["clean_text"] == ""
     assert out[4]["clean_text"] == "tiny doc"
+
+
+def test_span_dedup_overlap_heavy_interval_rebuild(spark):
+    """Overlap-heavy removal: many overlapping duplicate spans must merge
+    into disjoint intervals and the slice-based rebuild must keep exactly
+    the uncovered tokens — the O(tokens + spans) path exercised where the
+    old per-token exists() scan was quadratic."""
+    # doc 1 repeats doc 0's 12-token run twice back-to-back with one
+    # fresh token between and around: starts 2..9 and 16..23 (n=5)
+    run = " ".join(f"r{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, run + " only once"),
+            (1, "lead in " + run + " gap " + run + " tail out"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.span_dedup(docs, n=5).collect()}
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["clean_text"] == "lead in gap tail out"
+    assert out[1]["n_tokens_removed"] == 24
+    # 8 removed gram starts per copy (12 - 5 + 1)
+    assert out[1]["n_spans_removed"] == 16
+    # maximal mode: identical rebuild, two chained spans
+    mx = {
+        r["doc_id"]: r
+        for r in textops.span_dedup(docs, n=5, spans="maximal").collect()
+    }
+    assert mx[1]["clean_text"] == "lead in gap tail out"
+    assert mx[1]["n_tokens_removed"] == 24
+    assert mx[1]["n_spans_removed"] == 2
+
+
+def test_span_dedup_maximal_counts_long_repeat_as_one_span(spark):
+    """A 3n-token repeat is 2n+1 gram occurrences but ONE maximal
+    repeated substring — the maximal mode must chain them (Lee et al.
+    2022 accounting) while gram mode keeps the raw occurrence count."""
+    n = 5
+    base = " ".join(f"w{i}" for i in range(3 * n))
+    docs = spark.createDataFrame(
+        [(0, base + " first home"), (1, "pre amble " + base + " post fix")],
+        ["doc_id", "text"],
+    )
+    gram = {r["doc_id"]: r for r in textops.span_dedup(docs, n=n).collect()}
+    mx = {
+        r["doc_id"]: r
+        for r in textops.span_dedup(docs, n=n, spans="maximal").collect()
+    }
+    assert gram[1]["n_spans_removed"] == 2 * n + 1
+    assert mx[1]["n_spans_removed"] == 1
+    for out in (gram, mx):
+        assert out[1]["clean_text"] == "pre amble post fix"
+        assert out[1]["n_tokens_removed"] == 3 * n
+        assert out[0]["n_tokens_removed"] == 0
+
+
+def test_span_dedup_maximal_breaks_chain_on_different_first_occurrence(
+    spark,
+):
+    """Two adjacent removed runs that trace back to DIFFERENT first
+    occurrences are two maximal spans even though their token positions
+    are contiguous — the chain requires first-occ continuity, not just
+    positional adjacency."""
+    a = " ".join(f"a{i}" for i in range(5))
+    b = " ".join(f"b{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (0, a + " filler one"),
+            (1, b + " filler two"),
+            (2, a + " " + b),  # both repeats, adjacent, different sources
+        ],
+        ["doc_id", "text"],
+    )
+    mx = {
+        r["doc_id"]: r
+        for r in textops.span_dedup(docs, n=5, spans="maximal").collect()
+    }
+    assert mx[2]["n_tokens_removed"] == 10
+    assert mx[2]["clean_text"] == ""
+    assert mx[2]["n_spans_removed"] == 2
 
 
 def test_span_dedup_no_duplicates_is_identity_on_tokens(spark):

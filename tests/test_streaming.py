@@ -762,10 +762,11 @@ def test_compact_boilerplate_rewrites_and_recomputes_derived_columns(
     assert passage in out[1]["text"]
     assert passage not in out[2]["text"]
     assert out[3]["text"] == "third document with entirely original material"
-    # derived columns recomputed from the CLEANED text
+    # derived columns recomputed from the CLEANED text with the STREAM's
+    # exact formula (gopher_rules: split on ' ', empty tokens INCLUDED)
+    # so stream-produced and compaction-recomputed values agree
     for d in (1, 2, 3):
-        toks = [t for t in out[d]["text"].lower().split(" ") if t]
-        assert out[d]["n_words"] == len(toks)
+        assert out[d]["n_words"] == len(out[d]["text"].lower().split(" "))
     fresh = {
         r["doc_id"]: r["fingerprint"]
         for r in tx.fingerprint(
@@ -774,5 +775,128 @@ def test_compact_boilerplate_rewrites_and_recomputes_derived_columns(
     }
     for d in (1, 2, 3):
         assert out[d]["fingerprint"] == fresh[d]
+    assert not os.path.exists(landed + ".compacting")
+    assert not os.path.exists(landed + ".precompact")
+
+
+def test_land_document_stream_cross_run_dedup_survives_redeploy(
+    spark, tmp_path
+):
+    """Cross-RUN dedup: a redeployed pipeline (fresh checkpoint — the
+    state dropDuplicatesWithinWatermark cannot recover) replays every
+    landing file, and the landed-store fingerprint anti-join must admit
+    no fingerprint the corpus already holds — while genuinely new
+    content still lands."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.streaming import (
+        curate_document_stream,
+        land_document_stream,
+        stream_documents_jsonl,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    good = (
+        "the quick brown fox is happy and ready to work over many fine "
+        "days of steady calm weather and warm light in the tall grass"
+    )
+    fresh = (
+        "a completely different second document with plenty of other "
+        "words that clear the quality gates and carry new information"
+    )
+
+    def land_shard(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def drain(ckpt):
+        q = land_document_stream(
+            curate_document_stream(
+                stream_documents_jsonl(spark, str(landing))
+            ),
+            str(tmp_path / "landed"),
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    land_shard(
+        "shard1.jsonl",
+        [
+            {
+                "doc_id": 1,
+                "text": good,
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-01T10:00:00",
+            }
+        ],
+    )
+    drain("ckptA")
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    assert [r.doc_id for r in landed.collect()] == [1]
+
+    # REDEPLOY: new checkpoint → the file source re-reads shard1 AND the
+    # new shard2 (same content under a new doc_id, plus one new doc)
+    land_shard(
+        "shard2.jsonl",
+        [
+            {
+                "doc_id": 10,
+                "text": good,  # same content, post-horizon re-crawl
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-02T10:00:00",
+            },
+            {
+                "doc_id": 42,
+                "text": fresh,
+                "lang": "en",
+                "source": "crawl",
+                "ingest_time": "2024-06-02T10:00:00",
+            },
+        ],
+    )
+    drain("ckptB")
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "landed")).collect()
+    }
+    # original row intact, new content admitted, re-crawled content NOT
+    assert set(out) == {1, 42}
+    assert len({r.fingerprint for r in out.values()}) == 2
+
+
+def test_compact_boilerplate_refuses_duplicate_doc_ids(spark, tmp_path):
+    """The sub-document rewrite must FAIL LOUDLY on a landed corpus with
+    duplicate doc_ids (a state the id-keyed near-dup sweep tolerates):
+    groupBy-doc_id line/span dedup would interleave both versions' text
+    into one merged clean_text and fan it back onto every row."""
+    import os
+
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.streaming import compact_boilerplate
+
+    rows = [
+        (1, "first version of the document body"),
+        (1, "second landed version same identifier"),
+        (2, "another document entirely"),
+    ]
+    landed = str(tmp_path / "landed_dup")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(landed)
+    before = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(landed).collect()
+    )
+    with _pytest.raises(ValueError, match="duplicate doc_id"):
+        compact_boilerplate(spark, landed, min_df=2)
+    # corpus untouched, no stage/backup debris left behind
+    after = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(landed).collect()
+    )
+    assert after == before
     assert not os.path.exists(landed + ".compacting")
     assert not os.path.exists(landed + ".precompact")

@@ -90,6 +90,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vecs", type=int, default=200_000)
     ap.add_argument("--adc-vecs", type=int, default=1_000_000)
+    ap.add_argument("--weather-stations", type=int, default=1_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -372,6 +373,96 @@ def main() -> int:
               f"(hourly {n_h:,}, daily {n_d:,})", file=sys.stderr)
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+
+    # --- EP3 end-to-end at probe volume: the weather pipeline
+    # (station×hour SWOB XML → xpath parse → unpivot conform → dense
+    # scaffold align → wide export pivot) at ~1k stations × a full year
+    # of hours — ~8.8M XML payloads, ~300× the reference's production
+    # day (24 h × ~30 stations, ECCC_hourly.py).  The scaffold here is a
+    # year-long backfill spine rather than ingest_weather's single-day
+    # one: same operators (time_spine → key_spine → scaffold_align),
+    # probe-scale bounds.
+    n_ws = args.weather_stations
+    hours_yr = 24 * 365
+    print(
+        f"pipelines tier (EP3 weather, {n_ws:,} stations × "
+        f"{hours_yr:,} h):",
+        file=sys.stderr,
+    )
+    from nr_rfc_dischargeobs_spark.operators import align
+    from nr_rfc_dischargeobs_spark.sources import swob
+
+    payloads = spark.range(n_ws * hours_yr).select(
+        F.format_string(
+            "CWX%04d", (F.col("id") % n_ws).cast("int")
+        ).alias("station"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / n_ws).cast("long") * 3600
+        ).alias("obs_hour"),
+        # every 13th temp and 7th precip is MSNG — the dirty-payload
+        # path conform_swob's try_cast scrub exists for
+        F.format_string(
+            "<report><elements>"
+            "<element name='air_temp' value='%s'/>"
+            "<element name='avg_air_temp_pst1hr' value='%s'/>"
+            "<element name='pcpn_amt_pst1hr' value='%s'/>"
+            "</elements></report>",
+            F.when(F.col("id") % 13 == 0, F.lit("MSNG")).otherwise(
+                F.round(F.sin(F.col("id") / 31.0) * 20 + 5, 1).cast(
+                    "string"
+                )
+            ),
+            F.round(F.sin(F.col("id") / 37.0) * 20 + 5, 1).cast("string"),
+            F.when(F.col("id") % 7 == 0, F.lit("MSNG")).otherwise(
+                F.round(F.abs(F.sin(F.col("id") / 11.0)) * 3, 1).cast(
+                    "string"
+                )
+            ),
+        ).alias("xml"),
+    ).localCheckpoint()
+    t0 = time.time()
+    parsed = swob.parse_swob_xml(payloads)
+    n_p = force(parsed)
+    t[f"ep3_swob_parse_{n_ws}st_year"] = {
+        "sec": round(time.time() - t0, 1), "rows": n_p,
+    }
+    print(f"  {t[f'ep3_swob_parse_{n_ws}st_year']['sec']:7.1f} s  "
+          f"{n_p:>12,} rows  ep3_swob_parse_{n_ws}st_year",
+          file=sys.stderr)
+    parsed_ck = parsed.localCheckpoint()
+    t0 = time.time()
+    conformed = swob.conform_swob(parsed_ck)
+    spine = align.time_spine(
+        spark, "2024-01-01 00:00:00", "2024-12-30 23:00:00", "1 hour",
+        "obs_time",
+    ).withColumn("obs_time", F.col("obs_time") - F.expr("INTERVAL 8 HOURS"))
+    stations_df = payloads.select(
+        F.substring("station", 2, 10).alias("station_id")
+    ).distinct()
+    aligned = align.scaffold_align(
+        align.key_spine(stations_df, spine),
+        conformed,
+        ["station_id", "obs_time"],
+    )
+    n_a = force(aligned)
+    t[f"ep3_weather_align_{n_ws}st_year"] = {
+        "sec": round(time.time() - t0, 1), "rows": n_a,
+    }
+    print(f"  {t[f'ep3_weather_align_{n_ws}st_year']['sec']:7.1f} s  "
+          f"{n_a:>12,} rows  ep3_weather_align_{n_ws}st_year",
+          file=sys.stderr)
+    t0 = time.time()
+    wide = pipelines.weather_wide(
+        aligned, "air_temp",
+        [f"WX{i:04d}" for i in range(n_ws)],
+    )
+    n_w = force(wide)
+    t[f"ep3_weather_wide_{n_ws}st_year"] = {
+        "sec": round(time.time() - t0, 1), "rows": n_w,
+    }
+    print(f"  {t[f'ep3_weather_wide_{n_ws}st_year']['sec']:7.1f} s  "
+          f"{n_w:>12,} rows  ep3_weather_wide_{n_ws}st_year",
+          file=sys.stderr)
 
     out = json.dumps(results, indent=2)
     if args.out:
