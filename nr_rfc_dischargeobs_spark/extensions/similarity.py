@@ -975,36 +975,107 @@ def pq_adc_topk(
     return _adc_score_rank(joined, cents, m, dsub, k)
 
 
+def ivf_assign_local(
+    prepared: DataFrame,
+    coarse_rows: list[tuple[int, list[int]]],
+) -> DataFrame:
+    """Shuffle-free coarse assignment — :func:`ivf_assign` at nprobe=1
+    with the coarse centroids folded into LITERAL expressions (the
+    :func:`pq_codes` trick applied to the coarse tier): every distance
+    ``n + cn − 2·dot`` is an unrolled integer expression over the
+    vector column, the argmin is ``array_position(d_arr,
+    array_min(d_arr))`` over the id-sorted distance array, and the
+    corpus never leaves its scan — no broadcast join, no window, no
+    exchange.
+
+    ``coarse_rows`` is the trained coarse quantizer as plain Python data
+    (``(list_id, quantized_vector)``, k·dim ints — a model parameter,
+    the same metadata-scale posture as the PQ codebook).  Tie-break ≡
+    :func:`ivf_assign`'s ``(d asc, list_id asc)``: first-min position
+    over the list-id-sorted array IS the smallest id among minima.
+
+    Same staged-projection discipline as :func:`pq_codes`: per-centroid
+    distance columns first, the k-entry array second, the argmin third —
+    keeps every unrolled dot evaluated once and each generated method
+    janino-sized.
+
+    Output: (vec_id, q, n, list_id) — :func:`ivf_assign`'s nprobe=1
+    schema.
+    """
+    cents = sorted(coarse_rows)
+    ids = [int(cid) for cid, _ in cents]
+    stage1 = ["vec_id", "q", "n"]
+    for i, (_, cq) in enumerate(cents):
+        cn = sum(int(v) * int(v) for v in cq)
+        dot_sql = " + ".join(
+            f"element_at(q, {j + 1}) * CAST({int(cv)} AS BIGINT)"
+            for j, cv in enumerate(cq)
+        )
+        stage1.append(
+            f"(n + CAST({cn} AS BIGINT) - 2 * ({dot_sql})) AS d_{i}"
+        )
+    stage2 = [
+        "vec_id", "q", "n",
+        "array(" + ", ".join(f"d_{i}" for i in range(len(cents))) + ") AS d_arr",
+    ]
+    id_arr = "array(" + ", ".join(
+        f"CAST({cid} AS BIGINT)" for cid in ids
+    ) + ")"
+    stage3 = [
+        "vec_id", "q", "n",
+        f"element_at({id_arr}, CAST(array_position(d_arr,"
+        " array_min(d_arr)) AS INT)) AS list_id",
+    ]
+    return (
+        prepared.selectExpr(*stage1)
+        .selectExpr(*stage2)
+        .selectExpr(*stage3)
+    )
+
+
 def ivf_pq_index(
     prepared: DataFrame,
     coarse_centroids: DataFrame,
     centroid_rows: list[tuple[int, list[int]]],
     m: int = 4,
     dim: int = 64,
+    assign: str = "window",
 ) -> DataFrame:
     """Build the IVF-PQ INDEX — the stored artifact of production ANN
     (Jégou et al., TPAMI 2011; the FAISS ``IVFx,PQy`` layout): every
     corpus vector is coarse-assigned to exactly one inverted list
     (:func:`ivf_assign`, centroids broadcast) and stored as its m-byte
     PQ code (:func:`pq_codes`, codebook literal-inlined).  Cost shape,
-    stated precisely: the corpus is READ once and the PQ encode is
-    scan-local, but :func:`ivf_assign`'s per-vector argmin is a
-    ``row_number`` window partitioned by ``vec_id`` — ONE corpus-keyed
-    exchange of (vec_id, q, n, list, d) candidate rows.  (A fully
-    shuffle-free build exists — fold the k coarse centroids into a
-    literal array and argmin row-locally, the :func:`pq_codes` trick
-    applied to the coarse tier — at the price of another large literal
-    expression; the exchange is paid ONCE per index build, which is why
-    the window spelling is kept.)  Write the result partitioned/bucketed
-    by ``list_id`` and searches scan only probed lists.
+    stated precisely: with the default ``assign="window"``,
+    :func:`ivf_assign`'s per-vector argmin is a ``row_number`` window
+    partitioned by ``vec_id`` — ONE corpus-keyed exchange of (vec_id,
+    q, n, list, d) candidate rows, paid once per index build.
+    ``assign="local"`` switches to the fully shuffle-free build
+    (:func:`ivf_assign_local`: coarse centroids collected — k rows, a
+    model parameter — and folded into literal argmin expressions),
+    making the whole build scan-local: read the corpus once, write the
+    index, zero exchanges.  Both spellings produce identical
+    assignments (same exact integer distances, same tie-break; pinned
+    in tests) — pick by corpus size: the literal fold wins where the
+    exchange is the bill (A/B at the 1M probe in SCALE_PROBE.json), the
+    window spelling skips the fixed plan/codegen cost at toy scale.
+    Write the result partitioned/bucketed by ``list_id`` and searches
+    scan only probed lists.
 
     Output: (vec_id, list_id, code_0..code_{m-1}, sq_err).
     """
-    # assignment dot: HOF fold, never unrolled — the coarse assignment is
-    # a broadcast CROSS join (BroadcastNestedLoopJoin, no whole-stage
-    # codegen), where the fold beats the unrolled tree ~6× (the third
-    # side of the dot dial, see :func:`dot`)
-    assigned = ivf_assign(prepared, coarse_centroids, 1, None)
+    if assign == "local":
+        coarse_rows = [
+            (r["vec_id"], r["q"])
+            for r in coarse_centroids.select("vec_id", "q").collect()
+        ]
+        assigned = ivf_assign_local(prepared, coarse_rows)
+    else:
+        # assignment dot: HOF fold, never unrolled — the coarse
+        # assignment is a broadcast CROSS join (BroadcastNestedLoopJoin,
+        # no whole-stage codegen), where the fold beats the unrolled
+        # tree ~6× (the third side of the dot dial, see :func:`dot`)
+        assigned = ivf_assign(prepared, coarse_centroids, 1, None)
     return pq_codes(
         assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
     )

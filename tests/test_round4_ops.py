@@ -606,6 +606,75 @@ def test_ivf_pq_probes_restrict_candidates(spark):
     assert {r["neighbor_id"] for r in out} == {20}  # B never scanned
 
 
+def test_ivf_pq_local_assign_is_identical_to_window_assign(spark):
+    """The shuffle-free index build (assign='local': coarse centroids
+    folded into literal argmin expressions) must produce the SAME index
+    as the window spelling — identical exact distances, identical
+    smaller-list-id tie-break — including on an exact tie (zero vector
+    vs two equal-norm centroids) and across the full random fixture."""
+    import random
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_assign_local,
+        ivf_pq_index,
+        prepare,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(50)
+    ]
+    # equal-norm centroid pair: the zero corpus vector (distance = cn on
+    # both) ties exactly and must break to the smaller list id in BOTH
+    # spellings
+    rows[4] = (4, [0.5, -0.25, 0.0, 0.0])
+    rows[5] = (5, [-0.25, 0.5, 0.0, 0.0])
+    rows.append((50, [0.0, 0.0, 0.0, 0.0]))
+    prep = prepare(_emb(spark, rows))
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 4).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+    corpus = prep.filter(F.col("vec_id") >= 8)
+    coarse_rows = [
+        (r["vec_id"], r["q"])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
+    win = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(corpus, coarse, 1).collect()
+    }
+    loc = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign_local(corpus, coarse_rows).collect()
+    }
+    assert loc == win
+    assert win[50] == 4  # the exact tie broke to the smaller list id
+    # and the composed index artifacts are row-identical
+    a = sorted(
+        map(tuple, ivf_pq_index(corpus, coarse, cents, m=2, dim=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_pq_index(
+                corpus, coarse, cents, m=2, dim=4, assign="local"
+            ).collect(),
+        )
+    )
+    assert a == b
+    # the local plan is exchange-free: scan → projections, no shuffle
+    plan = (
+        ivf_pq_index(corpus, coarse, cents, m=2, dim=4, assign="local")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_ivf_pq_stored_index_round_trip_prunes_partitions(spark, tmp_path):
     """The index docstring's storage contract, proven end-to-end: write
     the index ``partitionBy('list_id')``, search the read-back artifact,

@@ -252,6 +252,17 @@ def main() -> int:
           similarity.ivf_pq_topk(
               prep_adc.filter(F.col("vec_id") < 256), ivfpq_index,
               coarse_cents, pq_cents, k=10, nprobe=4))
+    # index-build A/B at the same volume: the window spelling pays one
+    # corpus-keyed exchange, the literal-fold spelling zero — both
+    # produce identical assignments (pinned in tests)
+    timed(t, f"ivf_pq_index_build_{adc_n // 1_000_000}m_window",
+          similarity.ivf_pq_index(
+              prep_adc.filter(F.col("vec_id") >= 256), coarse_cents,
+              pq_cents))
+    timed(t, f"ivf_pq_index_build_{adc_n // 1_000_000}m_local",
+          similarity.ivf_pq_index(
+              prep_adc.filter(F.col("vec_id") >= 256), coarse_cents,
+              pq_cents, assign="local"))
 
     # --- semantic decontamination at volume: 64-vector benchmark
     # broadcast against a 1M-vector corpus, corpus scanned ONCE.  dim is
