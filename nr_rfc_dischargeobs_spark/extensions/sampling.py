@@ -348,3 +348,194 @@ def source_caps(
             "rank",
         )
     )
+
+
+def dsir_log_ratio(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    raw_docs: DataFrame | None = None,
+    n_buckets: int = 4096,
+    alpha_inv: int = 100,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "lm",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of a TARGET-domain
+    bag-of-hashed-ngrams model over a RAW-corpus model,
+    ``log ŵ(x) = log p_target(x) − log p_raw(x)``.  Documents that look
+    like the target domain (Wikipedia, textbooks, whatever
+    ``target_docs`` holds) score high; generic crawl text scores ~0;
+    anti-target text scores negative.  This is the published
+    importance-weighting recipe for "make the pretraining mix look like
+    a quality domain" — the selection half is :func:`dsir_resample`.
+
+    Model form: hashed BIGRAM bag models (the paper's hashed n-gram
+    features at n=2), trained through the SAME
+    :func:`~.text.bigram_lm_counts` aggregation as the CCNet-style LM
+    gate, so count semantics are shared engine-wide.  Per-feature
+    probability is add-α smoothed with α = ``1/alpha_inv`` —
+    ``(c_b + α) / (N + α·n_buckets)``, spelled on the integer grid as
+    ``log₂(alpha_inv·c_b + 1) − log₂(alpha_inv·N + n_buckets)``.  α must
+    be SMALL: with add-ONE smoothing and corpora of only a few thousand
+    n-grams (N ≪ n_buckets), both models collapse toward uniform and the
+    ratio can even INVERT (the raw model, holding more mass, assigns
+    rare junk less probability than the near-uniform target model — so
+    junk out-scores target text; caught by the selection-bias unit
+    test).  α = 1/100 keeps the model counts in charge at every corpus
+    size while every log argument stays an exact integer;
+    the per-occurrence log term and the per-doc normalization both snap
+    to the integer grid (``round(log₂(·)·2²⁰)``) BEFORE summing — the
+    :func:`~.text.token_entropy` discipline — so ``logw_scaled`` is
+    bit-identical across engines and partitionings.
+
+    Scale shape: two bounded (≤ ``n_buckets``-row) count tables + two
+    1-row totals, all broadcast back; scoring never shuffles the corpus
+    — the only corpus-keyed exchange is the final per-doc aggregate.
+    Docs with 0 bigrams score the 0 sentinel (distinguish via
+    ``n_feats``).
+
+    Output: (doc_id, n_feats, logw_scaled, logw) — ``logw`` in log₂
+    units (divide the scaled integer sum once).
+    """
+    from . import text as _t  # circular-safe: text never imports dsir
+    from .text import _bigram_structs, _check_n_buckets, bigram_lm_counts
+
+    SCALE = 1 << 20
+    _check_n_buckets(n_buckets)
+    if alpha_inv < 1:
+        raise ValueError(f"alpha_inv must be >= 1, got {alpha_inv}")
+    raw = raw_docs if raw_docs is not None else docs
+    bt, _ = bigram_lm_counts(
+        target_docs, n_buckets=n_buckets, text=text, salt=salt
+    )
+    br, _ = bigram_lm_counts(raw, n_buckets=n_buckets, text=text, salt=salt)
+    bt = bt.select(F.col("bucket"), F.col("cb").alias("ct"))
+    br = br.select(F.col("bucket"), F.col("cb").alias("cr"))
+    grid = lambda c: F.round(  # noqa: E731
+        F.log2(c.cast("double")) * SCALE, 0
+    ).cast("long")
+    totals = (
+        bt.agg(F.sum("ct").alias("__nt"))
+        .crossJoin(br.agg(F.sum("cr").alias("__nr")))
+        .select(
+            (
+                grid(
+                    F.coalesce(F.col("__nt"), F.lit(0)) * alpha_inv
+                    + n_buckets
+                )
+                - grid(
+                    F.coalesce(F.col("__nr"), F.lit(0)) * alpha_inv
+                    + n_buckets
+                )
+            ).alias("__norm")
+        )
+    )
+    bucket = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int")  # noqa: E731
+    exploded = docs.select(
+        F.col(doc_id),
+        F.filter(
+            _t._tokens(F.coalesce(F.col(text), F.lit(""))),
+            lambda t: t != "",
+        ).alias("__toks"),
+    ).select(
+        F.col(doc_id),
+        F.explode_outer(_bigram_structs(F.col("__toks"))).alias("p"),
+    ).select(
+        doc_id,
+        F.col("p.bg").isNotNull().alias("has"),
+        bucket(F.col("p.bg")).alias("bb"),
+    )
+    term = grid(
+        F.coalesce(F.col("ct"), F.lit(0)) * alpha_inv + 1
+    ) - grid(F.coalesce(F.col("cr"), F.lit(0)) * alpha_inv + 1)
+    per = (
+        exploded.join(F.broadcast(bt), exploded["bb"] == bt["bucket"], "left")
+        .drop("bucket")
+        .join(F.broadcast(br), exploded["bb"] == br["bucket"], "left")
+        .drop("bucket")
+        .groupBy(doc_id)
+        .agg(
+            F.sum(F.col("has").cast("long")).alias("n_feats"),
+            F.sum(
+                F.when(F.col("has"), term).otherwise(F.lit(0))
+            ).alias("__s"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    logw_scaled = F.col("__s") - F.col("n_feats") * F.col("__norm")
+    return per.select(
+        doc_id,
+        "n_feats",
+        F.when(F.col("n_feats") > 0, logw_scaled)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("logw_scaled"),
+        F.when(
+            F.col("n_feats") > 0, logw_scaled.cast("double") / SCALE
+        ).otherwise(F.lit(0.0)).alias("logw"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    raw_docs: DataFrame | None = None,
+    n_buckets: int = 4096,
+    alpha_inv: int = 100,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "lm",
+    gumbel_salt: str = "dsir-gumbel",
+) -> DataFrame:
+    """The selection half of DSIR: draw ``k`` documents ∝ their
+    importance weights via the Gumbel-top-k trick — rank by
+    ``ln ŵ(x) + Gumbel(0,1)`` and keep the top k, which IS sampling
+    without replacement proportional to ŵ (Vieira 2014) — with the
+    Gumbel noise DETERMINISTIC: ``u = (hash_bucket(doc_id) + 0.5) /
+    65536`` (the engine's md5 split machinery, so the draw is
+    reproducible across runs, engines, and partitionings — no
+    ``rand()``), ``g = −ln(−ln u)``.
+
+    Selection is a distributed top-k (``orderBy … limit k`` →
+    TakeOrdered: per-partition heaps, no global sort barrier), tie-broken
+    by doc_id.  Docs with 0 features carry weight sentinel 0 and are
+    EXCLUDED — unscorable docs must not win lottery seats.
+
+    Output: (doc_id, rank, logw, sel_key) — rank 1..k by descending
+    perturbed key.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    weights = dsir_log_ratio(
+        docs,
+        target_docs,
+        raw_docs,
+        n_buckets=n_buckets,
+        alpha_inv=alpha_inv,
+        text=text,
+        doc_id=doc_id,
+        salt=salt,
+    ).filter(F.col("n_feats") > 0)
+    u = (
+        hash_bucket(F.col(doc_id).cast("string"), gumbel_salt)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 16))
+    # logw is log2-units; the Gumbel trick needs nats: ln w = logw·ln2
+    sel_key = F.col("logw") * F.lit(math.log(2.0)) - F.log(-F.log(u))
+    top = (
+        weights.withColumn("sel_key", sel_key)
+        .orderBy(F.col("sel_key").desc(), F.col(doc_id).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("sel_key").desc(), F.col(doc_id).asc())
+    return top.select(
+        doc_id,
+        F.row_number().over(w).alias("rank"),
+        "logw",
+        "sel_key",
+    )

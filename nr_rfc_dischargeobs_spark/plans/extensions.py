@@ -1219,6 +1219,111 @@ FROM err GROUP BY vec_id
 """
 
 
+_LM_B = 4096
+
+
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by the hashed-bigram log-likelihood ratio of a target-domain model
+    (every 10th doc stands in for the target corpus) over the raw-corpus
+    model — integer-grid log terms, bit-identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.dsir_log_ratio(
+        docs, docs.filter(F.col("doc_id") % 10 == 0)
+    )
+
+
+def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: Gumbel-top-k draw of 25 docs ∝ importance weight,
+    with the Gumbel noise derived from the deterministic md5 split
+    machinery — reproducible sampling without replacement."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.dsir_resample(
+        docs, docs.filter(F.col("doc_id") % 10 == 0), k=25
+    )
+
+
+_DSIR_A = 100  # alpha_inv: add-(1/100) smoothing on the integer grid
+_DSIR_GRID = "CAST(ROUND(log2(CAST({x} AS DOUBLE)) * 1048576, 0) AS BIGINT)"
+_DSIR_CTES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     t -> t != '') AS toks
+  FROM documents
+), exf AS (
+  SELECT doc_id, p.bg AS bg
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                   i -> struct_pack(bg := toks[i] || ' ' || toks[i + 1])))
+                 AS p
+        FROM toks)
+), bt AS (
+  SELECT ({sampling.hash_bucket_sql("bg", "lm")} % {_LM_B}) AS bucket,
+         COUNT(*) AS ct
+  FROM exf WHERE doc_id % 10 = 0 GROUP BY 1
+), br AS (
+  SELECT ({sampling.hash_bucket_sql("bg", "lm")} % {_LM_B}) AS bucket,
+         COUNT(*) AS cr
+  FROM exf GROUP BY 1
+), tot AS (
+  SELECT {_DSIR_GRID.format(
+      x=f"(SELECT COALESCE(SUM(ct), 0) FROM bt) * {_DSIR_A} + {_LM_B}")}
+       - {_DSIR_GRID.format(
+      x=f"(SELECT COALESCE(SUM(cr), 0) FROM br) * {_DSIR_A} + {_LM_B}")}
+         AS norm
+), scored AS (
+  SELECT exf.doc_id,
+         {_DSIR_GRID.format(x=f"COALESCE(bt.ct, 0) * {_DSIR_A} + 1")}
+         - {_DSIR_GRID.format(x=f"COALESCE(br.cr, 0) * {_DSIR_A} + 1")}
+           AS term
+  FROM exf
+  LEFT JOIN bt
+    ON ({sampling.hash_bucket_sql("exf.bg", "lm")} % {_LM_B}) = bt.bucket
+  LEFT JOIN br
+    ON ({sampling.hash_bucket_sql("exf.bg", "lm")} % {_LM_B}) = br.bucket
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(term) AS BIGINT) AS s
+  FROM scored GROUP BY 1
+), wts AS (
+  SELECT d.doc_id,
+         COALESCE(per.n_feats, 0) AS n_feats,
+         CASE WHEN COALESCE(per.n_feats, 0) > 0
+              THEN per.s - per.n_feats * (SELECT norm FROM tot)
+              ELSE 0 END AS logw_scaled
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+)
+"""
+
+SAMPLE_DSIR_WEIGHTS_SQL = f"""{_DSIR_CTES}
+SELECT doc_id, n_feats, logw_scaled,
+       CASE WHEN n_feats > 0
+            THEN CAST(logw_scaled AS DOUBLE) / 1048576
+            ELSE 0.0 END AS logw
+FROM wts
+"""
+
+SAMPLE_DSIR_SELECT_SQL = f"""{_DSIR_CTES}
+, sel AS (
+  SELECT doc_id,
+         CAST(logw_scaled AS DOUBLE) / 1048576 AS logw,
+         (CAST(logw_scaled AS DOUBLE) / 1048576) * ln(2)
+         - ln(-ln(({sampling.hash_bucket_sql("doc_id", "dsir-gumbel")}
+                   + 0.5) / 65536.0)) AS sel_key
+  FROM wts WHERE n_feats > 0
+), topk AS (
+  SELECT doc_id, logw, sel_key
+  FROM sel ORDER BY sel_key DESC, doc_id ASC LIMIT 25
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id ASC) AS INT)
+         AS rank,
+       logw, sel_key
+FROM topk
+"""
+
+
 def sample_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-export layout: every document addressed to
     one of 64 shards with a stable in-shard position — the global
@@ -1338,7 +1443,6 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_B = 4096
 TEXT_BIGRAM_LM_SQL = f"""
 WITH toks AS (
   SELECT doc_id,

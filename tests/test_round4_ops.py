@@ -1239,3 +1239,76 @@ def test_span_dedup_no_duplicates_is_identity_on_tokens(spark):
         assert out[d]["clean_text"] == txt
         assert out[d]["n_spans_removed"] == 0
         assert out[d]["n_tokens_removed"] == 0
+
+
+# ------------------------------------------------------------ DSIR (r6)
+
+
+def test_dsir_log_ratio_ranks_target_like_docs_higher(spark):
+    """Xie et al. 2023 semantics: docs built from the target domain's
+    bigrams must out-score generic docs, which out-score docs made of
+    bigrams the target corpus never uses; 0-feature docs carry the 0
+    sentinel with n_feats=0."""
+    from nr_rfc_dischargeobs_spark.extensions.sampling import dsir_log_ratio
+
+    target_phrase = "the river flows through the green valley"
+    anti_phrase = "zz1 zz2 zz3 zz4 zz5 zz6 zz7"
+    docs = spark.createDataFrame(
+        [
+            (0, target_phrase),                    # target corpus member
+            (1, target_phrase + " every day"),     # target-like
+            (2, "completely unrelated words about machines and code"),
+            (3, anti_phrase),                      # raw-only mass below
+            (4, anti_phrase),
+            (5, anti_phrase),
+            (6, None),                             # 0 features
+            (7, "single"),                         # 0 bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_ratio(
+            docs, docs.filter(F.col("doc_id") == 0)
+        ).collect()
+    }
+    assert out[1]["logw"] > out[2]["logw"] > out[3]["logw"]
+    for d in (6, 7):
+        assert out[d]["n_feats"] == 0
+        assert out[d]["logw"] == 0.0 and out[d]["logw_scaled"] == 0
+    # integer-grid identity: logw is exactly the scaled sum divided once
+    for d in (1, 2, 3):
+        assert out[d]["logw"] == out[d]["logw_scaled"] / (1 << 20)
+
+
+def test_dsir_resample_is_deterministic_and_weight_monotone(spark):
+    """Gumbel-top-k with md5-derived noise: two runs select the SAME
+    set in the SAME order; k bounds the draw; 0-feature docs never win
+    a seat; and with the same u-bucket the higher weight always ranks
+    first (the perturbation is weight-monotone given fixed noise)."""
+    from nr_rfc_dischargeobs_spark.extensions.sampling import dsir_resample
+
+    # the weight GAP must dwarf the Gumbel spread (≈14 nats across the
+    # 2^16 u-grid) or noise can legitimately seat a junk doc — that's
+    # correct DSIR behavior, not a bug; long docs scale the gap with
+    # feature count (~29 bigrams × ~1.5 log2 each ≫ 14 nats)
+    target_phrase = " ".join(
+        ["alpha beta gamma delta epsilon zeta"] * 5
+    )
+    rows = [(i, target_phrase) for i in range(10)]
+    rows += [
+        (i, " ".join(f"junk{i}x{j}" for j in range(30)))
+        for i in range(10, 30)
+    ]
+    rows += [(99, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id") < 3)
+    a = [tuple(r) for r in dsir_resample(docs, target, k=8).collect()]
+    b = [tuple(r) for r in dsir_resample(docs, target, k=8).collect()]
+    assert a == b
+    assert len(a) == 8
+    assert [r[1] for r in a] == list(range(1, 9))
+    assert all(r[0] != 99 for r in a)
+    # weight dominance: the target-identical docs hold weights so far
+    # above the junk that every seat goes to them despite the noise
+    assert {r[0] for r in a} <= set(range(10))

@@ -159,6 +159,12 @@ def main() -> int:
     timed(t, "hash_classifier", text.hash_classifier(docs))
     timed(t, "token_entropy", text.token_entropy(docs))
     timed(t, "bigram_lm_selftrained", text.bigram_lm_scores(docs))
+    # DSIR importance weights: target model trained on every 20th doc,
+    # raw model on the whole corpus — two bounded count tables broadcast
+    # back, the corpus scored in one pass (same cost class as the LM)
+    timed(t, "dsir_weights_1m_5pct_target",
+          sampling.dsir_log_ratio(
+              docs, docs.filter(F.col("doc_id") % 20 == 0)))
     # synthetic docs are unique, so plant line structure: every doc gets
     # the same boilerplate footer line — the op must strip 1M of them
     lined = docs.withColumn(
