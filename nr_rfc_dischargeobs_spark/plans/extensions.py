@@ -1229,7 +1229,9 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     model — integer-grid log terms, bit-identical across engines."""
     docs = load(spark, sf_dir, "documents")
     return sampling.dsir_log_ratio(
-        docs, docs.filter(F.col("doc_id") % 10 == 0)
+        docs,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        cache_registry=_PLAN_CACHES,
     )
 
 
@@ -1239,7 +1241,10 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery — reproducible sampling without replacement."""
     docs = load(spark, sf_dir, "documents")
     return sampling.dsir_resample(
-        docs, docs.filter(F.col("doc_id") % 10 == 0), k=25
+        docs,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=25,
+        cache_registry=_PLAN_CACHES,
     )
 
 

@@ -162,9 +162,13 @@ def main() -> int:
     # DSIR importance weights: target model trained on every 20th doc,
     # raw model on the whole corpus — two bounded count tables broadcast
     # back, the corpus scored in one pass (same cost class as the LM)
+    _dsir_reg = []
     timed(t, "dsir_weights_1m_5pct_target",
           sampling.dsir_log_ratio(
-              docs, docs.filter(F.col("doc_id") % 20 == 0)))
+              docs, docs.filter(F.col("doc_id") % 20 == 0),
+              cache_registry=_dsir_reg))
+    for _df in _dsir_reg:
+        _df.unpersist()
     # synthetic docs are unique, so plant line structure: every doc gets
     # the same boilerplate footer line — the op must strip 1M of them
     lined = docs.withColumn(
