@@ -32,11 +32,48 @@ def parse_swob_xml(
     station_col: str = "station",
     hour_col: str = "obs_hour",
 ) -> DataFrame:
-    """(station, obs_hour, xml) → F4 rows (values still dirty strings)."""
-    return payloads.select(
+    """(station, obs_hour, xml) → F4 rows (values still dirty strings).
+
+    One :func:`xpath_string` call re-parses the XML document per
+    variable, so the per-variable spelling costs ``n_vars`` full parses
+    per payload.  This extracts ALL element names and values in TWO
+    xpath passes (``//element/@name`` + ``//element/@value`` — node
+    order is document order, so the arrays zip positionally) and picks
+    each variable out of the staged arrays with a first-match
+    ``array_position`` — the same first-node semantics as
+    ``string(//element[@name=…]/@value)``, robust to element order and
+    to structure around the elements, at a cost independent of how many
+    variables are extracted.  ASSUMPTION the zip rests on: every
+    ``element`` node carries BOTH attributes (true of SWOB-ML payloads —
+    a name-only node would shift the value array; use :func:`xml_attr`
+    per variable for feeds without that guarantee).  Measured at the EP3 probe (8.76M
+    payloads × 3 vars): 81.7 s per-variable → see SCALE_PROBE
+    ``ep3_swob_parse`` for the zipped number.  Absent variables yield
+    NULL (``array_position`` 0 guarded — under ANSI ``element_at(…, 0)``
+    is an error, not a miss).
+    """
+    staged = payloads.select(
         F.col(station_col).alias("station"),
         F.col(hour_col).alias("obs_hour"),
-        *[xml_attr(F.col(xml_col), v).alias(v) for v in SWOB_VARS],
+        F.xpath(F.col(xml_col), F.lit("//element/@name")).alias("__names"),
+        F.xpath(F.col(xml_col), F.lit("//element/@value")).alias("__vals"),
+    )
+
+    def pick(var: str):
+        pos = F.array_position(F.col("__names"), var)
+        # absent → '' exactly like xpath_string's string() over an empty
+        # node-set, so the F4 schema contract is unchanged
+        return F.coalesce(
+            F.when(
+                pos > 0, F.element_at(F.col("__vals"), pos.cast("int"))
+            ),
+            F.lit(""),
+        )
+
+    return staged.select(
+        "station",
+        "obs_hour",
+        *[pick(v).alias(v) for v in SWOB_VARS],
         F.lit(True).alias("f_read"),
     )
 

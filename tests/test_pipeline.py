@@ -347,6 +347,30 @@ def test_ep1_ep2_pipeline_api_end_to_end(spark, tmp_path):
     assert d1["S9"] == d1["S1"] * 2 + d1["S2"]
 
 
+def test_swob_parse_order_robust_and_absent_var_contract(spark):
+    """The zipped two-pass extractor must match xpath_string semantics:
+    element order is irrelevant, extra elements are ignored, a repeated
+    name takes its FIRST occurrence, and an absent variable yields ''
+    (the string() empty-node-set contract), never NULL."""
+    xml = (
+        "<report><elements>"
+        "<element name='extraneous' value='9'/>"
+        "<element name='pcpn_amt_pst1hr' value='0.4'/>"
+        "<element name='air_temp' value='12.5'/>"
+        "<element name='air_temp' value='99'/>"
+        "</elements></report>"
+    )
+    payloads = spark.createDataFrame(
+        [("CS1", dt.datetime(2024, 6, 1, 8), xml)],
+        ["station", "obs_hour", "xml"],
+    )
+    row = parse_swob_xml(payloads).collect()[0]
+    assert row["air_temp"] == "12.5"  # first occurrence wins
+    assert row["pcpn_amt_pst1hr"] == "0.4"  # order-independent
+    assert row["avg_air_temp_pst1hr"] == ""  # absent → '' not NULL
+    assert row["f_read"] is True
+
+
 def test_ep3_weather_pipeline_scaffold_and_wide(spark):
     from nr_rfc_dischargeobs_spark import pipelines
 
