@@ -57,15 +57,16 @@ def lang_id(
     """Language-ID heuristic: stopword-hit score per language, argmax with
     deterministic alphabetical tie-break (ties → first language code).
 
-    Cost profile (measured at 1M×60-token docs): the op is scan-local and
-    shuffle-free — at fleet scale it parallelizes embarrassingly — but its
-    constant is bound by higher-order-function evaluation: each language's
-    IN-list filter pass costs ~2.3 s/1M, and because HOFs are
-    CodegenFallback (no common-subexpression elimination), the argmax /
-    tie-break chain re-inlines the score expressions per reference
-    (~35 s/1M total).  A single combined filter pass runs 0.7 s/1M, so the
-    headroom is real but needs either HOF codegen upstream or a UDF —
-    both rejected (UDFs are the slow path everywhere else)."""
+    Cost profile (measured at 1M×60-token docs): scan-local and
+    shuffle-free — at fleet scale it parallelizes embarrassingly.  The
+    score columns are STAGED in their own projection before the
+    argmax/tie-break chain consumes them: HOFs are CodegenFallback with
+    no common-subexpression elimination, so an inlined spelling
+    re-evaluates each language's IN-list filter once per downstream
+    reference (the greatest + 5 whens + output = ~7×, measured ~35 s/1M
+    before staging); CollapseProject keeps the staged shape because the
+    scores are non-cheap and multiply-referenced, and the whole op runs
+    3.3 s/1M warm (6.3 s cold — one-time codegen/JIT)."""
     scored = docs.withColumn("__toks", _tokens(F.col(text))).select(
         F.col(doc_id),
         F.col(text),

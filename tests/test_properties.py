@@ -215,3 +215,93 @@ def test_quantize_int8_grid_bound_holds_under_fuzz(spark, vecs):
     ]
     bound = max(m_per_dim) / 2 + 1  # +1 for the round-half tie step
     assert out.filter(F.col("max_abs_err127") > bound).count() == 0
+
+
+def _span_dedup_reference(corpus, n):
+    """Pure-Python ExactSubstr reference: first (doc_id, pos) occurrence
+    of each duplicated n-gram survives, later occurrences lose their
+    tokens (overlaps union), docs rebuilt from survivors."""
+    toks = {
+        d: [t for t in (txt or "").lower().split(" ") if t]
+        for d, txt in corpus
+    }
+    occs = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(max(len(ts) - n + 1, 0)):
+            occs.setdefault(tuple(ts[i:i + n]), []).append((d, i))
+    removed = {}
+    for gram, sites in occs.items():
+        if len(sites) > 1:
+            for d, i in sorted(sites)[1:]:
+                removed.setdefault(d, set()).add(i)
+    out = {}
+    for d, ts in toks.items():
+        starts = sorted(removed.get(d, ()))
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        # maximal spans: chain starts whose positions AND first-occ
+        # coordinates are both consecutive
+        firsts = {}
+        for gram, sites in occs.items():
+            ss = sorted(sites)
+            for site in ss[1:]:
+                if site[0] == d:
+                    firsts[site[1]] = ss[0]
+        n_max = 0
+        prev = None
+        for s in starts:
+            f = firsts[s]
+            if not (
+                prev is not None
+                and s == prev[0] + 1
+                and f[0] == prev[1][0]
+                and f[1] == prev[1][1] + 1
+            ):
+                n_max += 1
+            prev = (s, f)
+        out[d] = (
+            len(ts), len(starts), n_max,
+            len(ts) - len(kept), " ".join(kept),
+        )
+    return out
+
+
+@given(
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_span_dedup_matches_python_reference(spark, data):
+    """Both span modes against the brute-force Python oracle on random
+    corpora with planted repetition: gram counts, maximal chains, token
+    removal, and the rebuilt text all agree exactly — the interval-merge
+    rebuild must be semantics-neutral on arbitrary overlap patterns."""
+    vocab = ["a", "b", "c", "d"]
+    n = data.draw(st.integers(min_value=2, max_value=4), label="n")
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=18),
+            min_size=1,
+            max_size=8,
+        ),
+        label="docs",
+    )
+    corpus = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    want = _span_dedup_reference(corpus, n)
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got_gram = {
+        r["doc_id"]: r for r in text.span_dedup(df, n=n).collect()
+    }
+    got_max = {
+        r["doc_id"]: r
+        for r in text.span_dedup(df, n=n, spans="maximal").collect()
+    }
+    for d, (n_tok, n_gram_spans, n_max_spans, n_rm, clean) in want.items():
+        g, m = got_gram[d], got_max[d]
+        assert g["n_tokens"] == m["n_tokens"] == n_tok
+        assert g["n_spans_removed"] == n_gram_spans
+        assert m["n_spans_removed"] == n_max_spans
+        assert g["n_tokens_removed"] == m["n_tokens_removed"] == n_rm
+        assert g["clean_text"] == m["clean_text"] == clean
