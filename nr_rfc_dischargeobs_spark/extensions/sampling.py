@@ -552,3 +552,103 @@ def dsir_resample(
         "logw",
         "sel_key",
     )
+
+
+def dsir_log_ratio_trained(
+    docs: DataFrame,
+    target_counts,
+    raw_counts,
+    n_buckets: int = 4096,
+    alpha_inv: int = 100,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "lm",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`dsir_log_ratio` under PRE-TRAINED models — the production
+    split (fit the target and raw hashed-bigram models once, score
+    everything under them) and the STREAMING-safe form, exactly the
+    :func:`~.text.bigram_lm_scores_trained` recipe: ``target_counts`` /
+    ``raw_counts`` are plain ``[(bucket, count), ...]`` rows or small
+    DataFrames (model parameters), folded in Python into ONE dense
+    literal array of per-bucket integer-grid ratio terms
+    (``grid(A·ct+1) − grid(A·cr+1)``) plus a scalar normalization
+    constant — scoring is one md5 + one array lookup per bigram, no
+    joins, no count aggregations, fully row-local ⇒ stateless ⇒ lifts
+    onto Structured Streaming unchanged.  Bit-identical to
+    :func:`dsir_log_ratio` under the same counts (Python HALF-UP grid ==
+    ``F.round`` grid — pinned by an equivalence test).
+
+    Output: (doc_id, *passthrough, n_feats, logw_scaled, logw) —
+    :func:`dsir_log_ratio`'s schema plus passthrough.
+    """
+    import math
+
+    from .text import _bigram_structs, _check_n_buckets
+    from .text import _tokens as _toks_expr
+
+    SCALE = 1 << 20
+    _check_n_buckets(n_buckets)
+    if alpha_inv < 1:
+        raise ValueError(f"alpha_inv must be >= 1, got {alpha_inv}")
+
+    def rows_of(counts):
+        if hasattr(counts, "collect"):
+            counts = [(r[0], r[1]) for r in counts.collect()]
+        return [(int(b), int(c)) for b, c in counts]
+
+    def grid_py(x: int) -> int:
+        # HALF-UP like F.round (args are >= 1, so no negative branch)
+        return int(math.floor(math.log2(x) * SCALE + 0.5))
+
+    ct_rows, cr_rows = rows_of(target_counts), rows_of(raw_counts)
+    for b, _ in ct_rows + cr_rows:
+        if not 0 <= b < n_buckets:
+            raise ValueError(f"bucket {b} outside [0, {n_buckets})")
+    ct = [0] * n_buckets
+    cr = [0] * n_buckets
+    for b, c in ct_rows:
+        ct[b] = c
+    for b, c in cr_rows:
+        cr[b] = c
+    terms = [
+        grid_py(alpha_inv * ct[b] + 1) - grid_py(alpha_inv * cr[b] + 1)
+        for b in range(n_buckets)
+    ]
+    norm = grid_py(alpha_inv * sum(c for _, c in ct_rows) + n_buckets) - (
+        grid_py(alpha_inv * sum(c for _, c in cr_rows) + n_buckets)
+    )
+    tarr = F.expr("array(" + ",".join(f"{v}L" for v in terms) + ")")
+    bucket1 = (
+        lambda c: (hash_bucket(c, salt) % n_buckets).cast("int") + 1
+    )  # noqa: E731
+    staged = docs.select(
+        F.col(doc_id),
+        *[F.col(c) for c in passthrough],
+        F.filter(
+            _toks_expr(F.coalesce(F.col(text), F.lit(""))),
+            lambda t: t != "",
+        ).alias("__toks"),
+    ).select(
+        doc_id,
+        *passthrough,
+        _bigram_structs(F.col("__toks")).alias("__bigrams"),
+    )
+    s = F.aggregate(
+        F.col("__bigrams"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.element_at(tarr, bucket1(p["bg"])),
+    )
+    n_feats = F.size(F.col("__bigrams")).cast("long")
+    logw_scaled = s - n_feats * F.lit(norm)
+    return staged.select(
+        doc_id,
+        *passthrough,
+        n_feats.alias("n_feats"),
+        F.when(n_feats > 0, logw_scaled)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("logw_scaled"),
+        F.when(n_feats > 0, logw_scaled.cast("double") / SCALE)
+        .otherwise(F.lit(0.0))
+        .alias("logw"),
+    )

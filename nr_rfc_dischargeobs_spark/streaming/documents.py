@@ -55,6 +55,8 @@ def curate_document_stream(
     classifier_min_score: float | None = None,
     lm_counts: tuple | None = None,
     lm_min_score: float | None = None,
+    dsir_counts: tuple | None = None,
+    dsir_min_logw: float | None = None,
 ) -> DataFrame:
     """Gate → (optional classifier gate) → (optional LM-perplexity gate)
     → scrub → fingerprint-dedup, all streaming-safe, one linear lineage
@@ -72,8 +74,18 @@ def curate_document_stream(
     :func:`~..extensions.text.bigram_lm_counts` on a reference corpus),
     folded into literal lookup arrays — scoring is row-local, hence
     stream-safe; docs whose ``avg_logp2`` falls below the threshold
-    drop.  This completes the production gate stack: rules → trained
-    classifier → LM perplexity → scrub → dedup.
+    drop.
+
+    ``dsir_counts`` + ``dsir_min_logw`` switch on the DSIR
+    domain-relevance gate
+    (:func:`~..extensions.sampling.dsir_log_ratio_trained`): counts are
+    the PRE-TRAINED (target_bigram_counts, raw_bigram_counts) model
+    pair, folded into one literal ratio-term array — row-local, hence
+    stream-safe; docs whose importance ``logw`` falls below the
+    threshold (not target-domain-like enough) drop, and 0-feature docs
+    fail CLOSED like the LM gate.  The full production gate stack:
+    rules → trained classifier → LM perplexity → DSIR relevance →
+    scrub → dedup.
 
     Returns the curated stream: (doc_id, *meta, n_words, text=redacted,
     fingerprint).  A re-landed shard (same content, later arrival inside
@@ -111,6 +123,24 @@ def curate_document_stream(
                 & (F.col("avg_logp2") >= lm_min_score)
             )
             .drop("n_bigrams", "slogp", "avg_logp2")
+        )
+    if dsir_min_logw is not None:
+        if dsir_counts is None:
+            raise ValueError("dsir_min_logw requires dsir_counts")
+        from ..extensions.sampling import dsir_log_ratio_trained
+
+        # fail CLOSED: 0-feature docs carry the 0 sentinel, which may
+        # sit above a negative threshold — unscorable docs must drop
+        gated = (
+            dsir_log_ratio_trained(
+                gated,
+                *dsir_counts,
+                passthrough=("text", "n_words", *meta),
+            )
+            .filter(
+                (F.col("n_feats") > 0) & (F.col("logw") >= dsir_min_logw)
+            )
+            .drop("n_feats", "logw_scaled", "logw")
         )
     scrubbed = tx.pii_scrub(
         gated, passthrough=("n_words", *meta)

@@ -1312,3 +1312,71 @@ def test_dsir_resample_is_deterministic_and_weight_monotone(spark):
     # weight dominance: the target-identical docs hold weights so far
     # above the junk that every seat goes to them despite the noise
     assert {r[0] for r in a} <= set(range(10))
+
+
+def test_dsir_trained_equals_in_plan_bitwise(spark):
+    """The pre-trained DSIR split must reproduce dsir_log_ratio EXACTLY
+    when fed its own count tables: Python HALF-UP grid terms == F.round
+    grid terms, literal-array lookups == broadcast joins, bit-for-bit
+    (the streaming-gate contract)."""
+    from nr_rfc_dischargeobs_spark.extensions.sampling import (
+        dsir_log_ratio,
+        dsir_log_ratio_trained,
+    )
+    from nr_rfc_dischargeobs_spark.extensions.text import bigram_lm_counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the river flows through the green valley today"),
+            (1, "the river flows through another state entirely"),
+            (2, "zq xv wp lk jh gf cd"),
+            (3, None),
+            (4, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+    target = docs.filter(F.col("doc_id") == 0)
+    batch = sorted(map(tuple, dsir_log_ratio(docs, target).collect()))
+    bt, _ = bigram_lm_counts(target)
+    br, _ = bigram_lm_counts(docs)
+    trained = sorted(
+        map(tuple, dsir_log_ratio_trained(docs, bt, br).collect())
+    )
+    assert trained == batch
+
+
+def test_document_stream_dsir_gate_drops_off_domain(spark):
+    """The DSIR relevance gate composes into the curation stack: docs
+    far from the target domain drop, target-like docs survive, and
+    unscorable docs fail closed."""
+    from nr_rfc_dischargeobs_spark.extensions.text import bigram_lm_counts
+    from nr_rfc_dischargeobs_spark.streaming import curate_document_stream
+
+    on_domain = (
+        "the river flows through the green valley and the river keeps "
+        "its steady course across the wide green valley every day"
+    )
+    off_domain = (
+        "completely different machine code with compilers and linkers "
+        "and registers that share no bigrams with the target corpus"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, on_domain, "en", "crawl", None),
+            (2, off_domain, "en", "crawl", None),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " ingest_time timestamp",
+    )
+    ref = spark.createDataFrame([(0, on_domain)], ["doc_id", "text"])
+    bt, _ = bigram_lm_counts(ref)
+    br, _ = bigram_lm_counts(ref.union(
+        spark.createDataFrame([(9, off_domain)], ["doc_id", "text"])
+    ))
+    kept = {
+        r["doc_id"]
+        for r in curate_document_stream(
+            docs, min_words=5, dsir_counts=(bt, br), dsir_min_logw=0.1
+        ).collect()
+    }
+    assert kept == {1}
