@@ -147,3 +147,108 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
             END AS BIGINT) AS n_seqs
 FROM summed
 """
+
+
+def pack_sequence_rows(
+    docs: DataFrame,
+    budget: int = 512,
+    shards: int = 8,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences — the physical rows a
+    training loader reads: :func:`pack_assignments` decides where every
+    document's tokens land; this emits one row per (shard, seq) with the
+    actual ``budget``-token stream (tail sequences run short), documents
+    concatenated in the shard's deterministic (doc_id) order and cut at
+    block boundaries, straddling docs split across rows.
+
+    Scale shape: the corpus moves exactly TWICE, and both moves are
+    inherent to the output — one shuffle to the packing shard (the
+    cum-sum window needs shard-local order; the token payload rides
+    along because that is where its bytes must end up), then each doc
+    explodes into its ≤ n_seqs per-block contributions (row-local slice
+    arithmetic, no re-tokenization) and one shuffle keyed (shard, seq)
+    assembles blocks with an order-explicit ``array_sort`` on
+    start_offset.  No global sort anywhere; parallelism = shard count ×
+    blocks.
+
+    Token identity: the same ``split(text, '\\s+')`` stream
+    :func:`pack_assignments` counts, so ``Σ n_tokens`` over sequences ==
+    Σ over docs, and every sequence except a shard's tail is exactly
+    ``budget`` tokens — both pinned in tests.
+
+    Output: (shard, seq, n_tokens, text).
+    """
+    if not 1 <= shards <= BUCKETS:
+        raise ValueError(
+            f"shards must be in [1, {BUCKETS}]: hash_bucket yields 16 bits,"
+            f" so {shards} shards would alias to {BUCKETS}"
+        )
+    toks_expr = F.coalesce(
+        F.split(F.col(text), r"\s+"),
+        F.array().cast("array<string>"),
+    )
+    base = docs.select(
+        F.col(doc_id),
+        (hash_bucket(F.col(doc_id), salt) % shards)
+        .cast("long")
+        .alias("shard"),
+        toks_expr.alias("__toks"),
+    ).withColumn("n_tokens", F.size("__toks").cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(doc_id).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "shard",
+        "__toks",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_end"),
+    ).filter(F.col("n_tokens") > 0)
+    seq_first, seq_last, _ = span_columns(budget)
+    contrib = cum.select(
+        "shard",
+        (F.col("cum_end") - F.col("n_tokens")).alias("start_offset"),
+        "__toks",
+        "n_tokens",
+        seq_first.alias("__q0"),
+        seq_last.alias("__q1"),
+    ).select(
+        "shard",
+        "start_offset",
+        F.explode(
+            F.expr(
+                "transform(sequence(__q0, __q1), q -> struct("
+                "q AS seq,"
+                f" slice(__toks, cast(greatest(q * {budget}"
+                " - start_offset, 0) as int) + 1,"
+                f" cast(least((q + 1) * {budget}, start_offset + n_tokens)"
+                f" - greatest(q * {budget}, start_offset) as int))"
+                " AS piece))"
+            )
+        ).alias("c"),
+    ).select(
+        "shard",
+        F.col("c.seq").alias("seq"),
+        "start_offset",
+        F.col("c.piece").alias("piece"),
+    )
+    assembled = contrib.groupBy("shard", "seq").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start_offset", "piece"))
+                ),
+                lambda s: s["piece"],
+            )
+        ).alias("__seq_toks")
+    )
+    return assembled.select(
+        "shard",
+        "seq",
+        F.size("__seq_toks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "__seq_toks").alias("text"),
+    )

@@ -1020,6 +1020,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQUENCES_SQL = packing.pack_assignments_sql(budget=256, shards=8)
 
 
+def pack_sequence_rows_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence MATERIALIZATION: the physical (shard, seq) rows a
+    training loader reads — documents concatenated in shard order under
+    a 256-token budget, straddlers split at block boundaries."""
+    return packing.pack_sequence_rows(
+        load(spark, sf_dir, "documents"), budget=256, shards=8
+    )
+
+
+_PACK_B = 256
+PACK_SEQUENCE_ROWS_SQL = f"""
+WITH asg AS (
+{packing.pack_assignments_sql(budget=_PACK_B, shards=8)}
+), toks AS (
+  SELECT doc_id,
+         COALESCE(regexp_split_to_array(text, '\\s+'), []) AS ts
+  FROM documents
+), contrib AS (
+  SELECT a.shard, q.q AS seq, a.start_offset,
+         array_to_string(
+           list_slice(t.ts,
+             greatest(q.q * {_PACK_B} - a.start_offset, 0) + 1,
+             least((q.q + 1) * {_PACK_B}, a.start_offset + a.n_tokens)
+               - a.start_offset),
+           ' ') AS piece,
+         least((q.q + 1) * {_PACK_B}, a.start_offset + a.n_tokens)
+           - greatest(q.q * {_PACK_B}, a.start_offset) AS piece_len
+  FROM asg a
+  JOIN toks t USING (doc_id)
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(a.seq_first, a.seq_last + 1)) AS q
+  ) q
+  WHERE a.n_tokens > 0
+)
+SELECT shard, CAST(seq AS BIGINT) AS seq,
+       CAST(SUM(piece_len) AS BIGINT) AS n_tokens,
+       string_agg(piece, ' ' ORDER BY start_offset) AS text
+FROM contrib GROUP BY 1, 2
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents salted with deterministic synthetic PII
     (the driver corpus is word-salad; the injected addresses make the

@@ -1380,3 +1380,76 @@ def test_document_stream_dsir_gate_drops_off_domain(spark):
         ).collect()
     }
     assert kept == {1}
+
+
+# ------------------------------------------------- pack materialization (r6)
+
+
+def test_pack_sequence_rows_conserves_tokens_and_fills_blocks(spark):
+    """The materialized sequences must carry EXACTLY the assignment's
+    token stream: Σ n_tokens over sequences == Σ over docs, every
+    non-tail sequence in a shard is exactly budget tokens, seq ids are
+    dense 0..max per shard, and re-concatenating a shard's sequences
+    reproduces its docs' tokens in (doc_id) order."""
+    from collections import defaultdict
+
+    from nr_rfc_dischargeobs_spark.extensions import packing
+    from nr_rfc_dischargeobs_spark.extensions.sampling import hash_bucket
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(i % 7 + 1)))
+         for i in range(25)] + [(99, None)],
+        ["doc_id", "text"],
+    )
+    budget, shards = 5, 3
+    rows = sorted(
+        map(
+            tuple,
+            packing.pack_sequence_rows(
+                docs, budget=budget, shards=shards
+            ).collect(),
+        )
+    )
+    asg = packing.pack_assignments(docs, budget=budget, shards=shards)
+    assert (
+        sum(r[2] for r in rows)
+        == asg.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    per_shard = defaultdict(list)
+    for sh, seq, n, txt in rows:
+        per_shard[sh].append((seq, n, txt))
+    shard_of = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id",
+            (hash_bucket(F.col("doc_id"), "pack") % shards).alias("sh"),
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for sh, seqs in per_shard.items():
+        seqs.sort()
+        assert [s for s, _, _ in seqs] == list(range(len(seqs)))
+        assert all(n == budget for _, n, _ in seqs[:-1])
+        stream = [
+            t
+            for d in sorted(texts)
+            if shard_of[d] == sh and texts[d]
+            for t in texts[d].split(" ")
+        ]
+        assert " ".join(txt for _, _, txt in seqs) == " ".join(stream)
+
+
+def test_pack_sequence_rows_is_partitioning_invariant(spark):
+    """Same rows regardless of input partitioning — the shard window
+    orders by doc_id, never by arrival."""
+    from nr_rfc_dischargeobs_spark.extensions import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(3))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, packing.pack_sequence_rows(
+        docs, budget=7, shards=2).collect()))
+    b = sorted(map(tuple, packing.pack_sequence_rows(
+        docs.repartition(11), budget=7, shards=2).collect()))
+    assert a == b
