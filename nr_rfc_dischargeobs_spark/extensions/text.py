@@ -1311,3 +1311,79 @@ def token_entropy(
             "entropy"
         ),
     )
+
+
+def hash_classifier_train_nb(
+    labeled: DataFrame,
+    label: str = "label",
+    n_buckets: int = 1 << 16,
+    text: str = "text",
+    salt: str = "clf",
+    weight_scale: int = 10_000,
+    alpha_inv: int = 100,
+) -> DataFrame:
+    """Train the weight table :func:`hash_classifier_trained` consumes —
+    in-engine, closed-form: multinomial Naive Bayes log-odds per hashed
+    token bucket,
+
+        w_b = round(weight_scale · [log₂ P̂(b | positive)
+                                    − log₂ P̂(b | negative)])
+
+    with the same add-(1/``alpha_inv``) smoothing discipline as
+    :func:`~.sampling.dsir_log_ratio` (add-ONE collapses tiny corpora
+    toward uniform).  Closed-form NB is the standard bootstrap for
+    fastText-shaped quality gates: label a seed set (e.g. "target
+    domain" vs "random crawl"), train in one aggregation pass, swap the
+    table into the scan-bandwidth scorer — no gradient loop, no Python.
+    Weights are fixed-point integers (``weight_scale`` = 1e4 by
+    contract), so downstream ``weight_sum`` stays an exact BIGINT.
+
+    Scale shape: one explode + one bucket-keyed aggregation (≤
+    ``n_buckets`` output rows, map-side combined) + two 1-row totals —
+    the corpus never shuffles as text.  Buckets no labeled token ever
+    hit carry weight 0 implicitly (absent rows; the dense fold in
+    :func:`hash_classifier_trained` fills them).
+
+    Output: (bucket, weight) — rows with weight 0 are dropped (the
+    dense table is the consumer's job; sparse rows keep the artifact
+    small).
+    """
+    from .sampling import hash_bucket
+
+    _check_n_buckets(n_buckets)
+    if alpha_inv < 1:
+        raise ValueError(f"alpha_inv must be >= 1, got {alpha_inv}")
+    bucket = (hash_bucket(F.col("w"), salt) % n_buckets).cast("int")
+    exploded = labeled.select(
+        F.col(label).cast("boolean").alias("__pos"),
+        F.explode(
+            F.filter(
+                _tokens(F.coalesce(F.col(text), F.lit(""))),
+                lambda t: t != "",
+            )
+        ).alias("w"),
+    ).select("__pos", bucket.alias("bucket"))
+    per = exploded.groupBy("bucket").agg(
+        F.sum(F.col("__pos").cast("long")).alias("cpos"),
+        F.sum((~F.col("__pos")).cast("long")).alias("cneg"),
+    )
+    totals = per.agg(
+        F.sum("cpos").alias("__np"), F.sum("cneg").alias("__nn")
+    )
+    a = F.lit(alpha_inv)
+    lg = lambda c: F.log2(c.cast("double"))  # noqa: E731
+    w = F.round(
+        F.lit(float(weight_scale))
+        * (
+            lg(a * F.col("cpos") + 1)
+            - lg(a * F.coalesce(F.col("__np"), F.lit(0)) + n_buckets)
+            - lg(a * F.col("cneg") + 1)
+            + lg(a * F.coalesce(F.col("__nn"), F.lit(0)) + n_buckets)
+        ),
+        0,
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select("bucket", w.alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

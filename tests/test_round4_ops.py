@@ -1453,3 +1453,44 @@ def test_pack_sequence_rows_is_partitioning_invariant(spark):
     b = sorted(map(tuple, packing.pack_sequence_rows(
         docs.repartition(11), budget=7, shards=2).collect()))
     assert a == b
+
+
+def test_hash_classifier_train_nb_separates_planted_classes(spark):
+    """Closed-form NB training closes the classifier loop: label a seed
+    set, train the bucket weight table in one pass, swap it into
+    hash_classifier_trained — held-out docs from each class must score
+    on the right side of 0, and weight signs must follow class usage."""
+    from nr_rfc_dischargeobs_spark.extensions.text import (
+        hash_classifier_train_nb,
+        hash_classifier_trained,
+    )
+
+    pos_words = "excellent detailed thorough informative precise"
+    neg_words = "spam junk scam clickbait garbage"
+    labeled = spark.createDataFrame(
+        [(i, f"{pos_words} item{i}", True) for i in range(6)]
+        + [(i + 10, f"{neg_words} item{i}", False) for i in range(6)],
+        ["doc_id", "text", "label"],
+    )
+    weights = hash_classifier_train_nb(labeled, n_buckets=4096)
+    held_out = spark.createDataFrame(
+        [
+            (100, "a truly excellent informative and thorough report"),
+            (101, "pure clickbait junk spam garbage nonsense"),
+            (102, None),  # fails closed
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hash_classifier_trained(
+            held_out, weights, n_buckets=4096
+        ).collect()
+    }
+    assert out[100]["positive"] is True and out[100]["score"] > 0
+    assert out[101]["positive"] is False and out[101]["score"] < 0
+    assert out[102]["positive"] is False and out[102]["weight_sum"] == 0
+    # training is deterministic
+    again = sorted(map(tuple, hash_classifier_train_nb(
+        labeled, n_buckets=4096).collect()))
+    assert again == sorted(map(tuple, weights.collect()))
