@@ -652,3 +652,104 @@ def dsir_log_ratio_trained(
         .otherwise(F.lit(0.0))
         .alias("logw"),
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    stratum: str = "lang",
+    text: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023 — "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): split a total token budget across
+    strata (languages) as UNIFORMLY as possible subject to a per-stratum
+    repetition cap — no stratum contributes more than ``max_epochs``
+    passes over its own data.  This is the principled alternative to
+    temperature sampling: head languages stop hogging the mix, tail
+    languages are never repeated into memorization.
+
+    Closed form, not iteration: sort strata by capacity
+    (``n_tokens × max_epochs``) ascending; a stratum is CAPPED iff its
+    capacity fits inside an equal split of what remains after all
+    smaller strata take their caps (``c_r·(k−r+1) ≤ B − cum_c_{r−1}`` —
+    monotone in r, so the capped set is a prefix); everyone else gets
+    the common water level ``(B − Σ capped c) / n_uncapped``.  Once a
+    stratum goes uncapped the equal share is invariant
+    (``s_{i+1} = (B_i − s_i)/(k−i) = s_i``), which is why one window
+    pass suffices.
+
+    Scale shape: one stratum groupBy (map-side combined, |strata| rows)
+    and window math over those few rows — the plan is metadata-scale
+    after the first aggregate.  If ``budget_tokens ≥ Σ capacity`` every
+    stratum is capped and the leftover is reported via the allocation
+    sum (the caller's signal to raise ``max_epochs`` or shrink the
+    budget).  ``epochs = alloc/n_tokens ≤ max_epochs`` by construction;
+    feed ``rate = least(epochs, 1)``-style policies or a repetition
+    schedule downstream.
+
+    Output: (stratum, n_tokens, capacity, capped, alloc_tokens, epochs)
+    — counts exact BIGINTs, the water level the only division.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    from pyspark.sql import Window
+
+    n_tok = F.coalesce(
+        F.size(F.split(F.col(text), r"\s+")).cast("long"), F.lit(0)
+    )
+    per = (
+        docs.select(F.col(stratum).alias("stratum"), n_tok.alias("__t"))
+        .groupBy("stratum")
+        .agg(F.sum("__t").alias("n_tokens"))
+        .withColumn(
+            "capacity", (F.col("n_tokens") * max_epochs).cast("long")
+        )
+    )
+    w = Window.orderBy(F.col("capacity").asc(), F.col("stratum").asc())
+    ranked = per.select(
+        "stratum",
+        "n_tokens",
+        "capacity",
+        F.row_number().over(w).alias("__r"),
+        F.sum("capacity")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__cum_before"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__k"),
+    ).withColumn("__cum_before", F.coalesce(F.col("__cum_before"), F.lit(0)))
+    B = F.lit(budget_tokens).cast("long")
+    capped = (
+        F.col("capacity") * (F.col("__k") - F.col("__r") + 1)
+        <= (B - F.col("__cum_before"))
+    )
+    flagged = ranked.withColumn("capped", capped)
+    level = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0)).alias(
+            "__capped_c"
+        ),
+        F.sum((~F.col("capped")).cast("long")).alias("__n_uncapped"),
+    )
+    out = flagged.crossJoin(F.broadcast(level))
+    water = (
+        (B - F.col("__capped_c")).cast("double") / F.col("__n_uncapped")
+    )
+    alloc = F.when(F.col("capped"), F.col("capacity").cast("double")).otherwise(
+        water
+    )
+    return out.select(
+        "stratum",
+        "n_tokens",
+        "capacity",
+        "capped",
+        alloc.alias("alloc_tokens"),
+        F.when(
+            F.col("n_tokens") > 0, alloc / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)).alias("epochs"),
+    )

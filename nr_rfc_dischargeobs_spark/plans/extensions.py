@@ -1263,6 +1263,56 @@ FROM err GROUP BY vec_id
 _LM_B = 4096
 
 
+def sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation across languages: 40k-token budget,
+    2-epoch repetition cap — at sf0.01 four languages hit their caps and
+    English takes the remaining water level (both branches exercised)."""
+    return sampling.unimax_allocation(
+        load(spark, sf_dir, "documents"),
+        budget_tokens=40_000,
+        max_epochs=2,
+    )
+
+
+_UMX_B, _UMX_E = 40_000, 2
+SAMPLE_UNIMAX_SQL = rf"""
+WITH per AS (
+  SELECT lang AS stratum,
+         CAST(SUM(COALESCE(len(regexp_split_to_array(text, '\s+')), 0))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), ranked AS (
+  SELECT stratum, n_tokens,
+         CAST(n_tokens * {_UMX_E} AS BIGINT) AS capacity,
+         ROW_NUMBER() OVER w AS r,
+         COALESCE(SUM(n_tokens * {_UMX_E}) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         COUNT(*) OVER () AS k
+  FROM per
+  WINDOW w AS (ORDER BY n_tokens * {_UMX_E} ASC, stratum ASC)
+), flagged AS (
+  SELECT *,
+         capacity * (k - r + 1) <= ({_UMX_B} - cum_before) AS capped
+  FROM ranked
+), level AS (
+  SELECT SUM(CASE WHEN capped THEN capacity ELSE 0 END) AS capped_c,
+         SUM(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS n_uncapped
+  FROM flagged
+)
+SELECT stratum, n_tokens, capacity, capped,
+       CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+            ELSE CAST({_UMX_B} - capped_c AS DOUBLE) / n_uncapped
+       END AS alloc_tokens,
+       CASE WHEN n_tokens > 0 THEN
+         (CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+               ELSE CAST({_UMX_B} - capped_c AS DOUBLE) / n_uncapped
+          END) / n_tokens
+       ELSE 0.0 END AS epochs
+FROM flagged, level
+"""
+
+
 def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored
     by the hashed-bigram log-likelihood ratio of a target-domain model

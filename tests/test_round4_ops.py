@@ -1494,3 +1494,60 @@ def test_hash_classifier_train_nb_separates_planted_classes(spark):
     again = sorted(map(tuple, hash_classifier_train_nb(
         labeled, n_buckets=4096).collect()))
     assert again == sorted(map(tuple, weights.collect()))
+
+
+# ------------------------------------------------------------ UniMax (r6)
+
+
+def test_unimax_water_filling_hand_computed(spark):
+    """Chung et al. 2023 semantics on a hand-checkable fixture: strata
+    A/B/C with 10/100/1000 tokens, cap 2 epochs, budget 300 → A capped
+    at 20, B and C share the 140-token water level; allocations sum to
+    the budget; no stratum exceeds max_epochs."""
+    from nr_rfc_dischargeobs_spark.extensions.sampling import (
+        unimax_allocation,
+    )
+
+    rows = (
+        [(i, " ".join(["a"] * 10), "A") for i in range(1)]
+        + [(10 + i, " ".join(["b"] * 50), "B") for i in range(2)]
+        + [(20 + i, " ".join(["c"] * 200), "C") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["stratum"]: r
+        for r in unimax_allocation(
+            docs, budget_tokens=300, max_epochs=2
+        ).collect()
+    }
+    assert out["A"]["capped"] and out["A"]["alloc_tokens"] == 20.0
+    assert not out["B"]["capped"] and out["B"]["alloc_tokens"] == 140.0
+    assert not out["C"]["capped"] and out["C"]["alloc_tokens"] == 140.0
+    assert sum(r["alloc_tokens"] for r in out.values()) == 300.0
+    for r in out.values():
+        assert r["epochs"] <= 2.0 + 1e-12
+    assert abs(out["A"]["epochs"] - 2.0) < 1e-12
+
+
+def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
+    """Budget beyond total capacity: every stratum caps at
+    n_tokens × max_epochs and the leftover stays unallocated — the
+    caller's signal, never a silent epoch-cap violation."""
+    from nr_rfc_dischargeobs_spark.extensions.sampling import (
+        unimax_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["x"] * 10), "A"), (1, " ".join(["y"] * 20), "B")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["stratum"]: r
+        for r in unimax_allocation(
+            docs, budget_tokens=10_000, max_epochs=3
+        ).collect()
+    }
+    assert all(r["capped"] for r in out.values())
+    assert out["A"]["alloc_tokens"] == 30.0
+    assert out["B"]["alloc_tokens"] == 60.0
+    assert all(abs(r["epochs"] - 3.0) < 1e-12 for r in out.values())
