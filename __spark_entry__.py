@@ -71,9 +71,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate
     # checks the FIRST 50 entries.  Round-6 window: lead with the plans
     # whose CODE changed this round (span_dedup's interval-merge rebuild
-    # must re-prove its unchanged hash) and the five NEW queries (the
+    # must re-prove its unchanged hash) and the six NEW queries (the
     # maximal-span variant, DSIR weights + Gumbel-top-k select, the
-    # packed-sequence materialization, the UniMax allocation), then
+    # packed-sequence materialization, the UniMax allocation, the ANN
+    # recall audit), then
     # rotate in the queries whose latest driver check is OLDEST —
     # fn_formula_estimate + three ts representatives (r3), the 22 TPC-H
     # shapes and the ts/dedup/similarity families (r4) — preserving the
@@ -90,6 +91,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_dsir_select": extensions.sample_dsir_select,  # new r6
         "ext_pack_sequence_rows": extensions.pack_sequence_rows_plan,  # new r6
         "ext_sample_unimax": extensions.sample_unimax,  # new r6
+        "ext_sim_ann_recall": extensions.sim_ann_recall,  # new r6
         # --- oldest driver check (r3) ---
         "fn_formula_estimate": events.formula_estimate,
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
@@ -138,8 +140,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sim_cosine_topk": extensions.sim_cosine_topk,
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
         "ext_sim_ivf_topk": extensions.sim_ivf_topk,
-        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
         # ---- driver 50-row window ends here ----
+        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
         "ext_sim_quantize_int8": extensions.sim_quantize_int8,
         # last checked r4, re-verified locally each round
         "ext_text_quality_scores": extensions.text_quality_scores,
@@ -313,6 +315,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sample_dsir_select": extensions.SAMPLE_DSIR_SELECT_SQL,
         "ext_pack_sequence_rows": extensions.PACK_SEQUENCE_ROWS_SQL,
         "ext_sample_unimax": extensions.SAMPLE_UNIMAX_SQL,
+        "ext_sim_ann_recall": extensions._sim_ann_recall_sql(),
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

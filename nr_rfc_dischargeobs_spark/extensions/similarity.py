@@ -1196,3 +1196,39 @@ def semantic_contamination(
             "nearest_id",
         )
     )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k audit — the number every ANN deployment must watch:
+    per query, what fraction of the EXACT top-k did the approximate
+    index return?  ``approx`` and ``exact`` are any two top-k outputs
+    over the same query/corpus split (``ivf_topk`` / ``lsh_bucketed``
+    / ``ivf_pq_topk`` vs :func:`brute_force_topk` at the same k).
+    Rank is deliberately ignored (set recall, the standard metric);
+    queries the approximate side missed entirely still emit a row
+    (recall 0), queries with no exact neighbors emit nothing — there
+    is no ground truth to recall.
+
+    Scale shape: one semi join on (query_id, neighbor_id) + two
+    query-keyed aggregates — both sides are already top-k-bounded
+    (|Q|·k rows), so this is audit-scale regardless of corpus size.
+
+    Output: (query_id, n_exact, n_hits, recall).
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )

@@ -374,6 +374,75 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
 
 
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 audit of the registered IVF search against the exact
+    baseline over the SAME query/corpus split — the per-query number an
+    ANN deployment watches (set recall, rank-insensitive)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.prepare(emb.filter(F.col("vec_id") < 8))
+    queries = similarity.prepare(
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
+    )
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 28))
+    approx = similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
+    exact = similarity.brute_force_topk(queries, corpus, k=3)
+    return similarity.ann_recall(approx, exact)
+
+
+def _sim_ann_recall_sql() -> str:
+    """Recall oracle: the registered IVF SQL as the approx side, a
+    same-split exact top-3 as ground truth (DuckDB allows CTEs inside
+    derived tables, so the existing constant composes verbatim)."""
+    exact = f"""
+WITH uq AS (
+{_UNNEST_Q.format(pred="vec_id >= 8 AND vec_id < 28")}
+), uc AS (
+{_UNNEST_Q.format(pred="vec_id >= 28")}
+), nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uc GROUP BY 1),
+d AS (
+  SELECT uq.vec_id AS query_id, uc.vec_id AS neighbor_id,
+         SUM(uq.e * uc.e) AS dot
+  FROM uq JOIN uc ON uq.i = uc.i GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+         / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE)))
+           AS cosine
+  FROM d
+  JOIN nq ON query_id = nq.vec_id AND nq.n > 0
+  JOIN nc ON neighbor_id = nc.vec_id AND nc.n > 0
+)
+SELECT query_id, neighbor_id FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 3
+"""
+    return f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id FROM (
+{SIM_IVF_TOPK_SQL}
+  )
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+{exact}
+  )
+), base AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY 1
+), h AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e
+  JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT base.query_id, base.n_exact,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / base.n_exact AS recall
+FROM base LEFT JOIN h ON base.query_id = h.query_id
+"""
+
+
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantizer training: one Lloyd's iteration (k=8, first-k
     seeds) then assignment — per-cluster member counts.  The trained

@@ -1551,3 +1551,59 @@ def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
     assert out["A"]["alloc_tokens"] == 30.0
     assert out["B"]["alloc_tokens"] == 60.0
     assert all(abs(r["epochs"] - 3.0) < 1e-12 for r in out.values())
+
+
+def test_ann_recall_audit_semantics(spark):
+    """Recall@k contract: identical top-k → recall 1; an approx side
+    missing a query entirely still reports that query at recall 0;
+    rank differences don't matter (set recall); partial overlap counts
+    hits exactly."""
+    from nr_rfc_dischargeobs_spark.extensions.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    approx = spark.createDataFrame(
+        [
+            (1, 11, 1), (1, 10, 2),   # same set, swapped ranks
+            (2, 20, 1), (2, 99, 2),   # one hit, one miss
+            # query 3 entirely missed
+            (4, 40, 1),               # spurious query: no ground truth
+        ],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    out = {r["query_id"]: r for r in ann_recall(approx, exact).collect()}
+    assert set(out) == {1, 2, 3}  # spurious query 4 emits nothing
+    assert out[1]["recall"] == 1.0 and out[1]["n_hits"] == 2
+    assert out[2]["recall"] == 0.5
+    assert out[3]["recall"] == 0.0 and out[3]["n_hits"] == 0
+
+
+def test_ann_recall_full_probe_ivf_is_perfect(spark):
+    """nprobe = list count makes IVF exhaustive, so recall must be
+    exactly 1.0 for every query — the audit operator agreeing with the
+    recall-oracle identity the search tests pin."""
+    import random
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+        prepare,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    prep = prepare(_emb(spark, rows))
+    cents = prep.filter(F.col("vec_id") < 3)
+    queries = prep.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 8))
+    corpus = prep.filter(F.col("vec_id") >= 8)
+    rec = ann_recall(
+        ivf_topk(queries, corpus, cents, k=3, nprobe=3),
+        brute_force_topk(queries, corpus, k=3),
+    )
+    assert rec.filter(F.col("recall") < 1.0).count() == 0
+    assert rec.count() == 5
