@@ -92,6 +92,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pack_sequence_rows": extensions.pack_sequence_rows_plan,  # new r6
         "ext_sample_unimax": extensions.sample_unimax,  # new r6
         "ext_sim_ann_recall": extensions.sim_ann_recall,  # new r6
+        "ext_decontam_bloom": extensions.decontam_bloom,  # new r6
         # --- oldest driver check (r3) ---
         "fn_formula_estimate": events.formula_estimate,
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
@@ -139,8 +140,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- last checked r4: similarity family ---
         "ext_sim_cosine_topk": extensions.sim_cosine_topk,
         "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
-        "ext_sim_ivf_topk": extensions.sim_ivf_topk,
         # ---- driver 50-row window ends here ----
+        "ext_sim_ivf_topk": extensions.sim_ivf_topk,
         "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
         "ext_sim_quantize_int8": extensions.sim_quantize_int8,
         # last checked r4, re-verified locally each round
@@ -316,6 +317,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_pack_sequence_rows": extensions.PACK_SEQUENCE_ROWS_SQL,
         "ext_sample_unimax": extensions.SAMPLE_UNIMAX_SQL,
         "ext_sim_ann_recall": extensions._sim_ann_recall_sql(),
+        "ext_decontam_bloom": extensions._decontam_bloom_sql(),
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

@@ -19,7 +19,7 @@ Scale shape (100 TB corpus × small benchmark):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingle_rows, tokens
@@ -161,4 +161,177 @@ def contamination_spans(
         .cast("long")
         .alias("pos_last"),
         "gram",
+    )
+
+
+def _bloom_positions(md5_hex: Column, m_bits: int, k: int) -> Column:
+    """The k Bloom bit positions of one md5 hex digest — position j is
+    the base-16 value of hex chars [4j, 4j+4) mod ``m_bits``.  Eight
+    independent 16-bit words live in one digest, so k ≤ 8 costs ONE md5
+    (the same one-digest hash-family economics as minhash's band mins,
+    `dedup.py:minhash_signatures`)."""
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(md5_hex, 4 * j + 1, 4), 16, 10)
+                .cast("long")
+                % m_bits
+            ).cast("int")
+            for j in range(k)
+        ]
+    )
+
+
+def _check_bloom_dials(m_bits: int, k: int) -> None:
+    if not (64 <= m_bits <= (1 << 16) and m_bits % 64 == 0):
+        raise ValueError("m_bits must be in [64, 65536] and 64-divisible")
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8] (one md5 = eight 16-bit words)")
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> list[int]:
+    """Build the benchmark-side Bloom filter: ``m_bits`` bits packed into
+    ``m_bits/64`` int64 words, ready to inline into :func:`bloom_screen`.
+
+    This is the bounded-state form of the decontamination broadcast: the
+    exact screen (:func:`ngram_contamination`) ships the benchmark's
+    distinct gram set to every executor, which grows with the eval suite;
+    the filter is a FIXED ``m_bits/8`` bytes (8 KiB at the 2^16 default)
+    no matter how many benchmarks fold in — the shape Dolma-scale
+    pipelines use for their "is this n-gram anywhere in eval?" gate.
+    The price is a false-positive rate of ~(1-e^(-kn/m))^k, audited
+    against the exact join in tests; false NEGATIVES are impossible, so
+    the gate never under-flags (the direction that matters for release).
+
+    The aggregation is benchmark-sized, not corpus-sized: distinct gram
+    positions → ``bit_or`` per word — at most ``m_bits/64`` rows collect
+    (a MODEL PARAMETER like the trained classifier's weight table,
+    `text.py:hash_classifier_trained`, not data).
+    """
+    _check_bloom_dials(m_bits, k)
+    words = (
+        shingle_rows(benchmark, text=text, doc_id=doc_id, n=n)
+        .select(
+            F.explode(
+                _bloom_positions(F.md5(F.col("shingle")), m_bits, k)
+            ).alias("pos")
+        )
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, pos % 64))").alias("bits")
+        )
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r["word"]] = r["bits"]
+    return dense
+
+
+def bloom_screen(
+    corpus: DataFrame,
+    bloom_words: list[int],
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Scan-local Bloom decontamination gate: per corpus doc, how many of
+    its distinct word n-grams the filter flags as benchmark members.
+
+    Scale shape — this is the whole point of the Bloom form: ZERO joins
+    and zero corpus shuffle of any kind.  The filter is a literal int64
+    array composed as SQL text (one server-side parse, the measured
+    economics of `text.py:hash_classifier_trained`), the distinct-gram
+    array, its md5 digests, and the k-position arrays are each staged in
+    their own projection (HOF lambdas get no CSE — staging is the dial,
+    see the span_dedup rebuild), and the membership test is pure row-local
+    expression arithmetic: word = arr[pos/64], bit = (word >> pos%64) & 1
+    (arithmetic shift keeps bit 63 correct under two's complement).  The
+    output aggregate is per-doc columns computed IN the scan projection —
+    a 100 TB corpus streams through map tasks and nothing else.
+
+    Output: (doc_id, n_grams, n_flagged, flagged_frac, flagged) for EVERY
+    corpus doc — a gate emits a decision per doc; ``n_flagged`` is an
+    upper bound on the exact screen's ``n_contaminated`` (no false
+    negatives, property-tested).
+    """
+    _check_bloom_dials(m_bits, k)
+    if len(bloom_words) != m_bits // 64:
+        raise ValueError(
+            f"bloom_words must hold {m_bits // 64} words, got {len(bloom_words)}"
+        )
+    warr = F.expr("array(" + ",".join(f"{w}L" for w in bloom_words) + ")")
+    toks = corpus.select(
+        F.col(doc_id), tokens(F.col(text)).alias("__toks")
+    )
+    if n == 1:
+        grams = F.array_distinct(F.col("__toks"))
+    else:
+        idx = ", ".join(f"get(__toks, i + {j})" for j in range(n))
+        grams = F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, greatest(size(__toks) - {n}, 0)),"
+                f" i -> concat_ws(' ', {idx}))"
+            )
+        )
+    staged = toks.select(
+        F.col(doc_id),
+        F.transform(
+            grams, lambda g: _bloom_positions(F.md5(g), m_bits, k)
+        ).alias("__poss"),
+    )
+    # F.shiftright only takes a Python-int shift; call_function passes the
+    # column-valued bit offset through to the same JVM expression
+    bit_set = lambda p: (  # noqa: E731
+        F.call_function(
+            "shiftright",
+            F.element_at(warr, (p / 64).cast("int") + 1),
+            (p % 64).cast("int"),
+        ).bitwiseAND(F.lit(1).cast("long"))
+        == 1
+    )
+    flagged = F.size(
+        F.filter(F.col("__poss"), lambda ps: F.forall(ps, bit_set))
+    )
+    return staged.select(
+        F.col(doc_id),
+        F.size("__poss").cast("long").alias("n_grams"),
+        flagged.cast("long").alias("n_flagged"),
+        (flagged.cast("double") / F.size("__poss")).alias("flagged_frac"),
+        (flagged > 0).alias("flagged"),
+    )
+
+
+def bloom_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """:func:`bloom_build` + :func:`bloom_screen` in one call — the
+    fixed-memory sibling of :func:`ngram_contamination` for the common
+    case where build and screen run in one job."""
+    return bloom_screen(
+        corpus,
+        bloom_build(
+            benchmark, n=n, m_bits=m_bits, k=k, text=text, doc_id=doc_id
+        ),
+        n=n,
+        m_bits=m_bits,
+        k=k,
+        text=text,
+        doc_id=doc_id,
     )

@@ -1078,6 +1078,79 @@ FROM pos p JOIN bench b USING (gram)
 """
 
 
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate: the fixed-memory (8 KiB filter)
+    sibling of ``ext_contamination_ngram`` — same corpus/benchmark split
+    and n=4, but the benchmark rides as a 2^16-bit literal filter and the
+    corpus-side screen is a zero-join, zero-shuffle scan (plus the per-doc
+    row emit).  n_flagged ≥ the exact screen's n_contaminated by
+    construction (no false negatives)."""
+    docs = load(spark, sf_dir, "documents")
+    return contamination.bloom_decontamination(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=4,
+        m_bits=1 << 16,
+        k=3,
+    )
+
+
+def _hex4_sql(h: str, j: int) -> str:
+    """DuckDB-dialect base-16 value of md5-hex chars [4j, 4j+4) — the
+    nibble-arithmetic twin of ``contamination._bloom_positions`` (same
+    value; only runs on test-sized inputs)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('{sampling.HEX}', substr({h}, {4 * j + i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _decontam_bloom_sql() -> str:
+    """Oracle via the position-set formulation: a gram is Bloom-flagged
+    iff ALL k of its bit positions appear in the benchmark's position set
+    — exactly the membership semantics of the packed filter, without
+    replicating the bit-packing (m = 2^16 makes each 4-hex word its own
+    position, so the mod is the identity)."""
+    pos = [_hex4_sql("h", j) for j in range(3)]
+    cpos = "\n  UNION ALL ".join(
+        f"SELECT doc_id, h, {p} AS p FROM g WHERE doc_id >= 25" for p in pos
+    )
+    bpos = "\n  UNION ".join(
+        f"SELECT DISTINCT {p} AS p FROM g WHERE doc_id < 25" for p in pos
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), i AS (
+  SELECT doc_id, toks, unnest(range(greatest(len(toks) - 4, 0) + 1)) AS i
+  FROM t
+), g AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i + 1:i + 4], ' ')) AS h
+  FROM i
+), bpos AS (
+  {bpos}
+), cpos AS (
+  {cpos}
+), flag AS (
+  SELECT c.doc_id, c.h, bool_and(b.p IS NOT NULL) AS hit
+  FROM cpos c LEFT JOIN bpos b ON c.p = b.p
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged,
+       CAST(COUNT(*) FILTER (WHERE hit) AS DOUBLE) / COUNT(*)
+         AS flagged_frac,
+       COUNT(*) FILTER (WHERE hit) > 0 AS flagged
+FROM flag GROUP BY 1
+"""
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: every document's (shard, offset,
     block span) under a 256-token budget over 8 packing shards."""

@@ -9,6 +9,7 @@ one we meant.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1607,3 +1608,79 @@ def test_ann_recall_full_probe_ivf_is_perfect(spark):
     )
     assert rec.filter(F.col("recall") < 1.0).count() == 0
     assert rec.count() == 5
+
+
+def test_bloom_decontamination_superset_of_exact(spark):
+    """No false negatives: the Bloom screen's n_flagged is >= the exact
+    join's n_contaminated for every doc, and the planted-contamination
+    doc is flagged."""
+    from nr_rfc_dischargeobs_spark.extensions.contamination import (
+        bloom_decontamination,
+        ngram_contamination,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame(
+        [(0, passage), (1, "completely different benchmark question here")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, f"intro words then {passage} and a closing remark"),
+            (11, "unrelated clean document about rivers and discharge"),
+            (12, "another clean one with its own private vocabulary"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ngram_contamination(corpus, bench, n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontamination(
+            corpus, bench, n=4, m_bits=1 << 16, k=3
+        ).collect()
+    }
+    assert set(bloom) == {10, 11, 12}  # a gate emits a row per doc
+    assert bloom[10]["flagged"] and bloom[10]["n_flagged"] >= exact[10]
+    for d, n_cont in exact.items():
+        assert bloom[d]["n_flagged"] >= n_cont
+    # at m=2^16 with a handful of grams, no false positives either
+    assert not bloom[11]["flagged"] and not bloom[12]["flagged"]
+
+
+def test_bloom_saturated_filter_flags_everything(spark):
+    """The degenerate dial: a tiny filter saturates and the fp rate goes
+    to 1 — every gram flags.  Pinning the failure mode documents why
+    m_bits must be sized to the benchmark (kn/m <= ~0.7/k)."""
+    from nr_rfc_dischargeobs_spark.extensions.contamination import (
+        bloom_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(i, f"bench doc number {i} with words {i * 7} {i * 13}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(100, "totally disjoint corpus text nothing shared at all")],
+        ["doc_id", "text"],
+    )
+    out = bloom_decontamination(corpus, bench, n=2, m_bits=64, k=3).collect()
+    assert out[0]["flagged_frac"] == 1.0
+
+
+def test_bloom_dial_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions.contamination import (
+        bloom_build,
+        bloom_screen,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, m_bits=100)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_build(df, k=9)
+    with pytest.raises(ValueError, match="words"):
+        bloom_screen(df, [0] * 3, m_bits=1 << 12)
