@@ -93,6 +93,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_unimax": extensions.sample_unimax,  # new r6
         "ext_sim_ann_recall": extensions.sim_ann_recall,  # new r6
         "ext_decontam_bloom": extensions.decontam_bloom,  # new r6
+        "ext_sketch_hll_vocab": extensions.sketch_hll_vocab,  # new r6
         # --- oldest driver check (r3) ---
         "fn_formula_estimate": events.formula_estimate,
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
@@ -139,8 +140,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_containment": extensions.dedup_containment,
         # --- last checked r4: similarity family ---
         "ext_sim_cosine_topk": extensions.sim_cosine_topk,
-        "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
         # ---- driver 50-row window ends here ----
+        "ext_sim_lsh_bucketed_topk": extensions.sim_lsh_bucketed_topk,
         "ext_sim_ivf_topk": extensions.sim_ivf_topk,
         "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
         "ext_sim_quantize_int8": extensions.sim_quantize_int8,
@@ -318,6 +319,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sample_unimax": extensions.SAMPLE_UNIMAX_SQL,
         "ext_sim_ann_recall": extensions._sim_ann_recall_sql(),
         "ext_decontam_bloom": extensions._decontam_bloom_sql(),
+        "ext_sketch_hll_vocab": extensions.SKETCH_HLL_VOCAB_SQL,
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

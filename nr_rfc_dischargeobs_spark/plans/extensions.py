@@ -19,6 +19,7 @@ from ..extensions import (
     packing,
     sampling,
     similarity,
+    sketches,
     text as textops,
 )
 from . import load
@@ -1149,6 +1150,40 @@ SELECT doc_id,
        COUNT(*) FILTER (WHERE hit) > 0 AS flagged
 FROM flag GROUP BY 1
 """
+
+
+def sketch_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary size via the deterministic-HLL sketch
+    (p=8, 256 registers), with the exact COUNT(DISTINCT) audit columns
+    on — the corpus-health query ("how big is each language's token
+    space?") whose exact form is the worst shuffle in the building and
+    whose sketch form moves ≤ 256 rows per language."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    return sketches.hll_cardinality(
+        toks, key="token", facets=("lang",), p=8, exact_audit=True
+    )
+
+
+SKETCH_HLL_VOCAB_SQL = sketches.hll_cardinality_sql(
+    source_sql=(
+        "SELECT lang, tok FROM (\n"
+        "    SELECT lang, unnest(string_split(lower(text), ' ')) AS tok\n"
+        "    FROM documents\n"
+        "  ) WHERE tok <> ''"
+    ),
+    key_sql="tok",
+    facet_sql="lang",
+    facet_name="lang",
+    p=8,
+)
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
