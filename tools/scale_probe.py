@@ -100,6 +100,7 @@ def main() -> int:
         packing,
         sampling,
         similarity,
+        sketches,
         text,
     )
     from nr_rfc_dischargeobs_spark.operators import conform, rollup
@@ -153,6 +154,22 @@ def main() -> int:
           contamination.ngram_contamination(docs, bench_docs, n=8))
     timed(t, "contamination_spans_1k_bench",
           contamination.contamination_spans(docs, bench_docs, n=8))
+    # Bloom gate at the same corpus/bench split as the exact screen:
+    # the filter is built once (bench-sized job) and the 1M-doc screen
+    # is the zero-join scan — compare against ngram_contamination above
+    timed(t, "bloom_decontam_1m_1k_bench",
+          contamination.bloom_decontamination(docs, bench_docs, n=8))
+    # HLL vocabulary per 5 synthetic facets: 60M token rows fold into
+    # 5 × 256 registers (production shape: exact_audit off)
+    timed(t, "hll_vocab_1m_docs_5facets",
+          sketches.hll_cardinality(
+              docs.select(
+                  (F.col("doc_id") % 5).alias("facet"),
+                  F.explode(F.split(F.lower(F.col("text")), " "))
+                  .alias("token"),
+              ),
+              key="token", facets=("facet",), p=8,
+          ))
     timed(t, "chunk_windows_64x32",
           text.chunk_windows(docs, chunk_tokens=64, stride=32))
     timed(t, "top_terms_k3", text.top_terms(docs, k=3))
