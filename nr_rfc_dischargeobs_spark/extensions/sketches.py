@@ -1,4 +1,5 @@
-"""Bounded-state cardinality sketches: deterministic HyperLogLog.
+"""Bounded-state sketches and summaries: deterministic HyperLogLog,
+Count-Min frequency estimation, fixed-grid histogram quantiles.
 
 "How many distinct tokens / URLs / fingerprints per language?" is a
 routine corpus-health question, and the exact answer (``COUNT(DISTINCT
@@ -246,4 +247,312 @@ SELECT f.facet AS {facet_name},
              ELSE {alpha_num!r} / CAST(f.isum AS DOUBLE)
         END - ex.exact_distinct) / ex.exact_distinct AS rel_error
 FROM folded f JOIN ex USING (facet)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: bounded-state frequency estimation (Cormode &
+# Muthukrishnan 2005).  "How often does THIS key occur corpus-wide?"
+# answered from d×w counters instead of a full COUNT GROUP BY key —
+# the exact form shuffles every distinct key; the sketch moves at most
+# d×w rows per facet group after map-side combine, however many
+# billions of occurrences streamed by.  Estimates are upper bounds
+# (est ≥ true count, never under), within εN with probability 1−δ at
+# w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.  One genuine md5 per occurrence supplies up
+# to four independent 32-bit lanes (the measured hash_classifier
+# discipline — d md5 calls would d× the dominant cost).
+# ---------------------------------------------------------------------------
+
+
+def _check_cms(d: int, w: int) -> None:
+    if not 1 <= d <= 4:
+        raise ValueError("d must be 1..4 (one md5 supplies four 32-bit lanes)")
+    if w < 2:
+        raise ValueError("w must be >= 2")
+
+
+def cms_table(
+    df: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 1024,
+    facets: tuple[str, ...] = (),
+    salt: str = "cms",
+) -> DataFrame:
+    """The persistable sketch: (facets..., depth, bucket, cnt) — at most
+    d×w rows per facet group, mergeable with any other run's table by
+    ``sum`` (the CMS union).  Lane j's bucket is hex chars [8j, 8j+8) of
+    ``md5(salt|key)`` mod w — the md5 is staged as a named column so all
+    d lanes read ONE evaluation (CollapseProject keeps a non-cheap
+    multi-referenced expression staged)."""
+    _check_cms(d, w)
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
+    staged = df.select(*facets, h.alias("__h"))
+    lanes = staged.select(
+        *facets,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        (
+                            F.conv(
+                                F.substring("__h", 1 + 8 * j, 8), 16, 10
+                            ).cast("long")
+                            % w
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("l"),
+    )
+    return lanes.groupBy(
+        *facets, F.col("l.depth").alias("depth"), F.col("l.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    cms: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Estimated occurrence count of every candidate key: min over the d
+    lanes of its bucket counters (absent bucket → 0, so a never-seen key
+    estimates 0 — no false negatives on presence).  Scale shape: the
+    sketch is ≤ d×w rows and BROADCASTS; candidates never shuffle.
+    Output: (key, cms_estimate)."""
+    _check_cms(d, w)
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
+    staged = candidates.select(key, h.alias("__h"))
+    cand_lanes = staged.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        (
+                            F.conv(
+                                F.substring("__h", 1 + 8 * j, 8), 16, 10
+                            ).cast("long")
+                            % w
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("l"),
+    ).select(key, "l.depth", "l.bucket")
+    joined = cand_lanes.join(F.broadcast(cms), ["depth", "bucket"], "left")
+    return joined.groupBy(key).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )
+
+
+def cms_estimate_sql(
+    source_sql: str,
+    key_sql: str,
+    candidate_sql: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+    exact_audit: bool = True,
+) -> str:
+    """DuckDB twin of :func:`cms_table` + :func:`cms_estimate` —
+    identical md5 lanes, identical min-of-counters arithmetic;
+    ``exact_audit`` adds the true per-candidate count and the
+    (always ≥ 0) overestimate."""
+    _check_cms(d, w)
+    lane_rows = ", ".join(
+        f"({j}, {_hexval_sql('h', 1 + 8 * j, 8)} % {w})" for j in range(d)
+    )
+    audit_cols = (
+        ",\n       ex.exact_count,\n"
+        "       est.cms_estimate - ex.exact_count AS overestimate"
+        if exact_audit
+        else ""
+    )
+    audit_join = (
+        "\nJOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_count"
+        " FROM keyed GROUP BY 1) ex USING (k)"
+        if exact_audit
+        else ""
+    )
+    return f"""
+WITH src AS (
+  {source_sql}
+), keyed AS (
+  SELECT {key_sql} AS k, md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)) AS h
+  FROM src
+), lanes AS (
+  SELECT k, l.* FROM keyed,
+    LATERAL (VALUES {lane_rows}) AS l(depth, bucket)
+), cms AS (
+  SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lanes GROUP BY 1, 2
+), cand AS (
+  SELECT k, md5('{salt}' || '|' || CAST(k AS VARCHAR)) AS h
+  FROM (SELECT DISTINCT {candidate_sql} AS k FROM src) c
+), cand_lanes AS (
+  SELECT k, l.* FROM cand,
+    LATERAL (VALUES {lane_rows}) AS l(depth, bucket)
+), est AS (
+  SELECT cl.k, MIN(COALESCE(cms.cnt, 0)) AS cms_estimate
+  FROM cand_lanes cl LEFT JOIN cms USING (depth, bucket)
+  GROUP BY 1
+)
+SELECT est.k AS token, est.cms_estimate{audit_cols}
+FROM est{audit_join}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles: "what are the p25/p50/p95 of doc
+# length / quality score per language?" without a global sort.  The
+# exact distributed quantile is a full sort (or Greenwald-Khanna state
+# that no second engine reproduces); a fixed [lo, hi) grid of B bins is
+# the boring-but-bulletproof alternative — one groupBy on (facet, bin)
+# whose map-side combine bounds every partition at B rows per facet,
+# then metadata-scale window arithmetic picks the bin where the
+# cumulative count crosses ⌈q·n/100⌉.  The answer is exact to bin
+# resolution ((hi−lo)/B), deterministic in ANY engine (pure integer
+# arithmetic end-to-end — inputs are clamped non-negative before the
+# truncating div so Spark's `div` and DuckDB's `//` agree), and the
+# per-facet histograms are mergeable by summing bin counts across
+# runs/shards.
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: int,
+    hi: int,
+    bins: int,
+    quantiles: tuple[int, ...] = (25, 50, 75, 95),
+    facets: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-facet quantiles of integer column ``col`` at bin resolution.
+
+    ``quantiles`` are integer percents in [1, 100]; values below ``lo``
+    clamp into bin 0, at/above ``hi`` into the last bin (open-grid
+    tails, so out-of-range data degrades resolution, never correctness).
+    The reported bin satisfies: it is the SMALLEST bin whose cumulative
+    count ≥ ⌈q·n/100⌉ — i.e. the true q-th percentile lies inside
+    [bin_lo, bin_hi).
+
+    Output: (facets..., q_pct, bin, bin_lo, bin_hi, cum_count, n_rows).
+    """
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not quantiles or not all(
+        isinstance(q, int) and 1 <= q <= 100 for q in quantiles
+    ):
+        raise ValueError("quantiles must be integer percents in 1..100")
+    span = hi - lo
+    # truncating integer div on a guaranteed-non-negative numerator:
+    # floor semantics in both engines
+    bin_c = F.expr(
+        f"(least(greatest(cast({col} as long), {lo}), {hi - 1}) - {lo})"
+        f" * {bins} div {span}"
+    )
+    counts = (
+        df.select(*facets, bin_c.alias("bin"))
+        .groupBy(*facets, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy(*[F.col(f) for f in facets]).orderBy("bin")
+    wall = Window.partitionBy(*[F.col(f) for f in facets])
+    cum = counts.select(
+        *facets,
+        "bin",
+        F.sum("cnt").over(wspec).alias("cum_count"),
+        F.sum("cnt").over(wall).alias("n_rows"),
+    )
+    qs = cum.select(
+        *facets,
+        "bin",
+        "cum_count",
+        "n_rows",
+        F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q_pct"),
+    ).filter(
+        # cum ≥ ceil(q·n/100) — positive-integer ceil via (a + b − 1) div b
+        F.col("cum_count")
+        >= F.expr("(q_pct * n_rows + 99) div 100")
+    )
+    picked = qs.groupBy(*facets, "q_pct").agg(
+        F.min(F.struct("bin", "cum_count", "n_rows")).alias("__p")
+    )
+    width = span / bins
+    return picked.select(
+        *facets,
+        "q_pct",
+        F.col("__p.bin").alias("bin"),
+        (F.lit(float(lo)) + F.col("__p.bin") * F.lit(width)).alias("bin_lo"),
+        (
+            F.lit(float(lo)) + (F.col("__p.bin") + 1) * F.lit(width)
+        ).alias("bin_hi"),
+        F.col("__p.cum_count").alias("cum_count"),
+        F.col("__p.n_rows").alias("n_rows"),
+    )
+
+
+def histogram_quantiles_sql(
+    source_sql: str,
+    col_sql: str,
+    facet_sql: str,
+    lo: int,
+    hi: int,
+    bins: int,
+    quantiles: tuple[int, ...] = (25, 50, 75, 95),
+    facet_name: str = "facet",
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (single facet) — the
+    same clamp, the same truncating div on non-negative integers, the
+    same ceil threshold."""
+    span = hi - lo
+    width = span / bins
+    qlist = ", ".join(f"({q})" for q in quantiles)
+    return f"""
+WITH src AS (
+  {source_sql}
+), binned AS (
+  SELECT {facet_sql} AS facet,
+         (least(greatest(CAST({col_sql} AS BIGINT), {lo}), {hi - 1}) - {lo})
+           * {bins} // {span} AS bin
+  FROM src
+), counts AS (
+  SELECT facet, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT facet, bin,
+         SUM(cnt) OVER (PARTITION BY facet ORDER BY bin) AS cum_count,
+         SUM(cnt) OVER (PARTITION BY facet) AS n_rows
+  FROM counts
+), qs AS (
+  SELECT c.facet, q.q_pct, c.bin, c.cum_count, c.n_rows,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.facet, q.q_pct ORDER BY c.bin
+         ) AS rn
+  FROM cum c CROSS JOIN (VALUES {qlist}) AS q(q_pct)
+  WHERE c.cum_count >= (q.q_pct * c.n_rows + 99) // 100
+)
+SELECT facet AS {facet_name},
+       CAST(q_pct AS INT) AS q_pct,
+       bin,
+       CAST({float(lo)!r} AS DOUBLE) + bin * CAST({width!r} AS DOUBLE)
+         AS bin_lo,
+       CAST({float(lo)!r} AS DOUBLE) + (bin + 1) * CAST({width!r} AS DOUBLE)
+         AS bin_hi,
+       CAST(cum_count AS BIGINT) AS cum_count,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM qs WHERE rn = 1
 """

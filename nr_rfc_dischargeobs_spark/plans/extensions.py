@@ -1186,6 +1186,77 @@ SKETCH_HLL_VOCAB_SQL = sketches.hll_cardinality_sql(
 )
 
 
+def sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation over the corpus token stream: the
+    d=4 × w=1024 counter table is built in one bounded aggregation, and
+    every candidate token (here the distinct vocabulary — test-scale; at
+    fleet scale the candidate set is whatever keys you need answered
+    without a full GROUP BY) gets min-of-counters ≥ its true count.
+    Exact audit columns prove the one-sided error bound row by row."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("token")
+    )
+    table = sketches.cms_table(toks, key="token", d=4, w=1024)
+    est = sketches.cms_estimate(
+        toks.distinct(), table, key="token", d=4, w=1024
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "token").select(
+        "token",
+        "cms_estimate",
+        "exact_count",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+SKETCH_CMS_HEAVY_SQL = sketches.cms_estimate_sql(
+    source_sql=(
+        "SELECT tok FROM (\n"
+        "    SELECT unnest(string_split(lower(text), ' ')) AS tok\n"
+        "    FROM documents\n"
+        "  ) WHERE tok <> ''"
+    ),
+    key_sql="tok",
+    candidate_sql="tok",
+    d=4,
+    w=1024,
+)
+
+
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (p25/p50/p75/p95/p99) on a
+    fixed 64-bin [0, 1024) grid — the length-distribution health check a
+    fleet runs per snapshot, exact to 16-char bin resolution with no
+    global sort and ≤ 64 shuffled rows per language."""
+    docs = load(spark, sf_dir, "documents")
+    return sketches.histogram_quantiles(
+        docs,
+        col="n_chars",
+        lo=0,
+        hi=1024,
+        bins=64,
+        quantiles=(25, 50, 75, 95, 99),
+        facets=("lang",),
+    )
+
+
+SKETCH_HIST_QUANTILES_SQL = sketches.histogram_quantiles_sql(
+    source_sql="SELECT lang, n_chars FROM documents",
+    col_sql="n_chars",
+    facet_sql="lang",
+    lo=0,
+    hi=1024,
+    bins=64,
+    quantiles=(25, 50, 75, 95, 99),
+    facet_name="lang",
+)
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: every document's (shard, offset,
     block span) under a 256-token budget over 8 packing shards."""

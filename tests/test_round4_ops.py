@@ -1785,3 +1785,179 @@ def test_hll_p_validation(spark):
     df = spark.createDataFrame([("x", "a")], ["facet", "k"])
     with pytest.raises(ValueError, match="hex-aligned"):
         hll_cardinality(df, key="k", p=10)
+
+
+def _py_cms(occurrences, candidates, d=4, w=1024, salt="cms"):
+    """Reference CMS replica — same md5 lanes, same min-of-counters."""
+    import hashlib
+
+    table = {}
+    for k in occurrences:
+        h = hashlib.md5(f"{salt}|{k}".encode()).hexdigest()
+        for j in range(d):
+            b = int(h[8 * j : 8 * j + 8], 16) % w
+            table[(j, b)] = table.get((j, b), 0) + 1
+    out = {}
+    for k in candidates:
+        h = hashlib.md5(f"{salt}|{k}".encode()).hexdigest()
+        out[k] = min(
+            table.get((j, int(h[8 * j : 8 * j + 8], 16) % w), 0)
+            for j in range(d)
+        )
+    return out
+
+
+def test_cms_matches_python_replica_and_never_underestimates(spark):
+    """Estimates equal an independent hashlib replica of the same lane
+    recipe, and every estimate ≥ the true count (the CMS one-sided
+    error bound) — at a deliberately tiny w so collisions actually
+    occur and the ≥ is strict somewhere."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    rows = [(f"key-{i % 97}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k"])
+    table = cms_table(df, key="k", d=2, w=16)
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(
+            df.distinct(), table, key="k", d=2, w=16
+        ).collect()
+    }
+    keys = {k for (k,) in rows}
+    replica = _py_cms([k for (k,) in rows], keys, d=2, w=16)
+    exact = {k: sum(1 for (x,) in rows if x == k) for k in keys}
+    assert est == replica
+    assert all(est[k] >= exact[k] for k in keys)
+    assert any(est[k] > exact[k] for k in keys)  # collisions at w=16
+
+
+def test_cms_unseen_key_estimates_zero_or_collision(spark):
+    """A never-seen key estimates 0 unless every one of its lanes
+    collides — at the default w the planted probe comes back 0."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(50)], ["k"])
+    table = cms_table(df, key="k", d=4, w=1024)
+    probe = spark.createDataFrame([("never-seen-key",)], ["k"])
+    est = cms_estimate(probe, table, key="k", d=4, w=1024).collect()[0]
+    assert est["cms_estimate"] == 0
+
+
+def test_cms_table_merges_across_runs(spark):
+    """Two half-corpus tables summed bucket-wise equal the full-corpus
+    table — the union property that lets a fleet sketch per shard and
+    fold later."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import cms_table
+
+    df = spark.createDataFrame(
+        [(i, f"key-{i % 200}") for i in range(2000)], ["i", "k"]
+    )
+    half_a = df.filter(F.col("i") < 1000)
+    half_b = df.filter(F.col("i") >= 1000)
+    merged = (
+        cms_table(half_a, "k")
+        .union(cms_table(half_b, "k"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cms_table(df, "k")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_cms_dial_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions.sketches import cms_table
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError, match="1..4"):
+        cms_table(df, key="k", d=5)
+    with pytest.raises(ValueError, match="w must"):
+        cms_table(df, key="k", w=1)
+
+
+def test_histogram_quantiles_match_python_replica(spark):
+    """Each reported bin is the smallest whose cumulative count crosses
+    ceil(q·n/100) — checked against a sorted-list replica, per facet,
+    including values outside [lo, hi) (clamped into edge bins)."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        histogram_quantiles,
+    )
+
+    import math
+
+    rows = [("a", (i * 7919) % 1200 - 50) for i in range(500)] + [
+        ("b", i * 3) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["facet", "x"])
+    lo, hi, bins = 0, 1000, 25
+    qs = (25, 50, 75, 95, 99)
+    out = {
+        (r["facet"], r["q_pct"]): r
+        for r in histogram_quantiles(
+            df, "x", lo, hi, bins, quantiles=qs, facets=("facet",)
+        ).collect()
+    }
+    for facet in ("a", "b"):
+        vals = sorted(
+            min(max(x, lo), hi - 1) for f, x in rows if f == facet
+        )
+        n = len(vals)
+        binned = [(v - lo) * bins // (hi - lo) for v in vals]
+        for q in qs:
+            thr = math.ceil(q * n / 100)
+            expected_bin = binned[thr - 1]
+            r = out[(facet, q)]
+            assert r["bin"] == expected_bin, (facet, q)
+            assert r["n_rows"] == n
+            assert r["bin_lo"] == lo + expected_bin * (hi - lo) / bins
+            # the quantile value really lies inside the reported bin
+            assert r["bin_lo"] <= vals[thr - 1] < r["bin_hi"]
+
+
+def test_histogram_quantiles_partition_invariance(spark):
+    """Bit-identical output under any partitioning — pure integer
+    arithmetic end-to-end."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("x", (i * 31) % 512) for i in range(400)], ["facet", "v"]
+    )
+    base = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                df, "v", 0, 512, 32, facets=("facet",)
+            ).collect(),
+        )
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                df.repartition(13), "v", 0, 512, 32, facets=("facet",)
+            ).collect(),
+        )
+    )
+    assert base == shuffled
+
+
+def test_histogram_quantiles_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(1,)], ["v"])
+    with pytest.raises(ValueError, match="hi must"):
+        histogram_quantiles(df, "v", 10, 10, 4)
+    with pytest.raises(ValueError, match="bins"):
+        histogram_quantiles(df, "v", 0, 10, 0)
+    with pytest.raises(ValueError, match="integer percents"):
+        histogram_quantiles(df, "v", 0, 10, 4, quantiles=(0,))
