@@ -170,6 +170,28 @@ def main() -> int:
               ),
               key="token", facets=("facet",), p=8,
           ))
+    # CMS at the same token stream: the d4×w1024 table folds ~60M
+    # occurrences into ≤4,096 rows; the estimate side broadcasts it
+    # against a ~17k-token candidate set (tokens of the first 1k docs)
+    _cms_toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    timed(t, "cms_estimate_1m_docs_17k_cands",
+          sketches.cms_estimate(
+              docs.filter(F.col("doc_id") < 1000)
+              .select(F.explode(F.split(F.lower(F.col("text")), " "))
+                      .alias("token")).distinct(),
+              sketches.cms_table(_cms_toks, key="token"),
+              key="token",
+          ))
+    # histogram quantiles: 1M doc lengths fold into 5 facets × 64 bins
+    timed(t, "hist_quantiles_1m_docs_5facets",
+          sketches.histogram_quantiles(
+              docs.select((F.col("doc_id") % 5).alias("facet"),
+                          F.length("text").alias("len")),
+              col="len", lo=0, hi=512, bins=64,
+              quantiles=(25, 50, 75, 95, 99), facets=("facet",),
+          ))
     timed(t, "chunk_windows_64x32",
           text.chunk_windows(docs, chunk_tokens=64, stride=32))
     timed(t, "top_terms_k3", text.top_terms(docs, k=3))
