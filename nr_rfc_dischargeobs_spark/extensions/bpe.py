@@ -1,0 +1,280 @@
+"""BPE tokenizer induction: learn byte-pair-encoding merge rules from
+the corpus (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units") — the tokenizer-fitting step of a training
+pipeline, run where the data lives instead of funneling a corpus sample
+through a single-node trainer.
+
+Classic BPE is an ITERATIVE, data-dependent algorithm: count adjacent
+symbol pairs, merge the most frequent everywhere, repeat.  The engine
+shape that keeps it cheap is the classic trainer trick lifted to Spark:
+
+- the corpus is scanned ONCE, into the (token, count) vocabulary
+  aggregate — all later work runs on that bounded table (persisted;
+  at web scale it is millions of rows where the corpus is billions);
+- each iteration is one vocabulary-scale aggregation (adjacent-pair
+  counts weighted by token count, map-side combined) whose argmax —
+  ONE row — is the only thing the driver ever collects;
+- applying a merge is a scan-local string ``replace``: symbols are
+  bracket-wrapped (``hello`` → ``<h><e><l><l><o>``) so the pattern
+  ``<a><b>`` → ``<ab>`` matches exactly at symbol boundaries, and
+  replace-all's left-to-right non-overlapping semantics ARE greedy
+  leftmost BPE application (``<a><a><a>`` with merge (a,a) →
+  ``<aa><a>``, exactly one merge).  Both engines implement replace-all
+  identically, which is what makes the DuckDB twin hash-exact.
+
+Pair counting follows the reference algorithm: overlapping occurrences
+all count (``aaaa`` contributes 3 to (a,a)), ties break deterministically
+by (count DESC, left ASC, right ASC) in binary collation.
+
+Cost model: ``n_merges`` vocabulary-scale jobs.  The registered-query
+dial (≤ a few dozen merges) is corpus analysis — subword statistics,
+vocabulary-growth curves; a production 30k-merge training run would
+batch iterations differently, which is out of scope and stated here
+rather than hidden.
+
+Tokens are restricted to ``token_pattern`` (default lowercase
+alphanumeric) so the ``<``/``>`` sentinels can never collide with
+symbol text — out-of-alphabet tokens are EXCLUDED from training, the
+standard pre-tokenizer posture, not silently mangled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERGES_SCHEMA = (
+    "rank INT, left_sym STRING, right_sym STRING, merged STRING,"
+    " pair_count BIGINT"
+)
+
+
+def _vocab(docs: DataFrame, text: str, token_pattern: str) -> DataFrame:
+    """(token, cnt, syms) — the corpus's single scan: whitespace-split,
+    lowercase, alphabet-filtered, counted, and bracket-symbolized."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text)), " ")).alias("token")
+    ).filter(F.col("token").rlike(f"^{token_pattern}$"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms", F.regexp_replace(F.col("token"), "(.)", "<$1>")
+        )
+    )
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the current symbolization, weighted by
+    token count (overlapping occurrences all count — the reference
+    algorithm's get_stats)."""
+    sy = F.split(F.expr("trim(BOTH '<>' FROM syms)"), "><")
+    pairs = state.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size(sy) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sy) - 1),
+                    lambda i: F.struct(
+                        F.element_at(sy, i).alias("a"),
+                        F.element_at(sy, i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("cnt").alias("c"))
+
+
+def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
+    return state.withColumn(
+        "syms",
+        F.replace(
+            F.col("syms"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
+        ),
+    )
+
+
+def _train(
+    docs: DataFrame,
+    n_merges: int,
+    text: str,
+    token_pattern: str,
+    cache_registry: list | None,
+) -> tuple[list[tuple], DataFrame]:
+    """Shared loop: returns (merge rows, final symbolized vocabulary).
+    The vocabulary persists once (the corpus never re-scans); each
+    iteration's argmax is the one driver-side collect — n_merges rows
+    total, the algorithm's own model state, not a data spill."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    state = _vocab(docs, text, token_pattern).persist()
+    if cache_registry is not None:
+        cache_registry.append(state)
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            _pair_counts(state)
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((r, a, b, a + b, c))
+        state = _apply_merge(state, a, b)
+    return merges, state
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text: str = "text",
+    token_pattern: str = "[a-z0-9]+",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """The learned merge table — BPE's model artifact: (rank, left_sym,
+    right_sym, merged, pair_count), rank in learning order.  Fewer than
+    ``n_merges`` rows when the corpus runs out of adjacent pairs."""
+    merges, state = _train(docs, n_merges, text, token_pattern, cache_registry)
+    if cache_registry is None:
+        state.unpersist()
+    return docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_segment_vocab(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text: str = "text",
+    token_pattern: str = "[a-z0-9]+",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Train ``n_merges`` rules and return every vocabulary token's
+    resulting segmentation: (token, cnt, n_subwords, segmentation) with
+    subwords space-joined — the fertility audit (subwords per token)
+    that decides whether the merge budget is big enough."""
+    _, state = _train(docs, n_merges, text, token_pattern, cache_registry)
+    sy = F.split(F.expr("trim(BOTH '<>' FROM syms)"), "><")
+    out = state.select(
+        "token",
+        "cnt",
+        F.size(sy).alias("n_subwords"),
+        F.array_join(sy, " ").alias("segmentation"),
+    )
+    if cache_registry is None:
+        # the final projection still reads the persisted vocab; hand the
+        # handle to the caller's plan by keeping it hot until released —
+        # without a registry we cannot safely unpersist before the
+        # caller evaluates, so fall back to Spark's LRU by unpersisting
+        # lazily on garbage collection (blocking=False drops eagerly
+        # only the bookkeeping; recompute stays correct either way)
+        state.unpersist(blocking=False)
+    return out
+
+
+def segment_tokens(
+    tokens: DataFrame,
+    merges: list[tuple[str, str]],
+    token: str = "token",
+) -> DataFrame:
+    """Apply an ALREADY-LEARNED merge list to a token column — the
+    inference half (scan-local replace chain, no training jobs).
+    ``merges`` is [(left_sym, right_sym), ...] in rank order."""
+    syms = F.regexp_replace(F.col(token), "(.)", "<$1>")
+    for a, b in merges:
+        syms = F.replace(syms, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    staged = tokens.withColumn("__bpe_syms", syms)
+    sy = F.split(F.expr("trim(BOTH '<>' FROM __bpe_syms)"), "><")
+    return staged.select(
+        *tokens.columns,
+        F.size(sy).alias("n_subwords"),
+        F.array_join(sy, " ").alias("segmentation"),
+    )
+
+
+def _stage_sql(i: int) -> str:
+    """One unrolled iteration: pair counts over s{i-1}, deterministic
+    argmax, merge applied by the same boundary-exact replace."""
+    prev = f"s{i - 1}"
+    return f"""p{i} AS (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, sy[i] AS a, sy[i + 1] AS b FROM (
+      SELECT cnt, sy,
+             unnest(generate_series(1, len(sy) - 1)) AS i
+      FROM (SELECT cnt,
+                   string_split(trim(syms, '<>'), '><') AS sy
+            FROM {prev})
+      WHERE len(sy) >= 2
+    )
+  ) GROUP BY 1, 2
+), b{i} AS (
+  SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+), s{i} AS (
+  SELECT token, cnt,
+         replace(syms, '<' || b.a || '><' || b.b || '>',
+                 '<' || b.a || b.b || '>') AS syms
+  FROM {prev} CROSS JOIN b{i} b
+)"""
+
+
+def _base_sql(source_sql: str, token_pattern: str) -> str:
+    return f"""WITH src AS (
+  {source_sql}
+), words AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(t), ' ')) AS token FROM src)
+  WHERE regexp_matches(token, '^{token_pattern}$')
+  GROUP BY 1
+), s0 AS (
+  SELECT token, cnt,
+         regexp_replace(token, '(.)', '<\\1>', 'g') AS syms
+  FROM words
+)"""
+
+
+def bpe_merges_sql(
+    source_sql: str,
+    n_merges: int = 12,
+    token_pattern: str = "[a-z0-9]+",
+) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the iterations unroll into
+    ``n_merges`` chained CTE stages — same pair counting, same argmax
+    collation, same boundary-exact replace.  ``source_sql`` must yield
+    one text column aliased ``t``."""
+    stages = ",\n".join(_stage_sql(i) for i in range(1, n_merges + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        _base_sql(source_sql, token_pattern)
+        + ",\n"
+        + stages
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
+    )
+
+
+def bpe_segment_vocab_sql(
+    source_sql: str,
+    n_merges: int = 12,
+    token_pattern: str = "[a-z0-9]+",
+) -> str:
+    """DuckDB twin of :func:`bpe_segment_vocab`."""
+    stages = ",\n".join(_stage_sql(i) for i in range(1, n_merges + 1))
+    return (
+        _base_sql(source_sql, token_pattern)
+        + ",\n"
+        + stages
+        + f"""
+SELECT token, cnt,
+       CAST(len(string_split(trim(syms, '<>'), '><')) AS INT)
+         AS n_subwords,
+       array_to_string(string_split(trim(syms, '<>'), '><'), ' ')
+         AS segmentation
+FROM s{n_merges}"""
+    )

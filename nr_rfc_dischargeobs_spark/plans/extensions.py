@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..extensions import (
+    bpe,
     contamination,
     curate,
     dedup,
@@ -1243,6 +1244,40 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles=(25, 50, 75, 95, 99),
         facets=("lang",),
     )
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule induction over the corpus (10 merges): the
+    tokenizer-fitting step run in-engine — corpus scanned once into the
+    persisted vocabulary aggregate, each iteration one vocabulary-scale
+    pair-count job whose single argmax row is all the driver collects.
+    Plan-build executes those jobs (the algorithm's own model state, a
+    stated exception like the PQ codebook collect)."""
+    return bpe.bpe_merges(
+        load(spark, sf_dir, "documents"),
+        n_merges=10,
+        cache_registry=_PLAN_CACHES,
+    )
+
+
+TEXT_BPE_MERGES_SQL = bpe.bpe_merges_sql(
+    "SELECT text AS t FROM documents", n_merges=10
+)
+
+
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary segmentation under the 10 learned merges — the
+    fertility audit (subwords per token) that sizes a merge budget."""
+    return bpe.bpe_segment_vocab(
+        load(spark, sf_dir, "documents"),
+        n_merges=10,
+        cache_registry=_PLAN_CACHES,
+    )
+
+
+TEXT_BPE_SEGMENT_SQL = bpe.bpe_segment_vocab_sql(
+    "SELECT text AS t FROM documents", n_merges=10
+)
 
 
 SKETCH_HIST_QUANTILES_SQL = sketches.histogram_quantiles_sql(
