@@ -82,6 +82,48 @@ LATERAL VIEW explode(transform(sequence(0, {_CHUNK_LAST_IDX}),
                 concat_ws(' ', slice(__toks, i * stride + 1,
                                      chunk_tokens)) AS chunk))) ex AS c
 """,
+    # extensions.sketches.histogram_quantiles over documents.n_chars,
+    # facet = lang, quantiles fixed at the health-check five (a SQL UDF
+    # cannot take an array parameter portably; the grid dials can)
+    "tvf_sketch_hist_quantiles": """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_sketch_hist_quantiles(
+    lo INT, hi INT, bins INT)
+RETURNS TABLE (lang STRING, q_pct INT, bin BIGINT, bin_lo DOUBLE,
+               bin_hi DOUBLE, cum_count BIGINT, n_rows BIGINT)
+RETURN SELECT lang, q_pct,
+       p.bin AS bin,
+       cast(lo AS DOUBLE)
+         + p.bin * ((hi - lo) / cast(bins AS DOUBLE)) AS bin_lo,
+       cast(lo AS DOUBLE)
+         + (p.bin + 1) * ((hi - lo) / cast(bins AS DOUBLE)) AS bin_hi,
+       p.cum_count AS cum_count,
+       p.n_rows AS n_rows
+FROM (
+  SELECT lang, q_pct, min(struct(bin, cum_count, n_rows)) AS p
+  FROM (
+    SELECT lang, bin, cum_count, n_rows, q_pct
+    FROM (
+      SELECT lang, bin,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin)
+               AS cum_count,
+             sum(cnt) OVER (PARTITION BY lang) AS n_rows
+      FROM (
+        SELECT lang, bin, count(1) AS cnt
+        FROM (
+          SELECT lang,
+                 (least(greatest(cast(n_chars AS BIGINT), lo), hi - 1)
+                   - lo) * bins div (hi - lo) AS bin
+          FROM documents
+        )
+        GROUP BY lang, bin
+      )
+    ) c
+    LATERAL VIEW explode(array(25, 50, 75, 95, 99)) q AS q_pct
+    WHERE cum_count >= (q_pct * n_rows + 99) div 100
+  )
+  GROUP BY lang, q_pct
+)
+""",
     # gopher word-count gate, parameterized (n_words_expr formula)
     "tvf_text_word_count_gate": """
 CREATE OR REPLACE TEMPORARY FUNCTION tvf_text_word_count_gate(

@@ -16,16 +16,23 @@ from nr_rfc_dischargeobs_spark.plans.sqlfn import register_sql_tvfs
 
 @pytest.fixture()
 def docs_view(spark):
+    # lang/n_chars present because SQL UDF bodies are analyzed at CREATE
+    # time against the current `documents` view — the registered surface
+    # assumes the real documents schema (TESTDATA.md)
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again"),
+        (1, "a second document with  double spaces and More WORDS"),
+        (2, "the quick brown fox jumps over the lazy dog again"),
+        (3, None),
+        (4, "short"),
+        (5, "numbers 123 and punct!?; mix-ed to2kens"),
+    ]
     docs = spark.createDataFrame(
         [
-            (0, "the quick brown fox jumps over the lazy dog again"),
-            (1, "a second document with  double spaces and More WORDS"),
-            (2, "the quick brown fox jumps over the lazy dog again"),
-            (3, None),
-            (4, "short"),
-            (5, "numbers 123 and punct!?; mix-ed to2kens"),
+            (i, t, "en" if i % 3 else "de", len(t or ""))
+            for i, t in texts
         ],
-        ["doc_id", "text"],
+        ["doc_id", "text", "lang", "n_chars"],
     )
     docs.createOrReplaceTempView("documents")
     register_sql_tvfs(spark)
@@ -83,3 +90,16 @@ def test_tvf_word_count_gate_matches_gopher_formula(spark, docs_view):
     # double space → one empty token counted
     n1 = dict(rows(got))[1]
     assert n1 == 10
+
+
+def test_tvf_hist_quantiles_matches_operator(spark, docs_view):
+    from nr_rfc_dischargeobs_spark.extensions import sketches
+
+    got = spark.sql("SELECT * FROM tvf_sketch_hist_quantiles(0, 64, 16)")
+    want = sketches.histogram_quantiles(
+        docs_view, col="n_chars", lo=0, hi=64, bins=16,
+        quantiles=(25, 50, 75, 95, 99), facets=("lang",),
+    ).select(
+        "lang", "q_pct", "bin", "bin_lo", "bin_hi", "cum_count", "n_rows"
+    )
+    assert rows(got) == rows(want)
