@@ -112,6 +112,40 @@ def hll_estimate_cols(m: int) -> tuple[Column, Column]:
     return zeros, est
 
 
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    p: int = 8,
+    facets: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold stored register rows — possibly MANY per (facets, register),
+    e.g. an append-only streaming sink's per-batch rows — to the
+    estimate.  Max-merges duplicates first (the HLL union; idempotent,
+    so at-least-once appenders need no dedup), then runs the same exact
+    integer harmonic sum as :func:`hll_cardinality`.
+
+    Output: (facets..., hll_m, hll_registers_used, hll_estimate)."""
+    _check_p(p)
+    m = 1 << p
+    unique = regs.groupBy(*facets, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    folded = unique.groupBy(*facets).agg(
+        F.expr(f"sum(shiftleft(1L, {_MAX_RHO} - max_rho))").alias("__psum"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    folded = folded.withColumn(
+        "__isum",
+        F.col("__psum") + (F.lit(m) - F.col("__present")) * F.lit(_POW49),
+    )
+    _, est = hll_estimate_cols(m)
+    return folded.select(
+        *facets,
+        F.lit(m).alias("hll_m"),
+        F.col("__present").cast("long").alias("hll_registers_used"),
+        est.alias("hll_estimate"),
+    )
+
+
 def hll_cardinality(
     df: DataFrame,
     key: str,

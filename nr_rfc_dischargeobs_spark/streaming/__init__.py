@@ -16,14 +16,22 @@ from .ingest import (
     stream_dedup,
     stream_upsert_into_store,
 )
+from .sketches import (
+    compact_hll_registers,
+    hll_register_stream,
+    read_hll_estimate,
+)
 from .stateful import rising_falling_stream
 
 __all__ = [
     "compact_boilerplate",
     "compact_corpus",
+    "compact_hll_registers",
     "compact_near_dups",
     "curate_document_stream",
+    "hll_register_stream",
     "hourly_stream_rollup",
+    "read_hll_estimate",
     "land_document_stream",
     "rising_falling_stream",
     "session_stream_rollup",

@@ -1,0 +1,100 @@
+"""Streaming sketch maintenance: corpus-lifetime statistics kept
+incrementally, micro-batch by micro-batch, in bounded state.
+
+The batch sketches (`extensions.sketches`) answer "how many distinct
+keys / how often does this key occur" over a corpus that already sits
+in parquet.  A live ingest pipeline wants the same answers WITHOUT
+rescanning history — and HLL's algebra is exactly the right shape for a
+streaming sink:
+
+- each micro-batch folds to at most m = 2^p register rows per facet
+  group BEFORE anything is written (the same map-side-combined
+  aggregation as the batch operator);
+- the sink APPENDS those rows — no read-modify-write, no swap
+  machinery, no state store — because register folding is a ``max``:
+  reading the store folds duplicates away, so append order, batch
+  boundaries, and even foreachBatch's at-least-once REPLAYS are all
+  absorbed by the algebra (max is idempotent).  A replayed batch
+  appends identical rows that change nothing.  Contrast the landing
+  sink (`documents.land_document_stream`), which needs an anti-join to
+  make replays idempotent — here idempotence is free;
+- store growth is ≤ m rows per facet per batch (kilobytes), and the
+  scheduled :func:`compact_hll_registers` sweep folds the directory
+  back to ≤ m rows per facet through the same crash-recoverable
+  staged-swap engine the corpus sweeps use (`documents.compact_corpus`).
+
+Estimates read with :func:`~..extensions.sketches.hll_estimate_from_registers`
+are BIT-IDENTICAL to running the batch sketch over everything the
+stream ever saw — pinned in tests — because both paths share one
+register recipe and one integer harmonic-sum fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import sketches
+
+
+def hll_register_stream(
+    stream: DataFrame,
+    registers_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    facets: tuple[str, ...] = (),
+    p: int = 8,
+    salt: str = "hll",
+    available_now: bool = True,
+):
+    """Maintain a persistent HLL register store over a streaming frame:
+    every micro-batch folds to ≤ 2^p rows per facet group and appends to
+    ``registers_dir``.  Returns the started ``StreamingQuery``
+    (``availableNow`` for the drain-then-exit cron model)."""
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        sketches.hll_registers(
+            batch_df, key, facets=facets, p=p, salt=salt
+        ).write.mode("append").parquet(registers_dir)
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_estimate(
+    spark: SparkSession,
+    registers_dir: str,
+    facets: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Current distinct-count estimate per facet from the register
+    store — folds however many per-batch rows have accumulated (the
+    max-merge union), same arithmetic as the batch sketch."""
+    return sketches.hll_estimate_from_registers(
+        spark.read.parquet(registers_dir), p=p, facets=facets
+    )
+
+
+def compact_hll_registers(
+    spark: SparkSession,
+    registers_dir: str,
+    facets: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """Fold the append-only register store back to ≤ 2^p rows per facet
+    group — run quiesced on the compaction schedule, through the shared
+    snapshot-guarded crash-recoverable sweep engine.  Returns
+    (kept_rows, folded_away_rows); estimates are unchanged by
+    construction (the sweep applies the same max-merge reads already
+    apply)."""
+    from .documents import compact_corpus
+
+    def _fold(regs: DataFrame) -> DataFrame:
+        return regs.groupBy(*facets, "register").agg(
+            F.max("max_rho").alias("max_rho")
+        )
+
+    return compact_corpus(spark, registers_dir, _fold)

@@ -900,3 +900,95 @@ def test_compact_boilerplate_refuses_duplicate_doc_ids(spark, tmp_path):
     assert after == before
     assert not os.path.exists(landed + ".compacting")
     assert not os.path.exists(landed + ".precompact")
+
+
+def test_hll_register_stream_matches_batch_sketch(spark, tmp_path):
+    """The streaming register store, folded, gives BIT-identical
+    estimates to the batch sketch over everything the stream saw — and
+    a redeploy (fresh checkpoint, full replay) changes nothing, because
+    register max-merge absorbs duplicate appends by algebra."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        hll_cardinality,
+    )
+    from nr_rfc_dischargeobs_spark.streaming import (
+        compact_hll_registers,
+        hll_register_stream,
+        read_hll_estimate,
+    )
+
+    landing = tmp_path / "tokens"
+    landing.mkdir()
+
+    def land_shard(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("lang STRING, token STRING")
+            .json(str(landing))
+        )
+        q = hll_register_stream(
+            stream,
+            str(tmp_path / "regs"),
+            str(tmp_path / ckpt),
+            key="token",
+            facets=("lang",),
+        )
+        q.awaitTermination(120)
+
+    land_shard(
+        "s1.jsonl",
+        [{"lang": "en", "token": f"w{i % 40}"} for i in range(200)]
+        + [{"lang": "de", "token": f"x{i}"} for i in range(30)],
+    )
+    drain("ckptA")
+    land_shard(
+        "s2.jsonl",
+        [{"lang": "en", "token": f"w{i % 70}"} for i in range(100)],
+    )
+    drain("ckptB")  # fresh checkpoint: replays s1 AND reads s2
+
+    est = {
+        r["lang"]: r
+        for r in read_hll_estimate(
+            spark, str(tmp_path / "regs"), facets=("lang",)
+        ).collect()
+    }
+    all_rows = [("en", f"w{i % 40}") for i in range(200)] + [
+        ("de", f"x{i}") for i in range(30)
+    ] + [("en", f"w{i % 70}") for i in range(100)]
+    batch = {
+        r["lang"]: r
+        for r in hll_cardinality(
+            spark.createDataFrame(all_rows, ["lang", "token"]),
+            key="token",
+            facets=("lang",),
+        ).collect()
+    }
+    for lang in ("en", "de"):
+        assert est[lang]["hll_estimate"] == batch[lang]["hll_estimate"]
+        assert (
+            est[lang]["hll_registers_used"]
+            == batch[lang]["hll_registers_used"]
+        )
+
+    # the store carries per-batch rows (> unique registers); compaction
+    # folds it to ≤ unique and the estimate is unchanged
+    before = spark.read.parquet(str(tmp_path / "regs")).count()
+    kept, folded = compact_hll_registers(
+        spark, str(tmp_path / "regs"), facets=("lang",)
+    )
+    assert kept < before and folded == before - kept
+    est2 = {
+        r["lang"]: r["hll_estimate"]
+        for r in read_hll_estimate(
+            spark, str(tmp_path / "regs"), facets=("lang",)
+        ).collect()
+    }
+    assert est2 == {
+        lang: est[lang]["hll_estimate"] for lang in ("en", "de")
+    }
