@@ -98,6 +98,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sketch_hist_quantiles": extensions.sketch_hist_quantiles,  # new r6
         "ext_text_bpe_merges": extensions.text_bpe_merges,  # new r6
         "ext_text_bpe_segment": extensions.text_bpe_segment,  # new r6
+        "ext_text_collocations": extensions.text_collocations,  # new r6
         # --- oldest driver check (r3) ---
         "fn_formula_estimate": events.formula_estimate,
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
@@ -328,6 +329,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sketch_hist_quantiles": extensions.SKETCH_HIST_QUANTILES_SQL,
         "ext_text_bpe_merges": extensions.TEXT_BPE_MERGES_SQL,
         "ext_text_bpe_segment": extensions.TEXT_BPE_SEGMENT_SQL,
+        "ext_text_collocations": extensions.TEXT_COLLOCATIONS_SQL,
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

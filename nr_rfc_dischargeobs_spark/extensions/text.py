@@ -1387,3 +1387,182 @@ def hash_classifier_train_nb(
         .select("bucket", w.alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 30,
+    text: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information — "which word
+    pairs co-occur far more than chance?" (Church & Hanks 1990), the
+    phrase-mining / multi-word-expression pass of corpus analysis.
+
+    PMI(a,b) = log₂ P(ab) − log₂ P(a) − log₂ P(b) with P(ab) = c_ab/P
+    (P = total adjacent pairs) and P(·) = c/N (N = total tokens) expands
+    to log₂ terms of SIX exact integers: c_ab, c_a, c_b, N, P.  Each is
+    snapped to the repo's integer grid — ``round(log₂(count)·2²⁰)`` of
+    an exact BIGINT, which every engine computes identically — and the
+    published ``pmi`` is one float expression over the grid sum
+    (``pmi_grid``), so ranking and values are bit-stable across engines
+    and partitionings (the :func:`token_entropy` discipline).
+
+    Scale shape: exactly TWO corpus scans — one into the pair-count
+    aggregate (keyed (a,b)), one into the unigram-count aggregate
+    (keyed token), both combine-friendly.  Every other input derives
+    from those two vocabulary-scale tables, which persist (handles in
+    ``cache_registry``, the plan-cache discipline): N = Σ unigram
+    counts, P = Σ pair counts (pairs per doc = tokens − 1, so counting
+    bigram rows IS the total), both folded from the caches, never a
+    third scan.  The ``min_count`` gate prunes the pair side BEFORE its
+    two unigram-count joins (rare pairs — the long tail — never join);
+    the 1-row corpus totals broadcast.  Top-k is a bounded ``orderBy …
+    limit`` (distributed TakeOrdered, no global sort materialized).
+
+    Output: (w1, w2, pair_count, c1, c2, pmi_grid, pmi), ordered
+    pmi_grid DESC, (w1, w2) ASC — deterministic under count ties.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    SCALE = 1 << 20
+    staged = docs.select(
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks")
+    )
+    pair = lambda toks, i: F.struct(  # noqa: E731
+        F.element_at(toks, i).alias("w1"),
+        F.element_at(toks, i + 1).alias("w2"),
+    )
+    bigrams = staged.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: pair(F.col("__toks"), i),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    unigrams = (
+        staged.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    pairs_all = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.extend([unigrams, pairs_all])
+    else:
+        # no owner to release them later: drop the cache bookkeeping now
+        # (lazy callers recompute — correct either way); pass a registry
+        # to keep the two-scan shape across the plan's multiple readers
+        unigrams.unpersist(blocking=False)
+        pairs_all.unpersist(blocking=False)
+    totals = unigrams.agg(F.sum("c").alias("__n"))
+    # P = Σ pair counts — folded from the cached pair table, not a
+    # third corpus scan (pairs per doc = tokens − 1 by construction)
+    pair_totals = pairs_all.agg(F.sum("pair_count").alias("__p"))
+    pairs = pairs_all.filter(F.col("pair_count") >= min_count)
+    joined = (
+        pairs.join(
+            unigrams.select(
+                F.col("w").alias("w1"), F.col("c").alias("c1")
+            ),
+            "w1",
+        )
+        .join(
+            unigrams.select(
+                F.col("w").alias("w2"), F.col("c").alias("c2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_totals))
+    )
+    g = lambda c: F.round(  # noqa: E731
+        F.log2(c.cast("double")) * SCALE, 0
+    ).cast("long")
+    pmi_grid = (
+        g(F.col("pair_count"))
+        - g(F.col("__p"))
+        - g(F.col("c1"))
+        - g(F.col("c2"))
+        + F.lit(2) * g(F.col("__n"))
+    )
+    out = joined.select(
+        "w1",
+        "w2",
+        "pair_count",
+        "c1",
+        "c2",
+        pmi_grid.alias("pmi_grid"),
+        (pmi_grid.cast("double") / SCALE).alias("pmi"),
+    )
+    return out.orderBy(
+        F.col("pmi_grid").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def collocations_sql(
+    source_sql: str, min_count: int = 5, k: int = 30
+) -> str:
+    """DuckDB twin of :func:`collocations` — same token stream, same
+    integer-grid log terms, same ordering.  ``source_sql`` must yield
+    one text column aliased ``t``."""
+    scale = 1 << 20
+    g = lambda c: (  # noqa: E731
+        f"CAST(round(log2(CAST({c} AS DOUBLE)) * {scale}, 0) AS BIGINT)"
+    )
+    grid = (
+        f"{g('pair_count')} - {g('tot.p')} - {g('u1.c')}"
+        f" - {g('u2.c')} + 2 * {g('tot.n')}"
+    )
+    return f"""
+WITH src AS (
+  {source_sql}
+), toks AS (
+  SELECT doc, tok, pos FROM (
+    SELECT doc,
+           unnest(sy) AS tok,
+           unnest(generate_series(1, len(sy))) AS pos
+    FROM (
+      SELECT row_number() OVER () AS doc,
+             list_filter(string_split(lower(coalesce(t, '')), ' '),
+                         x -> x <> '') AS sy
+      FROM src
+    )
+  )
+), uni AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), pairs_all AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM toks a JOIN toks b ON a.doc = b.doc AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
+         (SELECT CAST(SUM(pair_count) AS BIGINT) FROM pairs_all) AS p
+), pairs AS (
+  SELECT * FROM pairs_all WHERE pair_count >= {min_count}
+)
+SELECT w1, w2, pair_count, u1.c AS c1, u2.c AS c2,
+       {grid} AS pmi_grid,
+       CAST({grid} AS DOUBLE) / {scale} AS pmi
+FROM pairs
+JOIN uni u1 ON u1.w = pairs.w1
+JOIN uni u2 ON u2.w = pairs.w2
+CROSS JOIN tot
+ORDER BY pmi_grid DESC, w1 ASC, w2 ASC
+LIMIT {k}
+"""

@@ -1246,6 +1246,23 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations (min pair count 5) over the corpus —
+    integer-grid log terms so ranking and values are bit-stable in any
+    engine; the min_count gate prunes the pair tail before its joins."""
+    return textops.collocations(
+        load(spark, sf_dir, "documents"),
+        min_count=5,
+        k=30,
+        cache_registry=_PLAN_CACHES,
+    )
+
+
+TEXT_COLLOCATIONS_SQL = textops.collocations_sql(
+    "SELECT text AS t FROM documents", min_count=5, k=30
+)
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule induction over the corpus (10 merges): the
     tokenizer-fitting step run in-engine — corpus scanned once into the

@@ -1961,3 +1961,60 @@ def test_histogram_quantiles_validation(spark):
         histogram_quantiles(df, "v", 0, 10, 0)
     with pytest.raises(ValueError, match="integer percents"):
         histogram_quantiles(df, "v", 0, 10, 4, quantiles=(0,))
+
+
+def test_collocations_planted_phrase_ranks_first(spark):
+    """A planted two-word phrase whose halves appear nowhere else gets
+    the top PMI; counts are exact; a high-frequency independent pair
+    ranks below it."""
+    from nr_rfc_dischargeobs_spark.extensions.text import collocations
+
+    # 'hong kong' always together (6×); 'the of' co-occurs but both
+    # words flood the corpus independently
+    rows = [(i, "hong kong the of the of the cat of dog the") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = collocations(docs, min_count=2, k=20).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("hong", "kong")
+    assert top["pair_count"] == 6 and top["c1"] == 6 and top["c2"] == 6
+    assert top["pmi"] > 0
+    # every published pmi is exactly its grid over 2^20
+    for r in out:
+        assert r["pmi"] == r["pmi_grid"] / (1 << 20)
+    # 'the of' qualifies but scores below the planted phrase
+    the_of = [r for r in out if (r["w1"], r["w2"]) == ("the", "of")]
+    assert the_of and the_of[0]["pmi_grid"] < top["pmi_grid"]
+
+
+def test_collocations_min_count_and_k_gates(spark):
+    from nr_rfc_dischargeobs_spark.extensions.text import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b c d")], ["doc_id", "text"]
+    )
+    out = collocations(docs, min_count=3, k=10).collect()
+    # only (a,b) reaches 3; (b,a) has 2, (c,d) 1
+    assert [(r["w1"], r["w2"]) for r in out] == [("a", "b")]
+    capped = collocations(docs, min_count=1, k=2).collect()
+    assert len(capped) == 2
+
+
+def test_collocations_partition_invariance_and_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions.text import collocations
+
+    import pytest as _pytest
+
+    rows = [(i, f"x{i % 7} y{i % 5} x{i % 7} y{i % 5}") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = [tuple(r) for r in collocations(docs, min_count=2, k=20).collect()]
+    b = [
+        tuple(r)
+        for r in collocations(
+            docs.repartition(11), min_count=2, k=20
+        ).collect()
+    ]
+    assert a == b
+    with _pytest.raises(ValueError, match="min_count"):
+        collocations(docs, min_count=0)
+    with _pytest.raises(ValueError, match="k must"):
+        collocations(docs, k=0)
