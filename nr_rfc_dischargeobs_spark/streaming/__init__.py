@@ -17,16 +17,22 @@ from .ingest import (
     stream_upsert_into_store,
 )
 from .sketches import (
+    cms_table_stream,
+    compact_cms_table,
     compact_hll_registers,
     hll_register_stream,
+    read_cms_table,
     read_hll_estimate,
 )
 from .stateful import rising_falling_stream
 
 __all__ = [
+    "cms_table_stream",
     "compact_boilerplate",
+    "compact_cms_table",
     "compact_corpus",
     "compact_hll_registers",
+    "read_cms_table",
     "compact_near_dups",
     "curate_document_stream",
     "hll_register_stream",

@@ -223,6 +223,7 @@ def compact_corpus(
     spark: SparkSession,
     landed_dir: str,
     transform,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int]:
     """The periodic BATCH compaction engine this module's header
     promises: corpus-wide curation (near-dup candidate generation,
@@ -324,7 +325,13 @@ def compact_corpus(
     docs = spark.read.parquet(base).persist()
     try:
         total = docs.count()
-        transform(docs).write.mode("overwrite").parquet(staged)
+        # partition_by: stores with a partition-directory layout (e.g.
+        # the streaming CMS table's batch_id=N/ contract) keep it
+        # through the sweep, so later partition-path writes compose
+        writer = transform(docs).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staged)
         # count the STAGED rows (the files that will become the corpus)
         # — deriving kept from a distinct-id drop count miscounts when
         # the landed dir carries duplicate doc_ids (same id, new text)

@@ -79,6 +79,93 @@ def read_hll_estimate(
     )
 
 
+def cms_table_stream(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+    available_now: bool = True,
+):
+    """Maintain a persistent Count-Min table over a streaming frame:
+    every micro-batch folds to ≤ d×w counter rows and lands in the
+    store.  The CMS union is a SUM — and unlike HLL's max, sum is NOT
+    idempotent, so a replayed batch appended naively would double-count.
+    The sink therefore writes each batch's fold to its own
+    ``batch_id=N/`` partition path, overwriting exactly that path: a
+    replayed batch rewrites its own partition with the same rows,
+    restoring idempotence STRUCTURALLY where the algebra doesn't
+    provide it (the dynamic-partition-overwrite idea, scoped to one
+    partition with no session-conf surface).
+
+    Contract boundary — stated because sum, unlike max, cannot absorb
+    history: structural idempotence covers foreachBatch's at-least-once
+    retries and restarts UNDER THE SAME CHECKPOINT (same batch_id →
+    same partition).  The checkpoint is part of the store's identity;
+    a redeploy that discards it re-numbers batches from 0 and would
+    double-count against compacted history — pair a fresh checkpoint
+    with a fresh table_dir.  Contrast :func:`hll_register_stream`
+    (max-algebra absorbs everything) and
+    :func:`.documents.land_document_stream` (the anti-join absorbs
+    everything); the three sinks are the three idempotence strategies.
+
+    Estimates fold the whole store by sum (:func:`read_cms_table`); a
+    quiesced :func:`compact_cms_table` sweep collapses the per-batch
+    partitions into ``batch_id=-1`` (live batch ids only grow, so the
+    sentinel never collides under the same checkpoint).
+
+    Returns the started ``StreamingQuery``."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            sketches.cms_table(batch_df, key, d=d, w=w, salt=salt)
+            .write.mode("overwrite")
+            .parquet(f"{table_dir.rstrip('/')}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The current folded CMS table from the store — sums the per-batch
+    partitions into one (depth, bucket, cnt) table, ready for
+    :func:`~..extensions.sketches.cms_estimate`."""
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_cms_table(
+    spark: SparkSession, table_dir: str
+) -> tuple[int, int]:
+    """Collapse the per-batch partitions to one folded table (landed
+    under ``batch_id=-1`` so the partition-directory layout — and the
+    stream's overwrite-own-partition contract — survives compaction).
+    Quiesced, snapshot-guarded, crash-recoverable via the shared sweep
+    engine."""
+    from .documents import compact_corpus
+
+    def _fold(rows: DataFrame) -> DataFrame:
+        return (
+            rows.groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("batch_id", F.lit(-1))
+        )
+
+    return compact_corpus(
+        spark, table_dir, _fold, partition_by=("batch_id",)
+    )
+
+
 def compact_hll_registers(
     spark: SparkSession,
     registers_dir: str,

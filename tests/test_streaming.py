@@ -992,3 +992,92 @@ def test_hll_register_stream_matches_batch_sketch(spark, tmp_path):
     assert est2 == {
         lang: est[lang]["hll_estimate"] for lang in ("en", "de")
     }
+
+def test_cms_table_stream_replay_safe_and_matches_batch(spark, tmp_path):
+    """The streaming CMS store folded by sum equals the batch table over
+    everything streamed; a replay under the same batch numbering
+    overwrites its own batch_id partition instead of double-counting
+    (sum is not idempotent — idempotence here is structural); and after
+    compaction the SAME checkpoint keeps consuming correctly (new files
+    land as new batch ids, replays never touch the -1 sentinel)."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+    from nr_rfc_dischargeobs_spark.streaming import (
+        cms_table_stream,
+        compact_cms_table,
+        read_cms_table,
+    )
+
+    landing = tmp_path / "tokens"
+    landing.mkdir()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"token": f"w{i % 25}"}) for i in range(300)
+        )
+        + "\n"
+    )
+
+    def drain(ckpt):
+        stream = spark.readStream.schema("token STRING").json(str(landing))
+        q = cms_table_stream(
+            stream,
+            str(tmp_path / "cms"),
+            str(tmp_path / ckpt),
+            key="token",
+            d=2,
+            w=64,
+        )
+        q.awaitTermination(120)
+
+    drain("ckpt")
+    # replay: identical file set under a fresh checkpoint re-numbers the
+    # same content as batch 0 again — the partition path is overwritten
+    # with identical rows, not appended (the retry/restart shape)
+    drain("ckpt_replay")
+
+    folded = read_cms_table(spark, str(tmp_path / "cms"))
+    all_df = spark.createDataFrame(
+        [(f"w{i % 25}",) for i in range(300)], ["token"]
+    )
+    batch = cms_table(all_df, key="token", d=2, w=64)
+    assert (
+        folded.exceptAll(batch).count() == 0
+        and batch.exceptAll(folded).count() == 0
+    )
+
+    # compaction collapses partitions into batch_id=-1, preserves the
+    # folded table and the partition-directory layout
+    kept, _ = compact_cms_table(spark, str(tmp_path / "cms"))
+    refolded = read_cms_table(spark, str(tmp_path / "cms"))
+    assert refolded.exceptAll(batch).count() == 0
+    assert refolded.count() == kept
+
+    # the ORIGINAL checkpoint keeps consuming: only the new file lands
+    # (as a fresh batch id), nothing replays against compacted history
+    (landing / "s2.jsonl").write_text(json.dumps({"token": "w0"}) + "\n")
+    drain("ckpt")
+    final = read_cms_table(spark, str(tmp_path / "cms"))
+    want = cms_table(
+        spark.createDataFrame(
+            [(f"w{i % 25}",) for i in range(300)] + [("w0",)], ["token"]
+        ),
+        key="token",
+        d=2,
+        w=64,
+    )
+    assert (
+        final.exceptAll(want).count() == 0
+        and want.exceptAll(final).count() == 0
+    )
+    # estimates off the streamed store never undercount (w0 true = 13)
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimate(
+            all_df.distinct(), final, key="token", d=2, w=64
+        ).collect()
+    }
+    assert est["w0"] >= 13
