@@ -192,6 +192,15 @@ def main() -> int:
               col="len", lo=0, hi=512, bins=64,
               quantiles=(25, 50, 75, 95, 99), facets=("facet",),
           ))
+    # PMI collocations: ~60M adjacent pairs fold into the pair/unigram
+    # aggregates (two corpus scans, both plan-cached), min_count prunes
+    # before the joins, top-30 via TakeOrdered
+    _coll_reg: list = []
+    timed(t, "collocations_1m_docs_top30",
+          text.collocations(docs, min_count=5, k=30,
+                            cache_registry=_coll_reg))
+    for _df in _coll_reg:
+        _df.unpersist()
     # BPE induction: the synthetic corpus's vocabulary saturates near
     # 1M distinct 5-char tokens (16^5 md5 prefixes) — a web-scale vocab
     # shape.  Work happens inside the call (one vocab-scale pair-count
