@@ -477,7 +477,10 @@ def histogram_quantiles(
     tails, so out-of-range data degrades resolution, never correctness).
     The reported bin satisfies: it is the SMALLEST bin whose cumulative
     count ≥ ⌈q·n/100⌉ — i.e. the true q-th percentile lies inside
-    [bin_lo, bin_hi).
+    [bin_lo, bin_hi).  NULL values are EXCLUDED (not clamped) — a NULL
+    bin would sort NULLS-FIRST in Spark and NULLS-LAST in DuckDB, so
+    exclusion is the only cross-engine-deterministic treatment; n_rows
+    counts non-NULL rows.
 
     Output: (facets..., q_pct, bin, bin_lo, bin_hi, cum_count, n_rows).
     """
@@ -497,7 +500,8 @@ def histogram_quantiles(
         f" * {bins} div {span}"
     )
     counts = (
-        df.select(*facets, bin_c.alias("bin"))
+        df.filter(F.col(col).isNotNull())
+        .select(*facets, bin_c.alias("bin"))
         .groupBy(*facets, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -563,6 +567,7 @@ WITH src AS (
          (least(greatest(CAST({col_sql} AS BIGINT), {lo}), {hi - 1}) - {lo})
            * {bins} // {span} AS bin
   FROM src
+  WHERE {col_sql} IS NOT NULL
 ), counts AS (
   SELECT facet, bin, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM binned GROUP BY 1, 2

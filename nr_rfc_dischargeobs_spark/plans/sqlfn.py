@@ -114,6 +114,7 @@ FROM (
                  (least(greatest(cast(n_chars AS BIGINT), lo), hi - 1)
                    - lo) * bins div (hi - lo) AS bin
           FROM documents
+          WHERE n_chars IS NOT NULL
         )
         GROUP BY lang, bin
       )

@@ -2018,3 +2018,23 @@ def test_collocations_partition_invariance_and_validation(spark):
         collocations(docs, min_count=0)
     with _pytest.raises(ValueError, match="k must"):
         collocations(docs, k=0)
+
+
+def test_histogram_quantiles_excludes_nulls(spark):
+    """NULL values are excluded, not clamped — a NULL bin would sort
+    NULLS-FIRST in Spark and NULLS-LAST in DuckDB, so exclusion is the
+    only cross-engine-deterministic treatment; n_rows counts non-NULLs."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("x", v) for v in [10, 20, 30, None, None]],
+        "facet string, v long",
+    )
+    out = histogram_quantiles(
+        df, "v", 0, 40, 4, quantiles=(50,), facets=("facet",)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 3
+    assert out[0]["bin"] == 2  # median 20 → bin [20, 30)
