@@ -1566,3 +1566,223 @@ CROSS JOIN tot
 ORDER BY pmi_grid DESC, w1 ASC, w2 ASC
 LIMIT {k}
 """
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 4,
+    w: int = 4,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): in every window of ``w``
+    consecutive token-``n``-gram hashes, select the minimum (rightmost
+    on ties — "robust winnowing"), and keep the distinct (position,
+    hash) selections.  The guarantee that makes this the LOCAL
+    complement to MinHash: any shared token run of length ≥ w + n − 1
+    contributes at least one IDENTICAL fingerprint to both documents,
+    at expected density 2/(w+1) — so matches are found positionally
+    (plagiarism / clone detection), not just set-similarly, from a
+    sketch ~2/(w+1) the gram count.
+
+    Distinct roles vs the siblings: :func:`fingerprint` is one hash per
+    doc (exact normalized dedup); MinHash (`dedup.minhash_signatures`)
+    sketches the GLOBAL shingle set (whole-doc resemblance, no
+    positions); :func:`span_dedup` finds exact repeats corpus-wide but
+    keeps nothing positional per doc.  Winnowing is the guaranteed-
+    density positional sketch in between.
+
+    Scale shape: scan-fused per-doc arithmetic (token array → gram-hash
+    array → per-window rightmost-argmin via slice/reverse/position —
+    O(tokens × w) per doc, w is a small dial) ending in one DISTINCT
+    keyed (doc, pos, fp); no joins, nothing corpus-wide.  Docs with
+    fewer than w + n − 1 tokens carry no full window and emit nothing
+    (stated: winnowing is undefined below one window).
+
+    Gram hashes are the first 15 hex chars of md5 over the space-joined
+    window — 60-bit BIGINTs any engine reproduces.
+
+    Output: (doc_id, pos, fp) — pos is the 0-based gram position of the
+    selected hash.
+    """
+    if n < 1 or w < 1:
+        raise ValueError("n and w must be >= 1")
+    staged = docs.select(
+        F.col(doc_id),
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks"),
+    )
+    gram_h = lambda toks, i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + F.lit(j)) for j in range(n)],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    grams = staged.select(
+        doc_id,
+        F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - n + 1),
+                lambda i: gram_h(F.col("__toks"), i),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__h"),
+    )
+    wins = grams.filter(F.size("__h") >= w).select(
+        doc_id,
+        "__h",
+        F.explode(
+            F.sequence(F.lit(1), F.size("__h") - w + 1)
+        ).alias("__i"),
+    )
+    sl = F.slice("__h", F.col("__i"), w)
+    idx = (
+        F.col("__i")
+        + w
+        - F.array_position(F.reverse(sl), F.array_min(sl))
+    ).cast("int")
+    return wins.select(
+        doc_id,
+        (idx - 1).alias("pos"),
+        F.element_at("__h", idx).alias("fp"),
+    ).distinct()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the candidate
+    local-clone report: (doc_a, doc_b, shared_fps), doc_a < doc_b,
+    ordered by shared count.
+
+    Scale shape: the join key is the FINGERPRINT (bucketed equality
+    join — candidates are Σ|fp bucket|², never all-pairs), and the
+    ``max_df`` gate drops fingerprints appearing in more than that many
+    documents BEFORE the self-join — a fingerprint shared by half the
+    corpus is boilerplate, not clone signal, and its bucket would
+    otherwise cost |bucket|² (the same hot-bucket discipline as the LSH
+    pair join).  ``min_shared`` then requires corroboration from
+    multiple fingerprints per pair.
+    """
+    if min_shared < 1 or max_df < 1:
+        raise ValueError("min_shared and max_df must be >= 1")
+    fps = (
+        winnow_fingerprints(docs, n=n, w=w, text=text, doc_id=doc_id)
+        .select(F.col(doc_id).alias("d"), "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "fp")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .groupBy(
+            F.col("a.d").alias("doc_a"), F.col("b.d").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return pairs.orderBy(
+        F.col("shared_fps").desc(),
+        F.col("doc_a").asc(),
+        F.col("doc_b").asc(),
+    )
+
+
+def _winnow_fps_cte(n: int, w: int) -> str:
+    """Shared CTE chain (src → fps) for the winnowing twins; ``src``
+    must yield (doc_id, t)."""
+    hexv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(s, {k + 1}, 1)) - 1)"
+        f" * {16 ** (15 - 1 - k)}"
+        for k in range(15)
+    )
+    gram = " || ' ' || ".join(f"sy[i + {j}]" for j in range(n))
+    arg = (
+        f"i + {w} - list_position(list_reverse(h[i : i + {w} - 1]),"
+        f" list_min(h[i : i + {w} - 1]))"
+    )
+    return f"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(t, '')), ' '),
+                     x -> x <> '') AS sy
+  FROM src
+), grams AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, len(sy) - {n} + 1),
+                          i -> substr(md5({gram}), 1, 15)),
+           s -> CAST({hexv} AS BIGINT)) AS h
+  FROM toks WHERE len(sy) >= {n}
+), wins AS (
+  SELECT doc_id, h,
+         unnest(generate_series(1, len(h) - {w} + 1)) AS i
+  FROM grams WHERE len(h) >= {w}
+), fps AS (
+  SELECT DISTINCT doc_id,
+         CAST(({arg}) - 1 AS INT) AS pos,
+         CAST(h[{arg}] AS BIGINT) AS fp
+  FROM wins
+)"""
+
+
+def winnow_fingerprints_sql(source_sql: str, n: int = 4, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` — identical 60-bit
+    gram hashes, identical rightmost-argmin selection.  ``source_sql``
+    must yield (doc_id, t)."""
+    return (
+        f"WITH src AS (\n  {source_sql}\n), "
+        + _winnow_fps_cte(n, w)
+        + "\nSELECT doc_id, pos, fp FROM fps"
+    )
+
+
+def winnow_pairs_sql(
+    source_sql: str,
+    n: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs`."""
+    return (
+        f"WITH src AS (\n  {source_sql}\n), "
+        + _winnow_fps_cte(n, w)
+        + f""", uniq AS (
+  SELECT DISTINCT doc_id AS d, fp FROM fps
+), rare AS (
+  SELECT fp FROM uniq GROUP BY fp HAVING COUNT(*) <= {max_df}
+), pruned AS (
+  SELECT d, uniq.fp FROM uniq JOIN rare ON uniq.fp = rare.fp
+)
+SELECT a.d AS doc_a, b.d AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.d < b.d
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+ORDER BY shared_fps DESC, doc_a, doc_b"""
+    )

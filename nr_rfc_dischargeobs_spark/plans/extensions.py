@@ -1263,6 +1263,38 @@ TEXT_COLLOCATIONS_SQL = textops.collocations_sql(
 )
 
 
+def text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS) over the corpus: n=4 grams,
+    window 4 — the guaranteed-density positional sketch (any shared
+    ≥7-token run yields at least one identical fingerprint)."""
+    return textops.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), n=4, w=4
+    )
+
+
+TEXT_WINNOW_FPS_SQL = textops.winnow_fingerprints_sql(
+    "SELECT doc_id, text AS t FROM documents", n=4, w=4
+)
+
+
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-clone candidate pairs by shared winnowing fingerprints
+    (min 2 corroborating fps, boilerplate fps with df > 50 dropped
+    before the bucketed self-join)."""
+    return textops.winnow_pairs(
+        load(spark, sf_dir, "documents"), n=4, w=4, min_shared=2, max_df=50
+    )
+
+
+TEXT_WINNOW_PAIRS_SQL = textops.winnow_pairs_sql(
+    "SELECT doc_id, text AS t FROM documents",
+    n=4,
+    w=4,
+    min_shared=2,
+    max_df=50,
+)
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule induction over the corpus (10 merges): the
     tokenizer-fitting step run in-engine — corpus scanned once into the

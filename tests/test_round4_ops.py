@@ -2038,3 +2038,109 @@ def test_histogram_quantiles_excludes_nulls(spark):
     assert len(out) == 1
     assert out[0]["n_rows"] == 3
     assert out[0]["bin"] == 2  # median 20 → bin [20, 30)
+
+
+def _py_winnow(text, n=4, w=4):
+    """Reference robust-winnowing replica: md5-based 60-bit gram hashes,
+    rightmost-min per window, distinct (pos, hash)."""
+    import hashlib
+
+    toks = [t for t in (text or "").lower().split(" ") if t]
+    grams = [
+        int(
+            hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(toks) - n + 1)
+    ]
+    out = set()
+    for i in range(len(grams) - w + 1):
+        win = grams[i : i + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        idx = i + w - 1 - win[::-1].index(m)
+        out.add((idx, grams[idx]))
+    return out
+
+
+def test_winnow_matches_python_replica(spark):
+    from nr_rfc_dischargeobs_spark.extensions.text import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a a a a a a a a",  # all-equal hashes: rightmost tie-break
+        "short one",  # below one window: emits nothing
+        None,
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, n=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        want = _py_winnow(t, 4, 4)
+        assert got.get(i, set()) == want, i
+    assert 2 not in got and 3 not in got  # no full window → absent
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fp(spark):
+    """The winnowing guarantee: two docs sharing a run of ≥ w + n − 1
+    tokens share at least one identical fingerprint VALUE — checked on
+    docs that are otherwise completely disjoint."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nr_rfc_dischargeobs_spark.extensions.text import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + n - 1
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two three four five six {shared} p q r s t u"),
+            (1, f"aa bb cc dd ee ff {shared} gg hh ii jj kk ll"),
+            (2, "totally unrelated words that never overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, n=4, w=4)
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 0).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    c = {r["fp"] for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a & b  # the guarantee
+    assert not (a & c) and not (b & c)
+    pairs = winnow_pairs(docs, n=4, w=4, min_shared=1).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(spark):
+    """A gram present in EVERY doc is boilerplate — with max_df below
+    the corpus size its fingerprint cannot create pairs."""
+    from nr_rfc_dischargeobs_spark.extensions.text import winnow_pairs
+
+    footer = "standard footer text repeated everywhere always verbatim"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} only{i} words{i} here{i} {footer}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    noisy = winnow_pairs(docs, n=4, w=4, min_shared=1, max_df=50).collect()
+    assert noisy  # footer fps pair everything when admitted
+    clean = winnow_pairs(docs, n=4, w=4, min_shared=1, max_df=4).collect()
+    assert clean == []
+
+
+def test_winnow_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions.text import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n and w"):
+        winnow_fingerprints(docs, n=0)
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_pairs(docs, min_shared=0)
