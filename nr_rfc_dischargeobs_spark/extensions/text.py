@@ -1640,24 +1640,45 @@ def winnow_fingerprints(
         .otherwise(F.array().cast("array<long>"))
         .alias("__h"),
     )
-    wins = grams.filter(F.size("__h") >= w).select(
-        doc_id,
-        "__h",
-        F.explode(
-            F.sequence(F.lit(1), F.size("__h") - w + 1)
-        ).alias("__i"),
-    )
-    sl = F.slice("__h", F.col("__i"), w)
-    idx = (
-        F.col("__i")
-        + w
-        - F.array_position(F.reverse(sl), F.array_min(sl))
-    ).cast("int")
-    return wins.select(
-        doc_id,
-        (idx - 1).alias("pos"),
-        F.element_at("__h", idx).alias("fp"),
-    ).distinct()
+    # The whole selection runs INSIDE the array world, one window pass
+    # per doc: explode-then-index spellings re-inline the gram-hash
+    # transform into every post-explode reference (CollapseProject +
+    # Generate — the projection-collapse trap), recomputing ~57 md5s
+    # per WINDOW (measured 76 s at the 1M probe for the window pass
+    # alone); here ``__h`` is referenced by exactly one expression
+    # chain, the per-doc (pos, fp) dedup is a row-local
+    # ``array_distinct`` (identical to the global distinct — doc_id is
+    # in the key — so the 22M-row dedup SHUFFLE disappears entirely),
+    # and the rightmost-min is unrolled scalar comparisons, no
+    # slice/reverse allocations.  Measured 80.5 → 27.0 s at the 1M
+    # probe (and the downstream pair join, which consumes the
+    # fingerprints twice, 369.5 → 66.1 s with its persist).
+    def win(h, i):
+        els = [F.element_at(h, i + F.lit(j)) for j in range(w)]
+        m = els[0] if w == 1 else F.least(*els)
+        idx = F.coalesce(
+            *[
+                F.when(els[w - 1 - jj] == m, i + F.lit(w - 1 - jj))
+                for jj in range(w)
+            ]
+        )
+        return F.struct(
+            (idx - 1).cast("int").alias("pos"),
+            F.element_at(h, idx).alias("fp"),
+        )
+
+    fps_per_doc = F.when(
+        F.size("__h") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__h") - w + 1),
+                lambda i: win(F.col("__h"), i),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
+    return grams.select(
+        doc_id, F.explode(fps_per_doc).alias("__f")
+    ).select(doc_id, F.col("__f.pos").alias("pos"), F.col("__f.fp").alias("fp"))
 
 
 def winnow_pairs(
@@ -1668,6 +1689,7 @@ def winnow_pairs(
     max_df: int = 50,
     text: str = "text",
     doc_id: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Document pairs sharing winnowing fingerprints — the candidate
     local-clone report: (doc_a, doc_b, shared_fps), doc_a < doc_b,
@@ -1684,11 +1706,19 @@ def winnow_pairs(
     """
     if min_shared < 1 or max_df < 1:
         raise ValueError("min_shared and max_df must be >= 1")
+    # the (doc, fp) set feeds THREE consumers (df counts + both sides
+    # of the self-join): persist it so the winnowing scan runs once —
+    # plan-cache discipline, handle released by the registry owner
     fps = (
         winnow_fingerprints(docs, n=n, w=w, text=text, doc_id=doc_id)
         .select(F.col(doc_id).alias("d"), "fp")
         .distinct()
+        .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(fps)
+    else:
+        fps.unpersist(blocking=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -1282,7 +1282,12 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min 2 corroborating fps, boilerplate fps with df > 50 dropped
     before the bucketed self-join)."""
     return textops.winnow_pairs(
-        load(spark, sf_dir, "documents"), n=4, w=4, min_shared=2, max_df=50
+        load(spark, sf_dir, "documents"),
+        n=4,
+        w=4,
+        min_shared=2,
+        max_df=50,
+        cache_registry=_PLAN_CACHES,
     )
 
 

@@ -192,6 +192,21 @@ def main() -> int:
               col="len", lo=0, hi=512, bins=64,
               quantiles=(25, 50, 75, 95, 99), facets=("facet",),
           ))
+    # Winnowing: ~54M windows select ~21 fps/doc (density 2/(w+1));
+    # the pair report joins on fp buckets over the planted duplicates
+    timed(t, "winnow_fps_1m_docs", text.winnow_fingerprints(docs))
+    # plant 5-doc clone clusters so the pair join has real bucket mass
+    # (200k clusters × C(5,2) = 2M true pairs)
+    cloned = spark.range(args.docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 59),"
+            " i -> substr(md5(concat(cast(id - id % 5 as string), '_',"
+            " cast(i as string))), 1, 5)))"
+        ).alias("text"),
+    )
+    timed(t, "winnow_pairs_1m_docs_5xclones",
+          text.winnow_pairs(cloned, min_shared=2, max_df=50))
     # PMI collocations: ~60M adjacent pairs fold into the pair/unigram
     # aggregates (two corpus scans, both plan-cached), min_count prunes
     # before the joins, top-30 via TakeOrdered
