@@ -104,16 +104,21 @@ def _train(
     text: str,
     token_pattern: str,
     cache_registry: list | None,
-) -> tuple[list[tuple], DataFrame]:
-    """Shared loop: returns (merge rows, final symbolized vocabulary).
-    The vocabulary persists once (the corpus never re-scans); each
-    iteration's argmax is the one driver-side collect — n_merges rows
-    total, the algorithm's own model state, not a data spill."""
+) -> tuple[list[tuple], DataFrame, DataFrame]:
+    """Shared loop: returns (merge rows, final symbolized vocabulary,
+    the PERSISTED base-vocab handle).  The vocabulary persists once
+    (the corpus never re-scans); each iteration's argmax is the one
+    driver-side collect — n_merges rows total, the algorithm's own
+    model state, not a data spill.  The handle comes back separately
+    because the final state is a withColumn chain DERIVED from it —
+    `state.unpersist()` would be a silent no-op (CacheManager matches
+    by sameResult, not lineage), leaking the cache for the session."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    state = _vocab(docs, text, token_pattern).persist()
+    vocab = _vocab(docs, text, token_pattern).persist()
     if cache_registry is not None:
-        cache_registry.append(state)
+        cache_registry.append(vocab)
+    state = vocab
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         best = (
@@ -127,7 +132,7 @@ def _train(
         a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
         merges.append((r, a, b, a + b, c))
         state = _apply_merge(state, a, b)
-    return merges, state
+    return merges, state, vocab
 
 
 def bpe_merges(
@@ -140,9 +145,13 @@ def bpe_merges(
     """The learned merge table — BPE's model artifact: (rank, left_sym,
     right_sym, merged, pair_count), rank in learning order.  Fewer than
     ``n_merges`` rows when the corpus runs out of adjacent pairs."""
-    merges, state = _train(docs, n_merges, text, token_pattern, cache_registry)
+    merges, _state, vocab = _train(
+        docs, n_merges, text, token_pattern, cache_registry
+    )
     if cache_registry is None:
-        state.unpersist()
+        # training is done (the merges are collected); release the
+        # CORRECT handle — the persisted base vocab, not a derived frame
+        vocab.unpersist()
     return docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
 
 
@@ -157,7 +166,9 @@ def bpe_segment_vocab(
     resulting segmentation: (token, cnt, n_subwords, segmentation) with
     subwords space-joined — the fertility audit (subwords per token)
     that decides whether the merge budget is big enough."""
-    _, state = _train(docs, n_merges, text, token_pattern, cache_registry)
+    _, state, vocab = _train(
+        docs, n_merges, text, token_pattern, cache_registry
+    )
     sy = F.split(F.expr("trim(BOTH '<>' FROM syms)"), "><")
     out = state.select(
         "token",
@@ -166,13 +177,13 @@ def bpe_segment_vocab(
         F.array_join(sy, " ").alias("segmentation"),
     )
     if cache_registry is None:
-        # the final projection still reads the persisted vocab; hand the
-        # handle to the caller's plan by keeping it hot until released —
-        # without a registry we cannot safely unpersist before the
-        # caller evaluates, so fall back to Spark's LRU by unpersisting
-        # lazily on garbage collection (blocking=False drops eagerly
-        # only the bookkeeping; recompute stays correct either way)
-        state.unpersist(blocking=False)
+        # release the persisted base vocab NOW (the correct handle —
+        # see _train): training already used it n_merges times; the
+        # returned frame recomputes the vocab scan once on evaluation,
+        # the honest trade against leaking a session-lifetime cache
+        # entry.  Pass a registry to keep the cached shape through
+        # evaluation and release it later.
+        vocab.unpersist()
     return out
 
 
@@ -198,7 +209,14 @@ def segment_tokens(
 
 def _stage_sql(i: int) -> str:
     """One unrolled iteration: pair counts over s{i-1}, deterministic
-    argmax, merge applied by the same boundary-exact replace."""
+    argmax, merge applied by the same boundary-exact replace.  The
+    apply is a LEFT JOIN (b{i} is 0-or-1 rows): when the corpus runs
+    out of pairs before the merge budget, b{i} is EMPTY and the state
+    must CARRY FORWARD unchanged — a CROSS JOIN would annihilate the
+    vocabulary and make the segmentation twin return zero rows while
+    the Spark side returns the full vocabulary (caught by review; the
+    merge-table twin was unaffected because empty b{i} rows simply
+    drop out of its UNION)."""
     prev = f"s{i - 1}"
     return f"""p{i} AS (
   SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
@@ -215,9 +233,11 @@ def _stage_sql(i: int) -> str:
   SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
 ), s{i} AS (
   SELECT token, cnt,
-         replace(syms, '<' || b.a || '><' || b.b || '>',
-                 '<' || b.a || b.b || '>') AS syms
-  FROM {prev} CROSS JOIN b{i} b
+         CASE WHEN b.a IS NULL THEN syms
+              ELSE replace(syms, '<' || b.a || '><' || b.b || '>',
+                 '<' || b.a || b.b || '>')
+         END AS syms
+  FROM {prev} LEFT JOIN b{i} b ON TRUE
 )"""
 
 

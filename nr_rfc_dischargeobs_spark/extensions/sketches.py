@@ -305,6 +305,29 @@ def _check_cms(d: int, w: int) -> None:
         raise ValueError("w must be >= 2")
 
 
+def _cms_lanes(d: int, w: int) -> Column:
+    """The d (depth, bucket) lane structs off a staged ``__h`` md5
+    column — ONE definition of the lane recipe (the cross-engine
+    contract), shared by the table build and the estimate side so the
+    pairing cannot drift."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("depth"),
+                    (
+                        F.conv(
+                            F.substring("__h", 1 + 8 * j, 8), 16, 10
+                        ).cast("long")
+                        % w
+                    ).alias("bucket"),
+                )
+                for j in range(d)
+            ]
+        )
+    )
+
+
 def cms_table(
     df: DataFrame,
     key: str,
@@ -322,25 +345,7 @@ def cms_table(
     _check_cms(d, w)
     h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
     staged = df.select(*facets, h.alias("__h"))
-    lanes = staged.select(
-        *facets,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("depth"),
-                        (
-                            F.conv(
-                                F.substring("__h", 1 + 8 * j, 8), 16, 10
-                            ).cast("long")
-                            % w
-                        ).alias("bucket"),
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("l"),
-    )
+    lanes = staged.select(*facets, _cms_lanes(d, w).alias("l"))
     return lanes.groupBy(
         *facets, F.col("l.depth").alias("depth"), F.col("l.bucket").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -362,25 +367,9 @@ def cms_estimate(
     _check_cms(d, w)
     h = F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
     staged = candidates.select(key, h.alias("__h"))
-    cand_lanes = staged.select(
-        key,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("depth"),
-                        (
-                            F.conv(
-                                F.substring("__h", 1 + 8 * j, 8), 16, 10
-                            ).cast("long")
-                            % w
-                        ).alias("bucket"),
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("l"),
-    ).select(key, "l.depth", "l.bucket")
+    cand_lanes = staged.select(key, _cms_lanes(d, w).alias("l")).select(
+        key, "l.depth", "l.bucket"
+    )
     joined = cand_lanes.join(F.broadcast(cms), ["depth", "bucket"], "left")
     return joined.groupBy(key).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
@@ -395,6 +384,7 @@ def cms_estimate_sql(
     w: int = 1024,
     salt: str = "cms",
     exact_audit: bool = True,
+    key_name: str = "token",
 ) -> str:
     """DuckDB twin of :func:`cms_table` + :func:`cms_estimate` —
     identical md5 lanes, identical min-of-counters arithmetic;
@@ -439,7 +429,7 @@ WITH src AS (
   FROM cand_lanes cl LEFT JOIN cms USING (depth, bucket)
   GROUP BY 1
 )
-SELECT est.k AS token, est.cms_estimate{audit_cols}
+SELECT est.k AS {key_name}, est.cms_estimate{audit_cols}
 FROM est{audit_join}
 """
 

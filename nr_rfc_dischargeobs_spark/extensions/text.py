@@ -1455,21 +1455,19 @@ def collocations(
         staged.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
-    pairs_all = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .persist()
+    pairs_all = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
     )
     if cache_registry is not None:
+        # the two aggregates feed multiple consumers (joins + totals):
+        # persist ONLY when the caller owns release — an unowned
+        # persist would either leak for the session or, unpersisted
+        # here before evaluation, be pure bookkeeping churn (the
+        # CacheManager entry would vanish before any action reads it)
+        unigrams = unigrams.persist()
+        pairs_all = pairs_all.persist()
         cache_registry.extend([unigrams, pairs_all])
-    else:
-        # no owner to release them later: drop the cache bookkeeping now
-        # (lazy callers recompute — correct either way); pass a registry
-        # to keep the two-scan shape across the plan's multiple readers
-        unigrams.unpersist(blocking=False)
-        pairs_all.unpersist(blocking=False)
     totals = unigrams.agg(F.sum("c").alias("__n"))
     # P = Σ pair counts — folded from the cached pair table, not a
     # third corpus scan (pairs per doc = tokens − 1 by construction)
@@ -1707,18 +1705,18 @@ def winnow_pairs(
     if min_shared < 1 or max_df < 1:
         raise ValueError("min_shared and max_df must be >= 1")
     # the (doc, fp) set feeds THREE consumers (df counts + both sides
-    # of the self-join): persist it so the winnowing scan runs once —
-    # plan-cache discipline, handle released by the registry owner
+    # of the self-join): with a registry to own the release, persist it
+    # so the winnowing scan runs once (369.5 → 66.1 s at the 1M probe);
+    # without one, don't — an unowned persist either leaks for the
+    # session or is unpersisted before any action reads it
     fps = (
         winnow_fingerprints(docs, n=n, w=w, text=text, doc_id=doc_id)
         .select(F.col(doc_id).alias("d"), "fp")
         .distinct()
-        .persist()
     )
     if cache_registry is not None:
+        fps = fps.persist()
         cache_registry.append(fps)
-    else:
-        fps.unpersist(blocking=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1745,12 +1743,12 @@ def winnow_pairs(
 
 def _winnow_fps_cte(n: int, w: int) -> str:
     """Shared CTE chain (src → fps) for the winnowing twins; ``src``
-    must yield (doc_id, t)."""
-    hexv = " + ".join(
-        f"(strpos('0123456789abcdef', substr(s, {k + 1}, 1)) - 1)"
-        f" * {16 ** (15 - 1 - k)}"
-        for k in range(15)
-    )
+    must yield (doc_id, t).  The hex→BIGINT arithmetic is the ONE
+    shared implementation in :mod:`.sketches` — the engine-portability
+    contract must not fork."""
+    from .sketches import _hexval_sql
+
+    hexv = _hexval_sql("s", 1, 15)
     gram = " || ' ' || ".join(f"sy[i + {j}]" for j in range(n))
     arg = (
         f"i + {w} - list_position(list_reverse(h[i : i + {w} - 1]),"

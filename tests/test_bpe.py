@@ -203,3 +203,41 @@ def test_bpe_hypothesis_replica(spark, corpora, k):
         for r in bpe.bpe_segment_vocab(docs, n_merges=k).collect()
     }
     assert got_seg == want_seg
+
+
+def test_bpe_segment_sql_survives_merge_exhaustion(spark):
+    """When the corpus runs out of pairs before the merge budget, the
+    DuckDB segmentation twin must carry the vocabulary forward (a CROSS
+    JOIN against the empty argmax stage annihilated it — review
+    finding) and stay identical to the Spark side."""
+    import duckdb
+
+    texts = [(0, "ab ab cd")]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = sorted(
+        tuple(r)
+        for r in bpe.bpe_segment_vocab(docs, n_merges=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT 'ab ab cd' AS t"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            bpe.bpe_segment_vocab_sql("SELECT t FROM d", n_merges=5)
+        ).fetchall()
+    )
+    assert got == want
+    assert {r[0] for r in got} == {"ab", "cd"}  # nothing annihilated
+    # merge twin agrees too (2 productive merges, then exhaustion)
+    m_spark = [
+        tuple(r) for r in bpe.bpe_merges(docs, n_merges=5).collect()
+    ]
+    m_duck = [
+        tuple(r)
+        for r in con.execute(
+            bpe.bpe_merges_sql("SELECT t FROM d", n_merges=5)
+        ).fetchall()
+    ]
+    assert m_spark == m_duck and len(m_spark) == 2

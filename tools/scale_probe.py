@@ -205,8 +205,12 @@ def main() -> int:
             " cast(i as string))), 1, 5)))"
         ).alias("text"),
     )
+    _wp_reg: list = []
     timed(t, "winnow_pairs_1m_docs_5xclones",
-          text.winnow_pairs(cloned, min_shared=2, max_df=50))
+          text.winnow_pairs(cloned, min_shared=2, max_df=50,
+                            cache_registry=_wp_reg))
+    for _df in _wp_reg:
+        _df.unpersist()
     # PMI collocations: ~60M adjacent pairs fold into the pair/unigram
     # aggregates (two corpus scans, both plan-cached), min_count prunes
     # before the joins, top-30 via TakeOrdered
