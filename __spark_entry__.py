@@ -101,6 +101,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_collocations": extensions.text_collocations,  # new r6
         "ext_text_winnow_fps": extensions.text_winnow_fps,  # new r6
         "ext_text_winnow_pairs": extensions.text_winnow_pairs,  # new r6
+        "ext_diag_skew_profile": extensions.diag_skew_profile,  # new r6
+        "ext_diag_psi_drift": extensions.diag_psi_drift,  # new r6
         # --- oldest driver check (r3) ---
         "fn_formula_estimate": events.formula_estimate,
         "ts_moving_avg_1h": timeseries.moving_avg_1h,
@@ -334,6 +336,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_text_collocations": extensions.TEXT_COLLOCATIONS_SQL,
         "ext_text_winnow_fps": extensions.TEXT_WINNOW_FPS_SQL,
         "ext_text_winnow_pairs": extensions.TEXT_WINNOW_PAIRS_SQL,
+        "ext_diag_skew_profile": extensions.DIAG_SKEW_PROFILE_SQL,
+        "ext_diag_psi_drift": extensions.DIAG_PSI_DRIFT_SQL,
         "ext_contamination_semantic": extensions.CONTAMINATION_SEMANTIC_SQL,
         "ext_curate_semantic": extensions.CURATE_SEMANTIC_SQL,
         "ext_dedup_jaccard_pairs": extensions.DEDUP_JACCARD_PAIRS_SQL,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..extensions import (
     bpe,
     contamination,
+    diagnostics,
     curate,
     dedup,
     multimodal,
@@ -1260,6 +1261,48 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_COLLOCATIONS_SQL = textops.collocations_sql(
     "SELECT text AS t FROM documents", min_count=5, k=30
+)
+
+
+def diag_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over events.user_id — the top-10 heaviest
+    keys with the corpus ratios that decide whether a join on this key
+    needs salting before it runs."""
+    return diagnostics.skew_profile(
+        load(spark, sf_dir, "events"), key="user_id", top=10
+    )
+
+
+DIAG_SKEW_PROFILE_SQL = diagnostics.skew_profile_sql(
+    "SELECT user_id FROM events", "user_id", top=10
+)
+
+
+def diag_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) of document length per language between
+    the even- and odd-doc_id halves of the corpus — the snapshot-vs-
+    snapshot monitoring statistic, on the shared clamped fixed grid."""
+    docs = load(spark, sf_dir, "documents")
+    return diagnostics.psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        col="n_chars",
+        lo=0,
+        hi=1024,
+        bins=32,
+        facets=("lang",),
+    )
+
+
+DIAG_PSI_DRIFT_SQL = diagnostics.psi_drift_sql(
+    "SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0",
+    "SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1",
+    col_sql="n_chars",
+    facet_sql="lang",
+    lo=0,
+    hi=1024,
+    bins=32,
+    facet_name="lang",
 )
 
 

@@ -2144,3 +2144,67 @@ def test_winnow_validation(spark):
         winnow_fingerprints(docs, n=0)
     with pytest.raises(ValueError, match="min_shared"):
         winnow_pairs(docs, min_shared=0)
+
+
+def test_skew_profile_planted_hot_key(spark):
+    """A planted hot key dominates the report with exact ratios; NULL
+    counts as a key (the outer-join skew offender)."""
+    from nr_rfc_dischargeobs_spark.extensions.diagnostics import (
+        skew_profile,
+    )
+
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(30)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "key string")
+    out = skew_profile(df, "key", top=3).collect()
+    top = out[0]
+    assert top["key"] == "hot" and top["cnt"] == 60
+    assert top["n_rows"] == 100 and top["n_keys"] == 32
+    assert top["share"] == 0.6
+    assert top["mean_cnt"] == 100 / 32
+    assert top["skew_ratio"] == 60 * 32 / 100
+    assert out[1]["key"] is None and out[1]["cnt"] == 10
+    with pytest.raises(ValueError, match="top"):
+        skew_profile(df, "key", top=0)
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
+    """Identical snapshots score PSI == 0 exactly (every Δp grid term is
+    0); a hard shift scores far above the 0.25 rule-of-thumb and counts
+    its drifted bins."""
+    from nr_rfc_dischargeobs_spark.extensions.diagnostics import psi_drift
+
+    a = spark.createDataFrame(
+        [("x", (i * 7) % 100) for i in range(500)], ["facet", "v"]
+    )
+    same = psi_drift(a, a, "v", 0, 100, 10, facets=("facet",)).collect()[0]
+    assert same["psi_grid"] == 0 and same["psi"] == 0.0
+    assert same["n_bins_drifted"] == 0
+    b = spark.createDataFrame(
+        [("x", 90 + (i % 10)) for i in range(500)], ["facet", "v"]
+    )
+    shifted = psi_drift(a, b, "v", 0, 100, 10, facets=("facet",)).collect()[0]
+    assert shifted["psi"] > 0.25
+    # the receiving bin gains ~0.9 share (far over the 1/bins = 0.1
+    # gate); each emptied bin loses ~0.098 — just UNDER the gate after
+    # smoothing, so exactly the one big mover is flagged
+    assert shifted["n_bins_drifted"] == 1
+    assert shifted["n_a"] == 500 and shifted["n_b"] == 500
+
+
+def test_psi_drift_partition_invariance_and_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions.diagnostics import psi_drift
+
+    a = spark.createDataFrame(
+        [("x", (i * 13) % 64) for i in range(300)], ["facet", "v"]
+    )
+    b = spark.createDataFrame(
+        [("x", (i * 29) % 64) for i in range(200)], ["facet", "v"]
+    )
+    r1 = psi_drift(a, b, "v", 0, 64, 8, facets=("facet",)).collect()[0]
+    r2 = psi_drift(
+        a.repartition(13), b.repartition(7), "v", 0, 64, 8,
+        facets=("facet",),
+    ).collect()[0]
+    assert r1["psi_grid"] == r2["psi_grid"]  # exact integer total
+    with pytest.raises(ValueError, match="hi"):
+        psi_drift(a, b, "v", 5, 5, 4)
