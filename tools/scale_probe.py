@@ -140,6 +140,11 @@ def main() -> int:
     finally:
         shutil.rmtree(ev_dir, ignore_errors=True)
 
+    from nr_rfc_dischargeobs_spark.extensions import diagnostics
+
+    timed(t, "skew_profile_10m_events",
+          diagnostics.skew_profile(ev, key="user_id", top=10))
+
     print(f"documents tier ({args.docs:,} docs):", file=sys.stderr)
     docs = synth_docs(spark, args.docs).localCheckpoint()
     timed(t, "pack_assignments_1024shards",
@@ -191,6 +196,18 @@ def main() -> int:
                           F.length("text").alias("len")),
               col="len", lo=0, hi=512, bins=64,
               quantiles=(25, 50, 75, 95, 99), facets=("facet",),
+          ))
+    # PSI drift between the corpus halves: two binned scans fold into
+    # 5 facets × 64 bins each, everything after is metadata-scale
+    timed(t, "psi_drift_1m_docs_halves",
+          diagnostics.psi_drift(
+              docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+                  "facet", F.col("doc_id") % 5
+              ).withColumn("len", F.length("text")),
+              docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+                  "facet", F.col("doc_id") % 5
+              ).withColumn("len", F.length("text")),
+              col="len", lo=0, hi=512, bins=64, facets=("facet",),
           ))
     # Winnowing: ~54M windows select ~21 fps/doc (density 2/(w+1));
     # the pair report joins on fp buckets over the planted duplicates
