@@ -303,12 +303,25 @@ def bloom_screen(
     flagged = F.size(
         F.filter(F.col("__poss"), lambda ps: F.forall(ps, bit_set))
     )
-    return staged.select(
+    # stage the k-probe membership scan ONCE: HOFs are CodegenFallback
+    # with no CSE, so inlining `flagged` into the three output columns
+    # would run the whole filter+forall over every gram's positions 3×
+    # per row — the dominant row-local cost of the screen.  A non-cheap
+    # column referenced three times downstream survives CollapseProject
+    # (the span_dedup staging discipline).
+    counted = staged.select(
         F.col(doc_id),
         F.size("__poss").cast("long").alias("n_grams"),
-        flagged.cast("long").alias("n_flagged"),
-        (flagged.cast("double") / F.size("__poss")).alias("flagged_frac"),
-        (flagged > 0).alias("flagged"),
+        flagged.cast("long").alias("__flag"),
+    )
+    return counted.select(
+        F.col(doc_id),
+        "n_grams",
+        F.col("__flag").alias("n_flagged"),
+        (F.col("__flag").cast("double") / F.col("n_grams")).alias(
+            "flagged_frac"
+        ),
+        (F.col("__flag") > 0).alias("flagged"),
     )
 
 

@@ -641,16 +641,25 @@ def dsir_log_ratio_trained(
     )
     n_feats = F.size(F.col("__bigrams")).cast("long")
     logw_scaled = s - n_feats * F.lit(norm)
-    return staged.select(
+    # stage the per-doc fold ONCE: `logw_scaled` (one md5 + lookup per
+    # bigram, interpreted — HOFs have no CSE) feeds BOTH output columns;
+    # inlined, the dominant per-row cost of the streaming gate would
+    # run twice.  Referenced twice downstream, the staged column
+    # survives CollapseProject.
+    folded = staged.select(
         doc_id,
         *passthrough,
         n_feats.alias("n_feats"),
         F.when(n_feats > 0, logw_scaled)
         .otherwise(F.lit(0).cast("long"))
         .alias("logw_scaled"),
-        F.when(n_feats > 0, logw_scaled.cast("double") / SCALE)
-        .otherwise(F.lit(0.0))
-        .alias("logw"),
+    )
+    return folded.select(
+        doc_id,
+        *passthrough,
+        "n_feats",
+        "logw_scaled",
+        (F.col("logw_scaled").cast("double") / SCALE).alias("logw"),
     )
 
 

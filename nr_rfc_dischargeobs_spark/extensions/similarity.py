@@ -1064,6 +1064,11 @@ def ivf_pq_index(
 
     Output: (vec_id, list_id, code_0..code_{m-1}, sq_err).
     """
+    if assign not in ("window", "local"):
+        # fail loudly: a typo silently falling back to the window
+        # spelling would pay the corpus-keyed exchange the caller
+        # believed they avoided — visible only in the cluster bill
+        raise ValueError(f"assign must be 'window' or 'local', got {assign!r}")
     if assign == "local":
         coarse_rows = [
             (r["vec_id"], r["q"])

@@ -87,10 +87,18 @@ def hll_registers(
     2^p rows per facet group, mergeable with any other run's registers
     by ``max`` (the HLL union).  This is the artifact a fleet stores
     per shard/day and folds later; :func:`hll_cardinality` is the
-    one-shot build-and-estimate over it."""
+    one-shot build-and-estimate over it.
+
+    NULL keys are EXCLUDED (matching ``COUNT(DISTINCT)``, which the
+    audit compares against): Spark's ``concat_ws`` would silently skip
+    a NULL and hash a phantom salt-only key while the SQL twin's
+    ``||`` concatenation would yield a NULL register row — two
+    different corruptions; filtering NULLs on both sides is the one
+    consistent treatment."""
     reg, rho = hll_register_rho(F.col(key), p=p, salt=salt)
     return (
-        df.select(*facets, reg.alias("register"), rho.alias("rho"))
+        df.filter(F.col(key).isNotNull())
+        .select(*facets, reg.alias("register"), rho.alias("rho"))
         .groupBy(*facets, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -192,8 +200,15 @@ def hll_cardinality(
     exact = df.groupBy(*facets).agg(
         F.countDistinct(key).alias("exact_distinct")
     )
-    join_on = list(facets)
-    return out.join(exact, join_on).select(
+    # facets=() → both sides are one row, and DataFrame.join with an
+    # empty on-list raises IndexError in PySpark 4 (it indexes on[0]);
+    # the global-audit call joins by cross product instead
+    joined = (
+        out.join(exact, list(facets))
+        if facets
+        else out.crossJoin(exact)
+    )
+    return joined.select(
         *facets,
         "hll_m",
         "hll_registers_used",
@@ -245,6 +260,7 @@ WITH src AS (
 ), hashed AS (
   SELECT facet, {h} AS h, {key_sql} AS k
   FROM (SELECT {facet_sql} AS facet, * FROM src)
+  WHERE {key_sql} IS NOT NULL
 ), rr AS (
   SELECT facet, k, {reg} AS register,
          CASE WHEN {tail} = 0 THEN {_MAX_RHO}

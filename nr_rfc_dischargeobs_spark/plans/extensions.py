@@ -1100,17 +1100,11 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hex4_sql(h: str, j: int) -> str:
     """DuckDB-dialect base-16 value of md5-hex chars [4j, 4j+4) — the
-    nibble-arithmetic twin of ``contamination._bloom_positions`` (same
-    value; only runs on test-sized inputs)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('{sampling.HEX}', substr({h}, {4 * j + i + 1}, 1)) - 1)"
-            f" * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        + ")"
-    )
+    nibble-arithmetic twin of ``contamination._bloom_positions``.  ONE
+    shared implementation of the hex arithmetic lives in
+    ``sketches._hexval_sql``; this is a thin offset adapter, not a
+    fork."""
+    return sketches._hexval_sql(h, 4 * j + 1, 4)
 
 
 def _decontam_bloom_sql() -> str:

@@ -45,8 +45,12 @@ def parse_swob_xml(
     to structure around the elements, at a cost independent of how many
     variables are extracted.  ASSUMPTION the zip rests on: every
     ``element`` node carries BOTH attributes (true of SWOB-ML payloads —
-    a name-only node would shift the value array; use :func:`xml_attr`
-    per variable for feeds without that guarantee).  Measured at the EP3 probe (8.76M
+    a name-only node SHIFTS the value array; use :func:`xml_attr`
+    per variable for feeds without that guarantee).  The lookup uses
+    the out-of-bounds-NULL ``get`` rather than ANSI ``element_at``, so
+    a malformed name-only payload degrades that row to ''/misaligned
+    values instead of killing an 8.8M-payload ingestion job with
+    INVALID_ARRAY_INDEX.  Measured at the EP3 probe (8.76M
     payloads × 3 vars): 81.7 s per-variable → see SCALE_PROBE
     ``ep3_swob_parse`` for the zipped number.  Absent variables yield
     NULL (``array_position`` 0 guarded — under ANSI ``element_at(…, 0)``
@@ -65,7 +69,10 @@ def parse_swob_xml(
         # node-set, so the F4 schema contract is unchanged
         return F.coalesce(
             F.when(
-                pos > 0, F.element_at(F.col("__vals"), pos.cast("int"))
+                # get() is 0-based and NULL past the end — a name-only
+                # node can leave __vals shorter than __names
+                pos > 0,
+                F.get(F.col("__vals"), pos.cast("int") - 1),
             ),
             F.lit(""),
         )

@@ -199,16 +199,20 @@ def land_document_stream(
     drain-then-exit cron model; pass ``available_now=False`` for a
     continuous run).
     """
-    import os
-
     def _land(batch_df: DataFrame, _batch_id: int) -> None:
         out = batch_df
         sess = batch_df.sparkSession
-        if os.path.isdir(landed_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(landed_dir)
-        ):
+        # existence is probed by ATTEMPTING the read, not by driver-
+        # local os.path — an os.path.isdir('s3://…') is always False,
+        # which would silently skip the anti-join (the function's whole
+        # guarantee) on any non-local store.  A missing/empty dir is
+        # the only expected failure; anything else must still raise.
+        try:
             seen = sess.read.parquet(landed_dir).select("fingerprint")
             out = out.join(seen, "fingerprint", "left_anti")
+        except Exception as ex:  # noqa: BLE001 — filtered below
+            if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER" not in str(ex):
+                raise
         out.write.mode("append").parquet(landed_dir)
 
     writer = curated.writeStream.foreachBatch(_land).option(

@@ -484,3 +484,39 @@ def test_ep1_all_three_source_families_land_together(spark, tmp_path):
     u = by_source["usgs"][0]
     assert u.station_id == "1200015" and u.datatype == "Q"
     assert u.value == 10.0  # 353.147 cfs -> 10 m³/s
+
+
+def test_parse_swob_xml_survives_name_only_element(spark):
+    """Review regression: a malformed element carrying @name but no
+    @value shifts the positional zip — the row must degrade (''/
+    misaligned values) instead of killing the job with ANSI
+    INVALID_ARRAY_INDEX."""
+    from pyspark.sql import functions as F
+
+    from nr_rfc_dischargeobs_spark.sources import swob
+
+    payloads = spark.createDataFrame(
+        [
+            (
+                "CWXG",
+                "<report><elements>"
+                "<element name='air_temp'/>"
+                "<element name='pcpn_amt_pst1hr' value='0.4'/>"
+                "</elements></report>",
+            ),
+            (
+                "CWOK",
+                "<report><elements>"
+                "<element name='air_temp' value='5.5'/>"
+                "</elements></report>",
+            ),
+        ],
+        ["station", "xml"],
+    ).withColumn("obs_hour", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    rows = {r["station"]: r for r in swob.parse_swob_xml(payloads).collect()}
+    # the well-formed payload is untouched by the degradation
+    assert rows["CWOK"]["air_temp"] == "5.5"
+    # the malformed one produced A row (no crash); air_temp reads the
+    # shifted value (documented misalignment), the out-of-range lookup
+    # degrades to ''
+    assert rows["CWXG"]["pcpn_amt_pst1hr"] == ""

@@ -2208,3 +2208,40 @@ def test_psi_drift_partition_invariance_and_validation(spark):
     assert r1["psi_grid"] == r2["psi_grid"]  # exact integer total
     with pytest.raises(ValueError, match="hi"):
         psi_drift(a, b, "v", 5, 5, 4)
+
+
+def test_hll_global_audit_and_null_keys(spark):
+    """Review regressions: (a) exact_audit with no facets must not
+    crash on the empty join-key list; (b) NULL keys are excluded on
+    both engines' paths — matching COUNT(DISTINCT), not hashed into a
+    phantom register."""
+    from nr_rfc_dischargeobs_spark.extensions.sketches import (
+        hll_cardinality,
+    )
+
+    df = spark.createDataFrame(
+        [(f"key-{i % 50}",) for i in range(200)] + [(None,)] * 10,
+        "k string",
+    )
+    row = hll_cardinality(df, key="k", exact_audit=True).collect()[0]
+    assert row["exact_distinct"] == 50
+    no_nulls = hll_cardinality(
+        df.filter(F.col("k").isNotNull()), key="k", exact_audit=True
+    ).collect()[0]
+    assert row["hll_estimate"] == no_nulls["hll_estimate"]
+    assert row["hll_registers_used"] == no_nulls["hll_registers_used"]
+
+
+def test_ivf_pq_index_assign_validation(spark):
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    emb = similarity.prepare(
+        spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    with pytest.raises(ValueError, match="assign must"):
+        similarity.ivf_pq_index(
+            emb, emb.limit(2), [(0, [1, 1])], assign="locla"
+        )
