@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(
     r"\s*(?:"
-    r"(?P<number>\d+\.\d*|\.\d+|\d+)"
+    # the trailing-dot float ('2.') must NOT swallow the dot of a
+    # following '.clip(...)' — '2.clip(lower=3)' is grammar-valid and
+    # the greedy \d+\.\d* spelling lexed it as number '2.' + bad token
+    r"(?P<number>\d+\.\d+|\.\d+|\d+\.(?!clip)|\d+)"
     r"|\{(?P<station>[^}]+)\}"
     r"|(?P<clip>\.clip\(\s*lower\s*=\s*(?P<clipval>-?(?:\d+\.\d*|\.\d+|\d+))\s*\))"
     r"|(?P<op>[-+*/^()])"

@@ -3,7 +3,10 @@ conversion, timezone normalization.
 
 Reference semantics being reproduced (citations into /root/reference):
 - 5-minute grid rounding of WSC timestamps: ``discharge_obs_pd.py:143``
-  (pandas ``dt.round('5min')`` — round-half-up to the nearest grid point).
+  (pandas ``dt.round('5min')`` — round-half-to-EVEN at exact midpoints,
+  the banker's rounding ``round_to_grid`` reproduces; an earlier version
+  of this header said half-up, contradicting both the implementation and
+  its DuckDB oracle).
 - keep-first dedup on (station, timestamp): ``discharge_obs_pd.py:70-71,109,150``.
 - unit conversions cfs→m³/s (÷35.3147) and ft→m (÷3.28084) with 3-decimal
   rounding: ``discharge_obs_pd.py:63-65``.

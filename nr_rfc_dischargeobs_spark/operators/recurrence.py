@@ -33,26 +33,6 @@ from pyspark.sql.types import (
 )
 
 
-def rising_falling_recurrence_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-station recurrence on a pandas group — the exact reference loop
-    (``dischargeobs_write_xl.py:123-127``), vectorizable no further because
-    step i reads step i-1's *output*."""
-    pdf = pdf.sort_values("hour").reset_index(drop=True)
-    # plain Python lists in the loop: per-element numpy indexing costs ~1µs
-    # in boxing alone, which dominates a loop this tight (measured ~2× the
-    # whole operator's wall at 2000 station-years)
-    vals = pdf["hrly_max"].tolist()  # the alias target
-    last = pdf["hrly_last"].tolist()
-    maxs = pdf["hrly_max"].tolist()
-    for i in range(1, len(vals)):
-        # reference compares against vals[i-1] (possibly rewritten), and
-        # NaN comparisons are False → keep the max — both preserved here.
-        if maxs[i] <= vals[i - 1]:
-            vals[i] = last[i]
-    pdf["value"] = vals
-    return pdf[["station_id", "hour", "value"]]
-
-
 RESULT_SCHEMA = StructType(
     [
         StructField("station_id", StringType()),

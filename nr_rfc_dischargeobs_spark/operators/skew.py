@@ -36,8 +36,18 @@ def salted_join(
     ``spread_col``: a big-side column whose values vary *within* a join key
     (a row id, timestamp, line number) — its hash assigns each row a stable
     salt.  The small side explodes to every salt, so every (key, salt) pair
-    finds its match.  Result equals ``big.join(small, on, how)`` row-for-row.
+    finds its match.  Result equals ``big.join(small, on, how)`` row-for-row
+    — for join types where ONLY big-side rows can surface unmatched.
+    Right/full outer joins are rejected: an unmatched small-side key would
+    surface once per salt replica (``salts`` copies instead of one),
+    silently inflating downstream counts.
     """
+    if how.replace("_", "").lower() in ("rightouter", "right", "fullouter", "full", "outer"):
+        raise ValueError(
+            "salted_join cannot preserve right/full-outer semantics: an"
+            " unmatched small-side row would appear once per salt replica;"
+            " swap the sides or use the plain join for these"
+        )
     b = big.withColumn(
         "__salt", F.pmod(F.hash(F.col(spread_col)), F.lit(salts))
     )

@@ -69,6 +69,14 @@ class ObservationStore:
         (
             with_year_month(obs)
             .repartition(*[F.col(c) for c in PARTITION_COLS], salt)
+            # the clustering CLAIM needs an actual sort: without it each
+            # writer task holds its station subset interleaved in arrival
+            # order and station_id row-group min/max stats prune nothing.
+            # Leading with the partition columns satisfies the writer's
+            # own required ordering, so no extra sort is inserted.
+            .sortWithinPartitions(
+                *PARTITION_COLS, "station_id", "obs_time"
+            )
             .write.partitionBy(*PARTITION_COLS)
             # per-WRITE dynamic overwrite: correctness must not depend on
             # how the caller's session was built — with Spark's default
@@ -92,6 +100,13 @@ class ObservationStore:
         that includes station_id).  The shuffle is paid once at write time,
         amortized over every downstream read; at 100 TB that is the
         difference between one exchange per query and zero.
+
+        The bucketed table lives at its OWN path (``{root}__bucketed``),
+        not the plain store root: ``write()``/``upsert()``/``compact()``
+        emit non-bucket-named files, and mixing them into a path the
+        catalog records as bucketed either fails reads ("Invalid bucket
+        file") or — worse — lets the planner skip exchanges against data
+        that no longer satisfies the recorded HashPartitioning.
         """
         (
             with_year_month(obs)
@@ -99,7 +114,7 @@ class ObservationStore:
             .write.partitionBy(*PARTITION_COLS)
             .bucketBy(buckets, "station_id")
             .sortBy("station_id", "obs_time")
-            .option("path", self.root)
+            .option("path", self.root.rstrip("/") + "__bucketed")
             .format("parquet")
             .mode("overwrite")
             .saveAsTable(table)
@@ -167,6 +182,11 @@ class ObservationStore:
             )
             .drop("year_month")
             .transform(with_year_month)
+            # same clustering sort as write(): the row-group-skipping
+            # claim is real only if stations are actually contiguous
+            .sortWithinPartitions(
+                *PARTITION_COLS, "station_id", "obs_time"
+            )
             .write.partitionBy(*PARTITION_COLS)
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -176,13 +196,21 @@ class ObservationStore:
     # ------------------------------------------------------------ upsert
 
     def exists(self) -> bool:
-        from py4j.protocol import Py4JJavaError
-
+        """True iff the store root holds readable parquet.  ONLY the
+        two expected not-there failures map to False — anything else
+        (object-store throttling, credentials, corruption) re-raises,
+        because a transient read error misread as "fresh store" would
+        send :meth:`upsert` down the overwrite path and dynamic
+        partition overwrite would then DELETE every existing row of
+        the incoming months."""
         try:
             self.spark.read.parquet(self.root).schema
             return True
-        except Exception:
-            return False
+        except Exception as ex:  # noqa: BLE001 — filtered below
+            msg = str(ex)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER" in msg:
+                return False
+            raise
 
     def upsert(
         self,
@@ -236,10 +264,18 @@ class ObservationStore:
             r["year_month"]
             for r in incoming.select("year_month").distinct().collect()
         ]
+        # a NULL obs_time lands in the hive default partition, and NULL
+        # never matches isin() — without the explicit isNull branch the
+        # existing null-month rows would be EXCLUDED from the merge yet
+        # their partition still dynamically overwritten: silent deletion
+        non_null = [m for m in months if m is not None]
+        month_pred = (
+            F.col("year_month").isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) < len(months):
+            month_pred = month_pred | F.col("year_month").isNull()
         existing = with_year_month(
-            self.read().filter(F.col("year_month").isin(months)).drop(
-                "year_month"
-            )
+            self.read().filter(month_pred).drop("year_month")
         )
         pri_e, pri_i = (0, 1) if existing_wins else (1, 0)
         unioned = existing.withColumn(

@@ -126,3 +126,11 @@ def test_sql_matches_python_via_duckdb():
         # literal-only expressions come back as DECIMAL from DuckDB
         got = float(con.execute(f"SELECT {sql}").fetchone()[0])
         assert got == pytest.approx(py, rel=1e-9), f_str
+
+
+def test_integer_literal_followed_by_clip(spark):
+    """Review regression: '2.clip(...)' is grammar-valid but the greedy
+    trailing-dot number token swallowed the dot; trailing-dot floats
+    elsewhere still lex."""
+    assert formula.evaluate("2.clip(lower=3)", {}) == 3.0
+    assert formula.evaluate("2. + 1", {}) == 3.0

@@ -145,3 +145,53 @@ def test_upsert_rewrites_only_incoming_months(spark, tmp_path):
     after = {p.name: p.stat().st_mtime for d in (may, july) for p in d.glob("*.parquet")}
     assert after == before  # untouched months never move
     assert store.read().count() == 4
+
+
+import pytest
+
+
+def test_upsert_preserves_null_timestamp_partition(spark, tmp_path):
+    """Review regression: a NULL obs_time lands in the hive default
+    partition, and NULL never matches isin() — the merge must still
+    read that partition or the dynamic overwrite silently deletes the
+    stored null-timestamp rows."""
+    import datetime as dt
+
+    from nr_rfc_dischargeobs_spark.sources import ObservationStore
+
+    cols = ["station_id", "obs_time", "datatype", "value", "qc_level", "source"]
+    schema = ("station_id string, obs_time timestamp, datatype string,"
+              " value double, qc_level string, source string")
+    store = ObservationStore(spark, str(tmp_path / "s"))
+    store.write(
+        spark.createDataFrame(
+            [("S1", None, "Q", 1.0, "raw", "a"),
+             ("S2", dt.datetime(2024, 6, 1, 10), "Q", 2.0, "raw", "a")],
+            schema,
+        )
+    )
+    # incoming touches the null partition with a DIFFERENT key
+    store.upsert(
+        spark.createDataFrame(
+            [("S9", None, "Q", 9.0, "raw", "b")], schema
+        )
+    )
+    got = {(r["station_id"], r["value"]) for r in store.read().collect()}
+    assert got == {("S1", 1.0), ("S2", 2.0), ("S9", 9.0)}
+
+
+def test_exists_reraises_non_missing_errors(spark, tmp_path):
+    """Review regression: exists() must map ONLY missing-path/empty to
+    False — a garbage root (here: a text file where parquet should be)
+    raises instead of being misread as 'fresh store', because the
+    fresh-store path dynamically overwrites incoming months."""
+    from nr_rfc_dischargeobs_spark.sources import ObservationStore
+
+    root = tmp_path / "garbage"
+    root.mkdir()
+    (root / "part-00000.parquet").write_text("this is not parquet")
+    store = ObservationStore(spark, str(root))
+    with pytest.raises(Exception):
+        store.exists()
+    missing = ObservationStore(spark, str(tmp_path / "never_written"))
+    assert missing.exists() is False

@@ -313,3 +313,19 @@ def test_rising_falling_randomized_matches_python_port(spark):
             a_nan = a is None or (isinstance(a, float) and math.isnan(a))
             b_nan = b is None or (isinstance(b, float) and math.isnan(b))
             assert both_nan or (a_nan and b_nan) or a == b, (sid, vals, expect)
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Review regression: an unmatched small-side key would surface once
+    per salt replica under right/full outer — the contract violation is
+    now a loud error."""
+    from nr_rfc_dischargeobs_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], ["k", "row_id"])
+    small = spark.createDataFrame([(2, "x")], ["k", "v"])
+    for how in ("right", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join cannot"):
+            salted_join(big, small, ["k"], "row_id", how=how)
+    # left outer stays fine: only big-side rows surface unmatched
+    got = salted_join(big, small, ["k"], "row_id", how="left").collect()
+    assert len(got) == 1 and got[0]["v"] is None
