@@ -271,8 +271,13 @@ def bloom_screen(
             f"bloom_words must hold {m_bits // 64} words, got {len(bloom_words)}"
         )
     warr = F.expr("array(" + ",".join(f"{w}L" for w in bloom_words) + ")")
+    # NULL text coalesces to '' so size() never returns the legacy -1
+    # sentinel — without it a NULL-text doc reported n_grams = -1 and
+    # flagged_frac = 1.0, corrupting any downstream aggregate of the
+    # promised per-doc decision rows
     toks = corpus.select(
-        F.col(doc_id), tokens(F.col(text)).alias("__toks")
+        F.col(doc_id),
+        tokens(F.coalesce(F.col(text), F.lit(""))).alias("__toks"),
     )
     if n == 1:
         grams = F.array_distinct(F.col("__toks"))
@@ -284,6 +289,10 @@ def bloom_screen(
                 f" i -> concat_ws(' ', {idx}))"
             )
         )
+    # degenerate docs (empty/whitespace text) carry no real grams — the
+    # all-NULL concat_ws '' gram must not probe the filter (md5('') is a
+    # fixed position set every degenerate doc would share)
+    grams = F.filter(grams, lambda g: F.trim(g) != "")
     staged = toks.select(
         F.col(doc_id),
         F.transform(
@@ -318,9 +327,12 @@ def bloom_screen(
         F.col(doc_id),
         "n_grams",
         F.col("__flag").alias("n_flagged"),
-        (F.col("__flag").cast("double") / F.col("n_grams")).alias(
-            "flagged_frac"
-        ),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("__flag").cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("flagged_frac"),
         (F.col("__flag") > 0).alias("flagged"),
     )
 

@@ -56,6 +56,13 @@ def shingle_rows(
     doc, measured 4× slower at 5k docs and growing with document length.
     Out-of-range indexes yield NULL, which ``concat_ws`` drops — short
     documents produce their partial tail shingle exactly like ``slice``.
+
+    Degenerate documents (NULL/empty/whitespace-only text) emit NO
+    shingles: the n ≥ 2 branch used to manufacture one EMPTY-STRING
+    shingle for them (all-NULL gets → concat_ws ''), which made every
+    degenerate doc collide with every other — false 100%-contamination
+    hits in the n-gram screen and false Jaccard-1.0 near-dup drops
+    between docs that share zero content.
     """
     toks = docs.select(F.col(doc_id), tokens(F.col(text)).alias("__toks"))
     if n == 1:
@@ -71,7 +78,10 @@ def shingle_rows(
                 f" i -> concat_ws(' ', {idx}))"
             )
         )
-    return toks.select(F.col(doc_id), F.explode(sh).alias("shingle"))
+    return (
+        toks.select(F.col(doc_id), F.explode(sh).alias("shingle"))
+        .filter(F.trim(F.col("shingle")) != "")
+    )
 
 
 def minhash_signatures(
@@ -355,4 +365,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fail loudly: falling through with changed > 0 would return
+        # intermediate labels — one real cluster reported as several —
+        # indistinguishable from a converged result to the caller.
+        # One-hop propagation converges in ≤ graph diameter rounds;
+        # near-dup cluster graphs are dense (diameter a handful), so a
+        # >50-hop chain signals either a pathological corpus or a bug —
+        # either way the caller must decide, not receive wrong labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter}"
+            " iterations (label propagation covers one hop per round;"
+            " the pair graph has a longer chain) — raise max_iter"
+        )
     return labels

@@ -115,6 +115,14 @@ def brute_force_topk(
     degenerate inputs.
     """
     scored = broadcast_scored_pairs(queries, corpus, dim)
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE top-k ranking contract — (cosine DESC, neighbor_id ASC),
+    row_number, rank ≤ k — shared by every cosine kernel so the
+    bit-parity guarantees between them cannot drift through a partial
+    edit (this block used to live as four byte-identical copies)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -200,13 +208,17 @@ def lsh_bucketed_topk(
             for i in range(bits)
             for j in range(i + 1, bits)
         ]
-    q = queries.select(
+    # the same zero-norm exclusion as brute_force_topk — without it a
+    # degenerate all-zero vector divides by zero (NULL neighbor rows in
+    # sparse buckets; job-killing error under ANSI) and the documented
+    # recall-oracle parity with the exact kernel breaks
+    q = queries.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.col("n").alias("qn"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("cv"),
         F.col("n").alias("cn"),
@@ -219,14 +231,7 @@ def lsh_bucketed_topk(
             dot(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_assign(
@@ -284,13 +289,18 @@ def ivf_topk(
     tuned by nprobe × number of lists.  Every pair a probe produces is
     unique (one list per corpus vector), so no candidate dedup is needed.
     """
-    q = ivf_assign(queries, centroids, nprobe, dim).select(
+    # zero-norm exclusion as in brute_force_topk (parity + ANSI safety);
+    # dim is deliberately NOT forwarded into ivf_assign — its scoring
+    # sits in a BroadcastNestedLoopJoin stage where the unrolled dot
+    # runs interpreted and loses ~6× to the HOF fold (see `dot`); the
+    # dial applies only to the codegen-capable list-equality join below
+    q = ivf_assign(queries.filter(F.col("n") > 0), centroids, nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.col("n").alias("qn"),
         "list_id",
     )
-    c = ivf_assign(corpus, centroids, 1, dim).select(
+    c = ivf_assign(corpus.filter(F.col("n") > 0), centroids, 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("cv"),
         F.col("n").alias("cn"),
@@ -305,14 +315,7 @@ def ivf_topk(
             dot(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_neardup_pairs(
@@ -332,13 +335,17 @@ def lsh_neardup_pairs(
     :func:`cosine_neardup_pairs` is the brute-force recall oracle, kept
     for tests and bounded verifier passes only.
     """
-    a = prepared.select(
+    # zero-norm vectors excluded (no cosine direction): previously their
+    # NULL score happened to fail the threshold filter in non-ANSI mode,
+    # but under ANSI the division kills the job
+    nz = prepared.filter(F.col("n") > 0)
+    a = nz.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
         F.col("n").alias("na"),
         sign_bucket(F.col("q"), bits).alias("bucket"),
     )
-    b = prepared.select(
+    b = nz.select(
         F.col("vec_id").alias("vec_b"),
         F.col("q").alias("qb"),
         F.col("n").alias("nb"),
@@ -364,12 +371,13 @@ def cosine_neardup_pairs(
     """Exact all-pairs near-dup — the recall ORACLE for
     :func:`lsh_neardup_pairs`.  O(n²); bounded test/verifier inputs only,
     never a registered corpus-scale plan."""
-    a = prepared.select(
+    nz = prepared.filter(F.col("n") > 0)  # same exclusion as the LSH path
+    a = nz.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
         F.col("n").alias("na"),
     )
-    b = prepared.select(
+    b = nz.select(
         F.col("vec_id").alias("vec_b"),
         F.col("q").alias("qb"),
         F.col("n").alias("nb"),
@@ -414,10 +422,18 @@ def kmeans_lite(
     """
     from ..functions import exact
 
-    cents = prepared.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"),
-        F.col("q").alias("cq"),
-        F.col("n").alias("cn"),
+    # "first k" means the k SMALLEST ids (bounded TakeOrdered), not
+    # `vec_id < k` — the filter spelling silently produced fewer (or
+    # zero) seeds on any id space that isn't 0-based contiguous, and an
+    # empty seed set cascades into a silently empty ANN index
+    cents = (
+        prepared.orderBy(F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("n").alias("cn"),
+        )
     )
     for _ in range(iters):
         scored = prepared.crossJoin(F.broadcast(cents)).select(
@@ -613,7 +629,11 @@ def semantic_dedup(
 
     Output: (vec_id, cluster_id, kept boolean, canonical_id).
     """
-    assigned = ivf_assign(prepared, centroids, 1, dim)
+    # dim stays OUT of ivf_assign: the coarse assignment scores inside a
+    # BroadcastNestedLoopJoin stage, where the unrolled dot runs
+    # interpreted and loses ~6× to the HOF fold (see `dot`); the dial
+    # applies only to the codegen-capable within-cluster pair join below
+    assigned = ivf_assign(prepared, centroids, 1)
     if materialize_assignment:
         # the assignment feeds BOTH sides of the pair join AND the final
         # audit output — three references to an un-materialized subtree
@@ -778,12 +798,7 @@ def pq_codes(
     unchanged (e.g. the coarse ``list_id`` when building an IVF-PQ
     index via :func:`ivf_pq_index`).
     """
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    dsub = dim // m
-    cents = sorted(centroid_rows)
-    if [cid for cid, _ in cents] != list(range(len(cents))):
-        raise ValueError("codebook cids must be contiguous 0..k-1")
+    cents, dsub = _pq_check(centroid_rows, m, dim)
     # Expressions are composed as SQL TEXT and parsed server-side in ONE
     # call per output column: building the same ~m·k·dsub-term tree out
     # of Column operators costs thousands of py4j round-trips (measured

@@ -463,7 +463,9 @@ SIM_KMEANS_CLUSTERS_SQL = f"""
 WITH u AS (
 {_UNNEST_Q.format(pred="TRUE")}
 ), nv AS (SELECT vec_id, SUM(e * e) AS n FROM u GROUP BY 1),
-c0 AS (SELECT vec_id AS cid, e, i FROM u WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS cid, e, i FROM u
+       WHERE vec_id IN (SELECT DISTINCT vec_id FROM u
+                        ORDER BY vec_id LIMIT 8)),
 cn0 AS (SELECT cid, SUM(e * e) AS cn FROM c0 GROUP BY 1),
 d1 AS (
   SELECT u.vec_id, c0.cid, nv.n + cn0.cn - 2 * SUM(u.e * c0.e) AS d

@@ -2245,3 +2245,100 @@ def test_ivf_pq_index_assign_validation(spark):
         similarity.ivf_pq_index(
             emb, emb.limit(2), [(0, [1, 1])], assign="locla"
         )
+
+
+def test_ann_paths_exclude_zero_norm_like_exact(spark):
+    """Review regression: the LSH and IVF top-k paths must apply the
+    same zero-norm exclusion as the exact kernel — an all-zero vector
+    previously surfaced as a NULL-cosine neighbor in sparse buckets,
+    breaking the recall-oracle parity."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    rows = [(i, [float(i % 3 + 1), 1.0]) for i in range(8)] + [
+        (99, [0.0, 0.0])  # zero-norm
+    ]
+    prep = similarity.prepare(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    q = prep.filter(F.col("vec_id") < 2)
+    c = prep.filter(F.col("vec_id") >= 2)
+    for fn in (
+        lambda: similarity.lsh_bucketed_topk(q, c, k=10, bits=2),
+        lambda: similarity.ivf_topk(q, c, prep.filter(F.col("vec_id") < 1), k=10),
+    ):
+        out = fn().collect()
+        assert out, "non-degenerate neighbors still returned"
+        assert all(r["neighbor_id"] != 99 for r in out)
+        assert all(r["cosine"] is not None for r in out)
+
+
+def test_kmeans_lite_seeds_on_noncontiguous_ids(spark):
+    """Review regression: seeds are the k SMALLEST ids — a corpus whose
+    ids start above k previously produced an EMPTY centroid set and a
+    silently empty index."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    rows = [(1000 + i, [float(i), 1.0]) for i in range(6)]
+    prep = similarity.prepare(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    cents = similarity.kmeans_lite(prep, k=3, iters=1)
+    assert cents.count() == 3
+
+
+def test_shingle_rows_degenerate_docs_emit_nothing(spark):
+    """Review regression: NULL/empty/whitespace docs manufactured one
+    empty-string shingle each (n >= 2), colliding all degenerate docs
+    across dedup and contamination."""
+    from nr_rfc_dischargeobs_spark.extensions.dedup import shingle_rows
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real text with words")],
+        "doc_id long, text string",
+    )
+    out = shingle_rows(docs, n=3).collect()
+    assert {r["doc_id"] for r in out} == {3}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Review regression: exhausting max_iter must raise, not return
+    intermediate (wrong) labels indistinguishable from a converged
+    result."""
+    from nr_rfc_dischargeobs_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    # a 6-link chain needs >2 one-hop rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    ok = connected_components(pairs, max_iter=10)
+    assert ok.select("label").distinct().count() == 1
+
+
+def test_bloom_screen_null_and_empty_text_rows(spark):
+    """Review regression: NULL-text docs reported n_grams = -1 and
+    flagged_frac = 1.0; they now emit a clean zero decision row."""
+    from nr_rfc_dischargeobs_spark.extensions.contamination import (
+        bloom_build,
+        bloom_screen,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    words = bloom_build(bench, n=4)
+    corpus = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick brown fox is here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bloom_screen(corpus, words, n=4).collect()}
+    for d in (1, 2):
+        assert out[d]["n_grams"] == 0
+        assert out[d]["n_flagged"] == 0
+        assert out[d]["flagged_frac"] == 0.0
+        assert out[d]["flagged"] is False
+    assert out[3]["n_grams"] > 0
