@@ -62,8 +62,15 @@ def dedup_keep_first(
     keys: list[str],
     order_col: str,
     keep_order_col: bool = True,
+    tie_break: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Keep exactly one row per key — the first by ``order_col``.
+    """Keep exactly one row per key — the first by ``order_col``, ties
+    resolved by ``tie_break`` columns (ascending, NULLS LAST — a real
+    value beats a missing one).  Pass a tie-break whenever ``order_col``
+    can repeat within a key (e.g. the conformers order by the raw
+    timestamp string, which is CONSTANT within a (station, slot) group
+    — without a tie-break the survivor is partition-order-dependent and
+    the canonical store nondeterministic across runs).
 
     The reference relies on pandas file order (``drop_duplicates(keep='first')``,
     ``discharge_obs_pd.py:150``); Spark's ``dropDuplicates`` keeps an
@@ -80,7 +87,10 @@ def dedup_keep_first(
     if df.isStreaming:
         out = df.dropDuplicates(keys)
         return out if keep_order_col else out.drop(order_col)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).asc(),
+        *[F.col(c).asc_nulls_last() for c in tie_break],
+    )
     out = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -28,7 +28,10 @@ from ..functions import exact
 from ..functions.timeutil import ts_us, ts_us_sql
 from . import load
 
-V100_SQL = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+# ONE source for the scaled-int SQL expression (functions/exact):
+# a hand-maintained copy per plan file is exactly the drift the
+# *_sql helpers exist to prevent
+V100_SQL = exact.scaled_sql("value")
 
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

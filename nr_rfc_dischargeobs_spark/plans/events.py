@@ -18,7 +18,10 @@ from ..functions import exact, formula
 from ..operators import align, conform, pivot, recurrence, rollup, upsert
 from . import load
 
-V100_SQL = 'CAST(ROUND(value * 100, 0) AS BIGINT)'
+# ONE source for the scaled-int SQL expression (functions/exact):
+# a hand-maintained copy per plan file is exactly the drift the
+# *_sql helpers exist to prevent
+V100_SQL = exact.scaled_sql("value")
 
 
 def _events_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,9 +619,13 @@ def year_rollover_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-of-month mod 10 manufactures the duplicated month-day labels a
     year-spanning sheet would have."""
     ev = load(spark, sf_dir, "events")
+    # distinct (user, day) — an earlier draft aggregated min(event_id)
+    # here, dead state neither the ordering nor the output used
     days = (
-        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.min("event_id").alias("first_event"))
+        ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
         .filter(F.col("user_id") < 10)
         .withColumn("label", F.dayofmonth("day") % 10)
     )
@@ -629,9 +636,8 @@ def year_rollover_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 YEAR_ROLLOVER_DISAMBIGUATION_SQL = """
 WITH days AS (
-  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         MIN(event_id) AS first_event
-  FROM events GROUP BY 1, 2
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
 )
 SELECT user_id, day, CAST(date_part('day', day) % 10 AS INT) AS label,
        CASE WHEN ROW_NUMBER() OVER (

@@ -31,7 +31,10 @@ from ..functions import exact
 from ..functions.timeutil import ts_us
 from . import load
 
-V100_SQL = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+# ONE source for the scaled-int SQL expression (functions/exact):
+# a hand-maintained copy per plan file is exactly the drift the
+# *_sql helpers exist to prevent
+V100_SQL = exact.scaled_sql("value")
 HOUR_US = 3_600 * 1_000_000
 DEC = "decimal(38,0)"
 
@@ -236,21 +239,22 @@ def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     wall = Window.partitionBy("user_id")
     n = F.count(F.lit(1)).over(wall)
-    s = F.sum("v100").over(wall)
-    ss = F.sum(F.expr("v100 * v100")).over(wall)
-    dev = (n * F.col("v100") - s).cast(DEC)
+    # widen BEFORE summing/multiplying — the cusum_drift discipline: a
+    # BIGINT Σv100 overflows 2^63 near 1e10 rows/series (ANSI aborts the
+    # job; non-ANSI silently flips flags) while the DuckDB oracle's
+    # HUGEINT sum sails on — exactly the engine divergence DEC removes
+    v = F.col("v100").cast(DEC)
+    s = F.sum(v).over(wall)
+    ss = F.sum(v * v).over(wall)
+    dev = n.cast(DEC) * v - s
     lhs = (n - 1).cast(DEC) * (dev * dev)
-    rhs = (F.lit(4) * n).cast(DEC) * (
-        n.cast(DEC) * ss.cast(DEC) - s.cast(DEC) * s.cast(DEC)
-    )
+    rhs = (F.lit(4) * n).cast(DEC) * (n.cast(DEC) * ss - s * s)
     return (
         ev.withColumn("is_anom", lhs > rhs)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum("v100").cast("double") / 100 / F.count("v100")
-            ).alias("mean_value"),
+            exact.avg_scaled("v100").alias("mean_value"),
             F.sum(
                 F.when(F.col("is_anom"), 1).otherwise(0)
             ).alias("n_anomalies"),

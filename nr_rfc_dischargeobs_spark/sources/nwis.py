@@ -39,6 +39,10 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ONE transport policy: the landing tier owns the opener (timeout, and
+# any future UA/jitter changes); a local copy here would silently drift
+from .fetch import _default_opener
+
 IV_BASE = "https://waterservices.usgs.gov/nwis/iv/"
 PARAM_DISCHARGE_CFS = "00060"
 PARAM_STAGE_FT = "00065"
@@ -82,9 +86,6 @@ def iv_url(
     )
     return f"{base}?{q}"
 
-
-def _default_opener(url: str):
-    return urllib.request.urlopen(url, timeout=60)
 
 
 def fetch_iv(
@@ -162,7 +163,13 @@ def iv_records(payload: dict) -> list[dict]:
                         "stage_ft": None,
                     },
                 )
-                row[col] = val
+                # keep-FIRST per (site, instant, variable): NWIS emits
+                # multiple `values` blocks per series (methods,
+                # provisional+approved passes), and a later duplicate —
+                # including a noDataValue placeholder parsed to None —
+                # must not overwrite an earlier real measurement
+                if row[col] is None:
+                    row[col] = val
     return [by_key[k] for k in sorted(by_key)]
 
 

@@ -56,7 +56,12 @@ def conform_provincial(
     if window_end is not None:
         conformed = conformed.filter(F.col("obs_time") < window_end)
     deduped = conform.dedup_keep_first(
-        conformed, ["station_id", "obs_time"], "__order"
+        conformed,
+        ["station_id", "obs_time"],
+        "__order",
+        # __order (the raw timestamp) is CONSTANT within a dedup group —
+        # the value tie-break makes the survivor deterministic
+        tie_break=("value",),
     ).drop("__order")
     return deduped.select(
         "station_id",

@@ -48,7 +48,10 @@ def conform_usgs(
         ["station_id", "obs_time", "__order"], ["Q", "H"], "datatype", "value"
     )
     deduped = conform.dedup_keep_first(
-        long_, ["station_id", "obs_time", "datatype"], "__order"
+        long_,
+        ["station_id", "obs_time", "datatype"],
+        "__order",
+        tie_break=("value",),
     ).drop("__order")
     return deduped.select(
         "station_id",

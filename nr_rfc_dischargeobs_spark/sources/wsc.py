@@ -49,7 +49,12 @@ def conform_wsc(
         ["station_id", "obs_time", "__order"], ["Q", "H"], "datatype", "value"
     )
     deduped = conform.dedup_keep_first(
-        long_, ["station_id", "obs_time", "datatype"], "__order"
+        long_,
+        ["station_id", "obs_time", "datatype"],
+        "__order",
+        # identical Date strings (a corrected re-emit, a cross-file dup)
+        # tie on __order; the value tie-break pins the survivor
+        tie_break=("value",),
     ).drop("__order")
     return deduped.select(
         "station_id",

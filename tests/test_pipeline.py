@@ -520,3 +520,55 @@ def test_parse_swob_xml_survives_name_only_element(spark):
     # shifted value (documented misalignment), the out-of-range lookup
     # degrades to ''
     assert rows["CWXG"]["pcpn_amt_pst1hr"] == ""
+
+
+def test_conformer_dedup_tie_break_is_deterministic(spark):
+    """Review regression: the dedup order key (raw timestamp) is
+    CONSTANT within a (station, slot) group, so the survivor was
+    partition-order-dependent; the value tie-break pins it (smallest
+    value, NULLS LAST) under any input order or partitioning."""
+    from nr_rfc_dischargeobs_spark.sources.provincial import (
+        conform_provincial,
+    )
+
+    dim = spark.createDataFrame([("L1", "PROV1")], ["ID", "ID2"])
+    rows = [
+        ("L1", "2024-06-01 17:00:00", 6.0),
+        ("L1", "2024-06-01 17:00:00", 5.0),
+        ("L1", "2024-06-01 17:00:00", None),
+    ]
+    for ordering in (rows, rows[::-1]):
+        raw = spark.createDataFrame(
+            ordering, "location_id string, datetime_utc string, value double"
+        ).repartition(5)
+        out = conform_provincial(raw, dim, "Q").collect()
+        assert len(out) == 1 and out[0]["value"] == 5.0
+
+
+def test_nwis_iv_records_keep_first_across_blocks(spark):
+    """Review regression: a later duplicate instant (second values
+    block, e.g. a provisional/approved re-emit or a noData placeholder)
+    must not overwrite the earlier real measurement."""
+    from nr_rfc_dischargeobs_spark.sources import nwis
+
+    payload = {
+        "value": {
+            "timeSeries": [
+                {
+                    "sourceInfo": {"siteCode": [{"value": "08NL001"}]},
+                    "variable": {
+                        "variableCode": [{"value": "00060"}],
+                        "noDataValue": -999999,
+                    },
+                    "values": [
+                        {"value": [{"dateTime": "2024-01-10T08:00:00-08:00",
+                                    "value": "353.1"}]},
+                        {"value": [{"dateTime": "2024-01-10T08:00:00-08:00",
+                                    "value": "-999999"}]},
+                    ],
+                }
+            ]
+        }
+    }
+    recs = nwis.iv_records(payload)
+    assert len(recs) == 1 and recs[0]["discharge_cfs"] == 353.1
