@@ -222,9 +222,16 @@ def fingerprint(
 ) -> DataFrame:
     """Normalized content fingerprint: lowercase, collapse whitespace, strip
     punctuation, md5 — robust to formatting-only edits (the md5-of-normalized
-    stand-in for a rolling content hash)."""
+    stand-in for a rolling content hash).
+
+    Normalization keeps UNICODE letters and digits (``\p{L}\p{N}`` —
+    identical semantics in Java regex and RE2): the earlier
+    ``[^a-z0-9]`` spelling stripped every non-ASCII character, so ALL
+    documents in a non-Latin script (zh/ja/ar/…) collapsed onto
+    ``md5('')`` and the fingerprint-dedup consumers silently kept one
+    document per script — corpus-wide data loss, caught in review."""
     norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text)), r"[^a-z0-9\s]", ""),
+        F.regexp_replace(F.lower(F.col(text)), r"[^\p{L}\p{N}\s]", ""),
         r"\s+",
         " ",
     )
@@ -558,19 +565,27 @@ def hash_classifier(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
+    # stage the md5-per-token fold and the split ONCE: inlined, wsum
+    # evaluated 3× and the tokenizer ~5× per row (no CSE for
+    # CodegenFallback HOFs — the repo's measured cost model), tripling
+    # the classifier gate's dominant cost
+    staged = docs.select(
         F.col(doc_id),
         *[F.col(c) for c in passthrough],
         F.size(toks).cast("long").alias("n_tokens"),
         wsum.alias("weight_sum"),
-        F.when(F.size(toks) > 0, wsum.cast("double") / F.size(toks))
-        .otherwise(F.lit(0.0))
-        .alias("score"),
-        F.when(
-            F.size(toks) > 0, (wsum.cast("double") / F.size(toks)) > 0
-        )
-        .otherwise(F.lit(False))
-        .alias("positive"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.col("weight_sum").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        doc_id,
+        *passthrough,
+        "n_tokens",
+        "weight_sum",
+        score.alias("score"),
+        (score > 0).alias("positive"),
     )
 
 
@@ -645,19 +660,27 @@ def hash_classifier_trained(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
+    # stage the md5-per-token fold and the split ONCE: inlined, wsum
+    # evaluated 3× and the tokenizer ~5× per row (no CSE for
+    # CodegenFallback HOFs — the repo's measured cost model), tripling
+    # the classifier gate's dominant cost
+    staged = docs.select(
         F.col(doc_id),
         *[F.col(c) for c in passthrough],
         F.size(toks).cast("long").alias("n_tokens"),
         wsum.alias("weight_sum"),
-        F.when(F.size(toks) > 0, wsum.cast("double") / F.size(toks))
-        .otherwise(F.lit(0.0))
-        .alias("score"),
-        F.when(
-            F.size(toks) > 0, (wsum.cast("double") / F.size(toks)) > 0
-        )
-        .otherwise(F.lit(False))
-        .alias("positive"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.col("weight_sum").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        doc_id,
+        *passthrough,
+        "n_tokens",
+        "weight_sum",
+        score.alias("score"),
+        (score > 0).alias("positive"),
     )
 
 
@@ -866,13 +889,25 @@ def bigram_lm_scores_trained(
         lambda acc, p: acc + term(p),
     )
     n_bi = F.size(F.col("__bigrams")).cast("long")
-    avg = (slogp.cast("double") / SCALE) / n_bi
-    return staged.select(
+    # stage the per-doc fold ONCE (the dsir_log_ratio_trained
+    # discipline): slogp — one md5 + lookup per bigram, interpreted, no
+    # CSE — feeds both the slogp column and avg_logp2; inlined it would
+    # run twice per document of the streaming LM gate
+    folded = staged.select(
         doc_id,
         *passthrough,
         n_bi.alias("n_bigrams"),
         slogp.alias("slogp"),
-        F.when(n_bi > 0, avg).otherwise(F.lit(0.0)).alias("avg_logp2"),
+    )
+    avg = (F.col("slogp").cast("double") / SCALE) / F.col("n_bigrams")
+    return folded.select(
+        doc_id,
+        *passthrough,
+        "n_bigrams",
+        "slogp",
+        F.when(F.col("n_bigrams") > 0, avg)
+        .otherwise(F.lit(0.0))
+        .alias("avg_logp2"),
     )
 
 
@@ -1321,6 +1356,7 @@ def hash_classifier_train_nb(
     salt: str = "clf",
     weight_scale: int = 10_000,
     alpha_inv: int = 100,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Train the weight table :func:`hash_classifier_trained` consumes —
     in-engine, closed-form: multinomial Naive Bayes log-odds per hashed
@@ -1367,6 +1403,12 @@ def hash_classifier_train_nb(
         F.sum(F.col("__pos").cast("long")).alias("cpos"),
         F.sum((~F.col("__pos")).cast("long")).alias("cneg"),
     )
+    if cache_registry is not None:
+        # the bucket table feeds TWO consumers (the totals fold and the
+        # weight projection); with a registry owner, persist it so the
+        # labeled-corpus explode+aggregation runs once per training
+        per = per.persist()
+        cache_registry.append(per)
     totals = per.agg(
         F.sum("cpos").alias("__np"), F.sum("cneg").alias("__nn")
     )

@@ -624,7 +624,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_FINGERPRINT_SQL = r"""
 SELECT doc_id,
-       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
                                '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
@@ -763,7 +763,7 @@ WITH q AS (
     AND CAST(n_distinct AS DOUBLE) / n_words >= 0.2
 ), fp AS (
   SELECT doc_id, text, n_words, uniq_ratio,
-         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
                                  '\s+', ' ', 'g'))) AS fingerprint
   FROM gated
 ), ek AS (

@@ -55,12 +55,18 @@ def hourly_stream_rollup(
     'final-hour override' of the batch path becomes unnecessary: streaming
     emits each hour exactly once, complete.
     """
+    from ..operators.rollup import _ordered_last
+
     return (
         obs.withWatermark(ts, watermark)
         .groupBy(F.col(key), F.window(F.col(ts), "1 hour").alias("w"))
         .agg(
             F.avg(value).alias("avg_value"),
-            F.max_by(F.col(value), F.col(ts)).alias("last_value"),
+            # the SHARED null-guarded last (operators.rollup): a raw
+            # max_by(value, ts) returned NULL when the hour's latest
+            # observation was NULL (an ECCC 'MSNG' try_cast), diverging
+            # from the batch A1 this stream claims to mirror
+            _ordered_last(value, ts, None).alias("last_value"),
             F.count(value).alias("n_obs"),
         )
         .select(
@@ -131,14 +137,19 @@ def stream_upsert_into_store(
     store,
     checkpoint_dir: str,
     available_now: bool = True,
+    existing_wins: bool = True,
 ):
     """Continuous (or drain-and-exit) upsert into the partitioned store via
     ``foreachBatch`` — each micro-batch runs the identical J3 coalescing
     merge as the cron path, with the checkpoint providing exactly-once
-    file-source progress (the engine's ``f_read``)."""
+    file-source progress (the engine's ``f_read``).  ``existing_wins``
+    plumbs through to :meth:`ObservationStore.upsert` so the corrected
+    late-data mode the batch driver exposes is reachable from the
+    streaming path too (a corrected re-sent observation in a later
+    micro-batch is otherwise silently discarded)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        store.upsert(batch_df)
+        store.upsert(batch_df, existing_wins=existing_wins)
 
     writer = (
         conformed.writeStream.foreachBatch(merge_batch)

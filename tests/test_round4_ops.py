@@ -2342,3 +2342,24 @@ def test_bloom_screen_null_and_empty_text_rows(spark):
         assert out[d]["flagged_frac"] == 0.0
         assert out[d]["flagged"] is False
     assert out[3]["n_grams"] > 0
+
+
+def test_fingerprint_distinguishes_non_latin_scripts(spark):
+    """Review regression: the ASCII-only normalization collapsed every
+    non-Latin document onto md5('') — fingerprint dedup then silently
+    kept one document per script.  Unicode letters/digits now survive
+    normalization; formatting-only variants still collide."""
+    from nr_rfc_dischargeobs_spark.extensions.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            (0, "这是第一份文件"),
+            (1, "这是完全不同的文件"),
+            (2, "Hello,  World!"),
+            (3, "hello world"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[0] != fp[1]  # distinct Chinese docs stay distinct
+    assert fp[2] == fp[3]  # punctuation/case/whitespace still collapse

@@ -1081,3 +1081,39 @@ def test_cms_table_stream_replay_safe_and_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert est["w0"] >= 13
+
+
+def test_hourly_stream_rollup_last_value_skips_nulls(spark, tmp_path):
+    """Review regression: the streaming A1's last_value must skip NULL
+    observations like the batch twin (a raw max_by(value, ts) returned
+    NULL when the hour's LATEST observation was a 'MSNG' try_cast)."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.streaming.ingest import (
+        hourly_stream_rollup,
+    )
+
+    landing = tmp_path / "obs"
+    landing.mkdir()
+    rows = [
+        {"station_id": "S1", "obs_time": "2024-06-01T10:05:00", "value": 3.0},
+        {"station_id": "S1", "obs_time": "2024-06-01T10:55:00", "value": None},
+    ]
+    (landing / "s.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    stream = spark.readStream.schema(
+        "station_id string, obs_time timestamp, value double"
+    ).json(str(landing))
+    q = (
+        hourly_stream_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("hsr_nulltest")
+        .outputMode("complete")  # append waits for the watermark to pass
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM hsr_nulltest").collect()
+    assert len(out) == 1
+    assert out[0]["last_value"] == 3.0  # not NULL
