@@ -1,0 +1,44 @@
+"""Shared error-classification helpers.
+
+One place decides what "the store isn't there yet" looks like, because two
+call sites (`sources.store.ObservationStore.exists`,
+`streaming.documents.land_document_stream`) make a fail-safe decision on
+it: misreading a transient error as "fresh store" would send an upsert
+down the overwrite path, and misreading not-found as an error would make
+every first run raise.
+"""
+
+from __future__ import annotations
+
+# The two expected "nothing there yet" conditions a parquet read raises:
+# a root that does not exist, and a root that exists but holds no footers
+# to infer a schema from.  Matched by the exception's structured error
+# condition, not message text — error MESSAGES are not a compatibility
+# surface across Spark versions, the condition names are (they are the
+# documented error-class registry keys).
+_MISSING_PATH_CONDITIONS = frozenset(
+    {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+)
+
+
+def is_missing_path(ex: BaseException) -> bool:
+    """True iff ``ex`` is Spark's "path absent / no data to infer" read
+    failure.  Anything else — throttling, credentials, corruption — is
+    NOT a fresh store and must be re-raised by the caller.
+
+    PySpark 4 exposes the structured condition via
+    ``PySparkException.getCondition()`` (``getErrorClass()`` before 4.0,
+    kept as a deprecated alias); exceptions without either accessor (or
+    raised outside the PySpark error framework) classify as "not a
+    missing path", which is the fail-safe direction.
+    """
+    getter = getattr(ex, "getCondition", None) or getattr(
+        ex, "getErrorClass", None
+    )
+    if getter is None:
+        return False
+    try:
+        condition = getter()
+    except Exception:  # noqa: BLE001 — classification must never raise
+        return False
+    return condition in _MISSING_PATH_CONDITIONS

@@ -220,7 +220,7 @@ def fingerprint(
     doc_id: str = "doc_id",
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Normalized content fingerprint: lowercase, collapse whitespace, strip
+    r"""Normalized content fingerprint: lowercase, collapse whitespace, strip
     punctuation, md5 — robust to formatting-only edits (the md5-of-normalized
     stand-in for a rolling content hash).
 

@@ -1114,7 +1114,18 @@ def _decontam_bloom_sql() -> str:
     iff ALL k of its bit positions appear in the benchmark's position set
     — exactly the membership semantics of the packed filter, without
     replicating the bit-packing (m = 2^16 makes each 4-hex word its own
-    position, so the mod is the identity)."""
+    position, so the mod is the identity).
+
+    Degenerate-input parity with the operator (not just the current sf
+    corpus): empty/whitespace-only text yields only all-empty grams,
+    which the operator's ``trim(g) != ''`` filter drops on BOTH the
+    screen and the :func:`~..extensions.contamination.bloom_build` side
+    (``shingle_rows`` emits no shingles for degenerate docs) — the
+    ``graw``→``g`` trim filter here is that same drop; and the operator
+    is a GATE that emits a decision row for EVERY corpus doc including
+    NULL-text ones, so the final select left-joins the per-doc
+    aggregates back onto the corpus doc list with zero/false defaults.
+    """
     pos = [_hex4_sql("h", j) for j in range(3)]
     cpos = "\n  UNION ALL ".join(
         f"SELECT doc_id, h, {p} AS p FROM g WHERE doc_id >= 25" for p in pos
@@ -1128,9 +1139,11 @@ WITH t AS (
 ), i AS (
   SELECT doc_id, toks, unnest(range(greatest(len(toks) - 4, 0) + 1)) AS i
   FROM t
-), g AS (
-  SELECT DISTINCT doc_id, md5(array_to_string(toks[i + 1:i + 4], ' ')) AS h
+), graw AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i + 1:i + 4], ' ') AS s
   FROM i
+), g AS (
+  SELECT doc_id, md5(s) AS h FROM graw WHERE trim(s) <> ''
 ), bpos AS (
   {bpos}
 ), cpos AS (
@@ -1139,14 +1152,21 @@ WITH t AS (
   SELECT c.doc_id, c.h, bool_and(b.p IS NOT NULL) AS hit
   FROM cpos c LEFT JOIN bpos b ON c.p = b.p
   GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged
+  FROM flag GROUP BY 1
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged,
-       CAST(COUNT(*) FILTER (WHERE hit) AS DOUBLE) / COUNT(*)
-         AS flagged_frac,
-       COUNT(*) FILTER (WHERE hit) > 0 AS flagged
-FROM flag GROUP BY 1
+SELECT d.doc_id AS doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_flagged, 0) AS n_flagged,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN CAST(a.n_flagged AS DOUBLE) / a.n_grams
+            ELSE 0.0 END AS flagged_frac,
+       COALESCE(a.n_flagged, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+LEFT JOIN agg a USING (doc_id)
 """
 
 

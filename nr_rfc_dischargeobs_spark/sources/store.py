@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import is_missing_path
+
 PARTITION_COLS = ["year_month", "datatype"]
 KEY_COLS = ["station_id", "obs_time", "datatype", "qc_level"]
 
@@ -207,8 +209,7 @@ class ObservationStore:
             self.spark.read.parquet(self.root).schema
             return True
         except Exception as ex:  # noqa: BLE001 — filtered below
-            msg = str(ex)
-            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER" in msg:
+            if is_missing_path(ex):
                 return False
             raise
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..errors import is_missing_path
 from ..extensions import text as tx
 
 DOC_STREAM_SCHEMA = (
@@ -211,7 +212,7 @@ def land_document_stream(
             seen = sess.read.parquet(landed_dir).select("fingerprint")
             out = out.join(seen, "fingerprint", "left_anti")
         except Exception as ex:  # noqa: BLE001 — filtered below
-            if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER" not in str(ex):
+            if not is_missing_path(ex):
                 raise
         out.write.mode("append").parquet(landed_dir)
 

@@ -144,22 +144,67 @@ def read_cms_table(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest batch id with a completed commit in a Structured
+    Streaming checkpoint (``<ckpt>/commits/<batchId>`` files — the
+    engine's own completion markers), or -1 if none committed yet."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return -1
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids, default=-1)
+
+
 def compact_cms_table(
-    spark: SparkSession, table_dir: str
+    spark: SparkSession,
+    table_dir: str,
+    checkpoint_dir: str | None = None,
 ) -> tuple[int, int]:
     """Collapse the per-batch partitions to one folded table (landed
     under ``batch_id=-1`` so the partition-directory layout — and the
     stream's overwrite-own-partition contract — survives compaction).
     Quiesced, snapshot-guarded, crash-recoverable via the shared sweep
-    engine."""
+    engine.
+
+    ``checkpoint_dir`` closes the crash-then-compact-then-restart hole:
+    a batch whose partition landed but whose checkpoint commit did NOT
+    (foreachBatch crashed between the write and the commit) will be
+    REPLAYED to the same ``batch_id=N`` path on restart — harmless
+    while the orphan partition still exists (overwrite-own-partition),
+    but if compaction folded it into ``batch_id=-1`` first, the replay
+    re-appends the same counts and the store double-counts.  Passing
+    the stream's checkpoint makes the sweep fold ONLY partitions at or
+    below the last committed batch id (plus the -1 sentinel) and carry
+    uncommitted-orphan partitions through untouched, so the replay
+    still lands on its own path.  Without a checkpoint the sweep folds
+    everything — only safe after a clean ``availableNow`` drain
+    (query terminated without error), which is the documented cron
+    contract."""
     from .documents import compact_corpus
 
+    last = (
+        _last_committed_batch(checkpoint_dir)
+        if checkpoint_dir is not None
+        else None
+    )
+
     def _fold(rows: DataFrame) -> DataFrame:
-        return (
-            rows.groupBy("depth", "bucket")
+        foldable, orphans = rows, None
+        if last is not None:
+            foldable = rows.filter(F.col("batch_id") <= last)
+            orphans = rows.filter(F.col("batch_id") > last)
+        folded = (
+            foldable.groupBy("depth", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("batch_id", F.lit(-1))
         )
+        if orphans is not None:
+            folded = folded.unionByName(
+                orphans.select("depth", "bucket", "cnt", "batch_id")
+            )
+        return folded
 
     return compact_corpus(
         spark, table_dir, _fold, partition_by=("batch_id",)

@@ -2318,6 +2318,58 @@ def test_connected_components_raises_when_unconverged(spark):
     assert ok.select("label").distinct().count() == 1
 
 
+def test_decontam_bloom_oracle_parity_on_degenerate_docs(spark, tmp_path):
+    """Review fix pin: the DuckDB oracle must agree with the operator on
+    degenerate documents the generated sf corpus never contains —
+    empty/whitespace text (whose only gram is all-empty and dropped on
+    both sides) and NULL text (the gate still owes a zero decision row),
+    on BOTH the corpus and the benchmark side of the 25 split."""
+    import duckdb
+
+    from nr_rfc_dischargeobs_spark.plans import extensions as ext_plans
+
+    docs = spark.createDataFrame(
+        [
+            # benchmark side (doc_id < 25), degenerates included
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            # corpus side (doc_id >= 25)
+            (25, "the quick brown fox is here today my friend"),
+            (26, None),
+            (27, ""),
+            (28, "  "),
+            (29, "unrelated words only in here nothing shared at all"),
+            (30, "a b"),  # short doc: one partial-tail gram
+        ],
+        "doc_id long, text string",
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+
+    got = sorted(
+        map(tuple, ext_plans.decontam_bloom(spark, str(sf_dir)).collect())
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(ext_plans._decontam_bloom_sql()).fetchall())
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert set(by_id) == {25, 26, 27, 28, 29, 30}  # a row per corpus doc
+    for d in (26, 27, 28):  # NULL / empty / whitespace → clean zero row
+        assert by_id[d][1:] == (0, 0, 0.0, False)
+    assert by_id[25][4] is True  # shares 'the quick brown fox'
+    assert by_id[29][4] is False
+
+
 def test_bloom_screen_null_and_empty_text_rows(spark):
     """Review regression: NULL-text docs reported n_grams = -1 and
     flagged_frac = 1.0; they now emit a clean zero decision row."""

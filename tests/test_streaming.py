@@ -1083,6 +1083,68 @@ def test_cms_table_stream_replay_safe_and_matches_batch(spark, tmp_path):
     assert est["w0"] >= 13
 
 
+def test_cms_compaction_skips_uncommitted_orphan_partitions(spark, tmp_path):
+    """Review fix pin (crash-then-compact-then-restart): a batch whose
+    partition landed but whose checkpoint commit didn't must survive
+    checkpoint-aware compaction UNFOLDED, so the restarted stream's
+    replay overwrites its own path instead of double-counting against
+    compacted history."""
+    import json
+
+    from nr_rfc_dischargeobs_spark.extensions.sketches import cms_table
+    from nr_rfc_dischargeobs_spark.streaming import (
+        cms_table_stream,
+        compact_cms_table,
+        read_cms_table,
+    )
+
+    landing = tmp_path / "tokens"
+    landing.mkdir()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(json.dumps({"token": f"w{i % 10}"}) for i in range(100))
+        + "\n"
+    )
+    stream = spark.readStream.schema("token STRING").json(str(landing))
+    cms_dir, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt")
+    q = cms_table_stream(stream, cms_dir, ckpt, key="token", d=2, w=64)
+    q.awaitTermination(120)  # batch 0 landed AND committed
+
+    # simulate the crash: batch 1's fold lands on its partition path but
+    # the checkpoint commit never happens
+    orphan_df = spark.createDataFrame([("w0",)] * 7, ["token"])
+    orphan = cms_table(orphan_df, key="token", d=2, w=64)
+    orphan.write.mode("overwrite").parquet(f"{cms_dir}/batch_id=1")
+
+    compact_cms_table(spark, cms_dir, checkpoint_dir=ckpt)
+
+    # the orphan partition is still there, un-folded; committed history
+    # collapsed into the -1 sentinel
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(cms_dir) if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=-1", "batch_id=1"]
+
+    # the restarted stream replays batch 1 onto its own path (overwrite,
+    # same rows) — totals count the orphan exactly once
+    orphan.write.mode("overwrite").parquet(f"{cms_dir}/batch_id=1")
+    final = read_cms_table(spark, cms_dir)
+    want = cms_table(
+        spark.createDataFrame(
+            [(f"w{i % 10}",) for i in range(100)] + [("w0",)] * 7,
+            ["token"],
+        ),
+        key="token",
+        d=2,
+        w=64,
+    )
+    assert (
+        final.exceptAll(want).count() == 0
+        and want.exceptAll(final).count() == 0
+    )
+
+
 def test_hourly_stream_rollup_last_value_skips_nulls(spark, tmp_path):
     """Review regression: the streaming A1's last_value must skip NULL
     observations like the batch twin (a raw max_by(value, ts) returned
