@@ -1,18 +1,29 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-SHORT JSON line: {"metric", "value", "unit", "sf", "n_queries", "failed"}.
+SHORT JSON line: {"metric", "value", "unit", "sf", "n_queries", "failed",
+"runs", "spread_pct"}.
 
-The per-query timing map (~3.5 KB for 87 queries) lives in
-``BENCH_DETAIL.json`` next to this script, NOT on stdout: the driver
-captures a bounded tail of stdout, and round 1's full map overflowed it —
-BENCH_r01.json recorded ``parsed: null`` for a successful run.  The stdout
-line stays well under 200 chars no matter how many queries register.
+Methodology (round 8): THREE full passes over every registered query in
+one session; ``value`` is the MEDIAN of the three whole-pass totals and
+``runs`` records all three, so every artifact carries its own variance
+evidence — a perf claim outside the recorded spread is a real move, one
+inside it is session noise (BENCH_NOTES.md documents the ±19% band that
+single-total artifacts could not distinguish).  ``comparable_min_total``
+(in BENCH_DETAIL.json) keeps the r1–r7 sum-of-per-query-mins semantics
+for cross-round comparison.
+
+The per-query timing map lives in ``BENCH_DETAIL.json`` next to this
+script, NOT on stdout: the driver captures a bounded tail of stdout, and
+round 1's full map overflowed it.  The Spark console progress bar is
+disabled — its ``\\r[Stage N:...]`` repaints were the only other stdout
+writer and filled the driver's captured tail with spam (BENCH_r07.json).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -28,6 +39,7 @@ from nr_rfc_dischargeobs_spark.session import get_spark  # noqa: E402
 # Headline subset: one per operator family; bench runs each to completion
 # (count() forces full execution without driver-side result transfer).
 HEADLINE = None  # None = all queries()
+PASSES = 3
 
 
 def main() -> None:
@@ -35,9 +47,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # -Xlog:disable: JVM unified logging (GC warnings etc.) writes to
     # STDOUT and would corrupt the one-JSON-line contract.
+    # showConsoleProgress=false: the stage progress bar also repaints on
+    # stdout and was the stage-spam tail in the r1–r7 driver artifacts.
     spark = get_spark(
         "bench",
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -54,27 +71,34 @@ def main() -> None:
     )
     names = HEADLINE or list(queries)
 
-    # Warm the JVM + parquet footer caches once so per-query numbers measure
-    # the plan, not first-touch JIT.
-    try:
-        queries[names[0]](spark, sf_dir).count()
-    except Exception:
-        pass
+    # Full UNTIMED warm-up pass: whole-stage codegen JITs per plan shape,
+    # so a single warm-up query leaves every other query's first timed
+    # execution paying its own compile+JIT (measured: pass 1 ran 27%
+    # slower than pass 2 at sf0.001 with only one warm-up query, which
+    # would dominate the recorded spread).  One full pass primes codegen,
+    # JIT, and parquet footer caches for all 130 plans.
+    for name in names:
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception:
+            pass
+        finally:
+            release_plan_caches()
 
-    # Best of two passes per query: single-shot numbers on a shared local
-    # JVM carry ±20% scheduler/GC noise; the min is the plan's cost.
-    # A failing query must never kill the run — the one-JSON-line contract
-    # survives, the failure lands on stderr and as a null timing.
+    # Three full passes; per-query per-pass timings.  A failing query must
+    # never kill the run — the one-JSON-line contract survives, the failure
+    # lands on stderr, and the query is excluded from EVERY pass total so
+    # the three totals stay comparable to each other.
     # Plan-owned caches (PQ codes, SemDeDup assignment) are released after
     # EVERY timed execution: without the release, each invocation pins a
-    # fresh CacheManager entry, later queries (and the whole second pass)
-    # run under accreting storage-memory pressure, and — because the
-    # CacheManager substitutes cached fragments into semantically equal
-    # plans — pass 2 of the PQ queries would silently time a cache read
-    # instead of the plan.  (See BENCH_NOTES.md for the measured effect.)
-    timings: dict[str, float] = {}
+    # fresh CacheManager entry, later queries run under accreting
+    # storage-memory pressure, and — because the CacheManager substitutes
+    # cached fragments into semantically equal plans — later passes of the
+    # PQ queries would silently time a cache read instead of the plan.
+    # (See BENCH_NOTES.md for the measured effect.)
+    per_pass: dict[str, list[float]] = {n: [] for n in names}
     failed: list[str] = []
-    for _ in range(2):
+    for _ in range(PASSES):
         for name in names:
             if name in failed:
                 continue
@@ -85,7 +109,7 @@ def main() -> None:
             except Exception as ex:  # noqa: BLE001 — report, don't die
                 print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
                 failed.append(name)
-                timings.pop(name, None)
+                per_pass.pop(name, None)
                 continue
             finally:
                 # ALSO on failure: plan construction may already have
@@ -94,8 +118,7 @@ def main() -> None:
                 # subsequent timing.  The clock is stopped before this
                 # runs, so the release cost stays out of the numbers.
                 release_plan_caches()
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            per_pass[name].append(elapsed)
 
     # the lifecycle promise, checked: a full bench run ends cache-clean
     try:
@@ -105,16 +128,36 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — introspection only, never fatal
         cache_empty = None
 
-    total = round(sum(timings.values()), 3)
+    ok = {n: ts for n, ts in per_pass.items() if len(ts) == PASSES}
+    runs = [
+        round(sum(ts[i] for ts in ok.values()), 3) for i in range(PASSES)
+    ]
+    value = round(statistics.median(runs), 3) if runs else 0.0
+    spread_pct = (
+        round(100.0 * (max(runs) - min(runs)) / value, 2)
+        if runs and value
+        else None
+    )
     detail = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": value,
         "unit": "sec",
         # n_queries disambiguates partial runs: "value" sums only the
-        # queries that ran, so a record with failures is NOT comparable to a
-        # full-sweep total unless n_queries says how many it covered.
-        "n_queries": len(timings),
-        "queries": timings,
+        # queries that completed all passes, so a record with failures is
+        # NOT comparable to a full-sweep total unless n_queries says how
+        # many it covered.
+        "n_queries": len(ok),
+        "runs": runs,
+        "spread_pct": spread_pct,
+        # per-query: median of the three passes (robust single number),
+        # plus the raw passes for plan-shaped-vs-uniform diagnosis
+        "queries": {n: round(statistics.median(ts), 3) for n, ts in ok.items()},
+        "queries_passes": {n: ts for n, ts in ok.items()},
+        # sum of per-query mins — the r1–r7 artifacts' semantics, kept so
+        # BENCH_r08+ stays directly comparable to earlier rounds
+        "comparable_min_total": round(
+            sum(min(ts) for ts in ok.values()), 3
+        ),
         "failed": failed,
         "cache_empty_at_end": cache_empty,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -124,11 +167,13 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": value,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "n_queries": len(timings),
+        "n_queries": len(ok),
         "failed": len(failed),
+        "runs": runs,
+        "spread_pct": spread_pct,
     }
     print(json.dumps(out))
 

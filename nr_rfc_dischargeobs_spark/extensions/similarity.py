@@ -1154,6 +1154,114 @@ def ivf_pq_topk(
     return _adc_score_rank(joined, cents, m, dsub, k)
 
 
+def ivf_pq_refine(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Exact re-rank (refine) stage — the final step of the production
+    IVF-PQ recipe (Jégou et al., TPAMI 2011 §V; FAISS ``IVFx,PQy``
+    with a refine index): the ADC search's top-R *candidates* are
+    re-scored against their RAW vectors and the exact top-k is kept.
+    ADC cosine is approximate on two axes (codebook quality, coarse
+    recall); re-scoring an R ≥ k candidate slate with exact arithmetic
+    recovers most of the recall the compression gave up, at the cost of
+    touching only |Q|·R raw vectors — never the corpus.
+
+    Scale shape: ``candidates`` is metadata-scale (|Q|·R ids) and is
+    BROADCAST into a single corpus scan — the corpus never shuffles and
+    only candidate rows survive the join.  The query batch is bounded
+    (the same contract as :func:`brute_force_topk`).  The scored set is
+    |Q|·R rows, so the final top-k window is audit-scale.
+
+    ``kernel="arrow"`` re-scores with the vectorized Arrow kernel (the
+    justified Python node — see :func:`brute_force_topk_arrow`'s BLAS
+    rationale; this is exactly the "opt-in re-rank path" that docstring
+    names).  ``kernel="native"`` spells the same arithmetic as built-in
+    expressions; the two are bit-identical (exact int64 dots, same IEEE
+    division — pinned in tests), which is also what makes the DuckDB
+    oracle exact.  Zero-norm vectors are excluded on both sides like
+    every cosine kernel here.
+
+    Output: (query_id, neighbor_id, rank, cosine) — exact cosine, so a
+    refined result is directly comparable to :func:`brute_force_topk`'s.
+    """
+    if kernel not in ("arrow", "native"):
+        raise ValueError(f"kernel must be 'arrow' or 'native', got {kernel!r}")
+    cand = candidates.select("query_id", "neighbor_id")
+    gathered = (
+        corpus.filter(F.col("n") > 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cv"),
+            F.col("n").alias("cn"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+    )
+    if kernel == "native":
+        q = queries.filter(F.col("n") > 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+        scored = gathered.join(F.broadcast(q), "query_id").select(
+            "query_id",
+            "neighbor_id",
+            # HOF fold, not unrolled: candidate slates are bounded
+            # (|Q|·R rows), so plan-build cost dominates (see dot())
+            cosine(
+                dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        return _rank_topk(scored, k)
+
+    import numpy as np
+
+    qrows = queries.filter(F.col("n") > 0).select("vec_id", "q", "n").collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    qmat = np.array([r.q for r in qrows], dtype=np.int64)  # m × d
+    qnorm = np.sqrt(np.array([r.n for r in qrows], dtype=np.float64))
+    qpos = {int(r.vec_id): i for i, r in enumerate(qrows)}
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # candidates whose query was zero-norm (excluded from the
+            # batch) score nothing — same exclusion as the native path
+            idx = pdf["query_id"].map(qpos)
+            keep = idx.notna().to_numpy()
+            if not keep.any():
+                continue
+            idx = idx.to_numpy()[keep].astype(np.int64)
+            qid = pdf["query_id"].to_numpy(dtype=np.int64)[keep]
+            nbr = pdf["neighbor_id"].to_numpy(dtype=np.int64)[keep]
+            cmat = np.array(pdf["cv"].tolist(), dtype=np.int64)[keep]
+            cnorm = np.sqrt(pdf["cn"].to_numpy(dtype=np.float64)[keep])
+            # exact int64 row-wise dots (dim·QUANT² ≪ 2⁶³), then the SAME
+            # division the native kernel plans: double(dot)/(√qn·√cn)
+            dots = np.einsum("ij,ij->i", cmat, qmat[idx]).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "neighbor_id": nbr,
+                    "cosine": dots / (qnorm[idx] * cnorm),
+                }
+            )
+
+    scored = gathered.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    return _rank_topk(scored, k)
+
+
 def semantic_contamination(
     benchmark: DataFrame,
     corpus: DataFrame,

@@ -2327,7 +2327,10 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM_IVF_PQ_TOPK_SQL = f"""
+# shared CTE chain for the IVF-PQ searches: everything through the
+# ADC-scored candidate set; SIM_IVF_PQ_TOPK_SQL ranks it directly,
+# SIM_IVF_PQ_REFINED_SQL re-scores its top-R exactly first
+_IVF_PQ_CTES = f"""
 WITH u AS (
 {_UNNEST_Q.format(pred="TRUE")}
 ), us AS (
@@ -2398,12 +2401,79 @@ ca AS (
   FROM adc JOIN nq ON query_id = nq.vec_id
   WHERE nq.n > 0 AND rn > 0
 )
+"""
+
+SIM_IVF_PQ_TOPK_SQL = _IVF_PQ_CTES + """
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine_adc DESC, neighbor_id ASC)
             AS INT) AS rank,
        cosine_adc
 FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def sim_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search + exact re-rank (refine): the same index/probe
+    split as :func:`sim_ivf_pq_topk`, but the ADC search keeps a top-10
+    candidate slate per query and :func:`~..extensions.similarity.
+    ivf_pq_refine` re-scores those 10 against their raw vectors with
+    the Arrow kernel — final top-3 by EXACT cosine.  This is the full
+    production ANN recipe (coarse probe → ADC scan → exact refine);
+    recall lift vs the un-refined search is pinned in
+    ``tests/test_similarity.py`` and measured at the 1M-code probe in
+    SCALE_PROBE.json.
+
+    Same stated plan-build exception as the other PQ plans: the 8-row
+    codebook collect (and the refine kernel's bounded 16-row query-batch
+    collect) run metadata-scale jobs at construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    prep = similarity.prepare(emb)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 8).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    # same load-bearing persist as sim_ivf_pq_topk (janino compile barrier
+    # + the stored-artifact posture); released via _PLAN_CACHES
+    index = similarity.ivf_pq_index(
+        corpus, coarse, cents, m=4, dim=64
+    ).persist()
+    _PLAN_CACHES.append(index)
+    cand = similarity.ivf_pq_topk(
+        queries, index, coarse, cents, k=10, nprobe=2, m=4, dim=64
+    )
+    return similarity.ivf_pq_refine(cand, queries, corpus, k=3, kernel="arrow")
+
+
+SIM_IVF_PQ_REFINED_SQL = _IVF_PQ_CTES.rstrip() + """, cand AS (
+  SELECT query_id, neighbor_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine_adc DESC, neighbor_id ASC) <= 10
+), ex AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(qe.e * ce.e) AS dot
+  FROM cand
+  JOIN u qe ON qe.vec_id = cand.query_id
+  JOIN u ce ON ce.vec_id = cand.neighbor_id AND ce.i = qe.i
+  GROUP BY 1, 2
+), rescored AS (
+  SELECT ex.query_id, ex.neighbor_id,
+         CAST(ex.dot AS DOUBLE)
+           / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE)))
+           AS cosine
+  FROM ex JOIN nq ON ex.query_id = nq.vec_id
+  JOIN nc ON ex.neighbor_id = nc.vec_id
+  WHERE nq.n > 0 AND nc.n > 0
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS INT) AS rank,
+       cosine
+FROM rescored
 QUALIFY rank <= 3
 """
 

@@ -2415,3 +2415,154 @@ def test_fingerprint_distinguishes_non_latin_scripts(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
     assert fp[0] != fp[1]  # distinct Chinese docs stay distinct
     assert fp[2] == fp[3]  # punctuation/case/whitespace still collapse
+
+
+# ------------------------------------------------------------- pq refine
+
+
+def _refine_fixture(spark, n=60, dim=4, seed=13):
+    """Shared IVF-PQ split: codebook seeds < 4, coarse 4-6, queries 7-11,
+    corpus ≥ 12 — random enough that m=2 PQ compression visibly reorders
+    neighbors vs exact cosine (what the refine stage exists to repair)."""
+    import random
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import prepare
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    prep = prepare(_emb(spark, rows))
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 4).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 7))
+    queries = prep.filter((F.col("vec_id") >= 7) & (F.col("vec_id") < 12))
+    corpus = prep.filter(F.col("vec_id") >= 12)
+    return prep, cents, coarse, queries, corpus
+
+
+def test_ivf_pq_refine_arrow_native_bit_parity(spark):
+    """The Arrow refine kernel and the native-expression spelling must be
+    BIT-identical — exact int64 dots, same IEEE division — on the same
+    candidate slate (this parity is also what licenses the DuckDB oracle
+    for the registered arrow-kernel query)."""
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_pq_index,
+        ivf_pq_refine,
+        ivf_pq_topk,
+    )
+
+    _, cents, coarse, queries, corpus = _refine_fixture(spark)
+    index = ivf_pq_index(corpus, coarse, cents, m=2, dim=4)
+    cand = ivf_pq_topk(
+        queries, index, coarse, cents, k=6, nprobe=2, m=2, dim=4
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            ivf_pq_refine(cand, queries, corpus, k=3, kernel="arrow").collect(),
+        )
+    )
+    native = sorted(
+        map(
+            tuple,
+            ivf_pq_refine(
+                cand, queries, corpus, k=3, kernel="native"
+            ).collect(),
+        )
+    )
+    assert arrow == native  # floats compared exactly: bit parity
+    assert len(arrow) == 5 * 3
+
+
+def test_ivf_pq_refine_full_slate_equals_brute_force(spark):
+    """With every list probed and the slate as big as the corpus, refine
+    degenerates to the exact answer: ADC only GENERATES candidates, the
+    re-score decides — so the result must equal brute_force_topk bit for
+    bit (the recall-1.0 oracle identity for the refine stage)."""
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_pq_index,
+        ivf_pq_refine,
+        ivf_pq_topk,
+    )
+
+    _, cents, coarse, queries, corpus = _refine_fixture(spark)
+    index = ivf_pq_index(corpus, coarse, cents, m=2, dim=4)
+    cand = ivf_pq_topk(
+        queries, index, coarse, cents, k=100, nprobe=3, m=2, dim=4
+    )
+    refined = sorted(
+        map(
+            tuple,
+            ivf_pq_refine(cand, queries, corpus, k=3, kernel="arrow").collect(),
+        )
+    )
+    exact = sorted(map(tuple, brute_force_topk(queries, corpus, k=3).collect()))
+    assert refined == exact
+
+
+def test_ivf_pq_refine_lifts_recall(spark):
+    """The published reason the stage exists: re-scoring a top-R slate
+    exactly recovers recall the PQ compression gave up.  Measured here as
+    mean ann_recall@3 vs the brute-force oracle — refined (R=6) must be
+    at least the un-refined search's recall at the SAME nprobe, and the
+    fixture is lossy enough that the lift is strict."""
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_pq_index,
+        ivf_pq_refine,
+        ivf_pq_topk,
+    )
+
+    _, cents, coarse, queries, corpus = _refine_fixture(spark)
+    index = ivf_pq_index(corpus, coarse, cents, m=2, dim=4)
+    exact = brute_force_topk(queries, corpus, k=3)
+
+    def mean_recall(approx):
+        rows = ann_recall(approx, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    unrefined = ivf_pq_topk(
+        queries, index, coarse, cents, k=3, nprobe=2, m=2, dim=4
+    )
+    cand = ivf_pq_topk(
+        queries, index, coarse, cents, k=6, nprobe=2, m=2, dim=4
+    )
+    refined = ivf_pq_refine(cand, queries, corpus, k=3, kernel="arrow")
+    r_un, r_ref = mean_recall(unrefined), mean_recall(refined)
+    assert r_ref >= r_un
+    assert r_ref > r_un, (
+        f"fixture not lossy enough to witness the lift ({r_un} -> {r_ref})"
+    )
+
+
+def test_ivf_pq_refine_zero_norm_and_validation(spark):
+    """Kernel name is validated loudly; zero-norm queries and candidates
+    are excluded from scoring on both kernels (the shared cosine
+    contract), so a zero-norm query emits no rows rather than NULL/NaN."""
+    import pytest
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_pq_refine,
+        prepare,
+    )
+
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero-norm query
+        (2, [1.0, 0.0, 0.0, 0.0]),   # real query
+        (10, [0.9, 0.1, 0.0, 0.0]),  # corpus
+        (11, [0.0, 0.0, 0.0, 0.0]),  # zero-norm corpus vector
+    ]
+    prep = prepare(_emb(spark, rows))
+    queries = prep.filter(F.col("vec_id") <= 2)
+    corpus = prep.filter(F.col("vec_id") >= 10)
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], ["query_id", "neighbor_id"]
+    )
+    with pytest.raises(ValueError, match="kernel"):
+        ivf_pq_refine(cand, queries, corpus, k=2, kernel="blas")
+    for kernel in ("arrow", "native"):
+        out = ivf_pq_refine(cand, queries, corpus, k=2, kernel=kernel).collect()
+        assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(2, 10)}
