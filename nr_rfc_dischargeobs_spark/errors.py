@@ -28,15 +28,23 @@ def is_missing_path(ex: BaseException) -> bool:
 
     PySpark 4 exposes the structured condition via
     ``PySparkException.getCondition()`` (``getErrorClass()`` before 4.0,
-    kept as a deprecated alias); exceptions without either accessor (or
-    raised outside the PySpark error framework) classify as "not a
-    missing path", which is the fail-safe direction.
+    kept as a deprecated alias).  Exceptions carrying NEITHER accessor —
+    a raw Py4JJavaError that escaped PySpark's conversion layer, or an
+    older wrapper — fall back to matching the same structured condition
+    TOKENS in ``str(ex)``: Spark embeds the error-class key in the
+    message (``[PATH_NOT_FOUND] Path does not exist…``), so the token
+    match keeps first-run behavior across exception wrappers without
+    re-introducing free-text message matching (the token is the
+    registry key, not prose).  An exception with an accessor that
+    reports a DIFFERENT condition never falls through to the text match
+    — throttling, credentials, corruption stay loud.
     """
     getter = getattr(ex, "getCondition", None) or getattr(
         ex, "getErrorClass", None
     )
     if getter is None:
-        return False
+        text = str(ex)
+        return any(c in text for c in _MISSING_PATH_CONDITIONS)
     try:
         condition = getter()
     except Exception:  # noqa: BLE001 — classification must never raise

@@ -19,8 +19,43 @@ land on ``salts`` tasks instead of one.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..extensions.diagnostics import skew_profile
+
+
+def choose_salts(
+    big: DataFrame,
+    on: list[str],
+    max_salts: int = 64,
+    threshold: float = 4.0,
+) -> int:
+    """Measure the join key's skew and pick the salt count from it.
+
+    One bounded profiling job (``diagnostics.skew_profile`` top-1 — a
+    combine-friendly exact count keyed by the join key, ONE row
+    collected; the same metadata-scale plan-build carve-out as the PQ
+    codebook collects).  ``skew_ratio`` is the hot key's count over the
+    mean key count — exactly the multiple by which the hot key's shuffle
+    bucket outweighs an average task, so spreading it over
+    ``ceil(skew_ratio)`` sub-keys levels the buckets back to ~mean.
+
+    Returns 1 (don't salt) when the ratio is at or under ``threshold``:
+    mild skew is AQE's job, and salting costs small-side replication.
+    Capped at ``max_salts`` — past the cluster's parallelism more salts
+    only multiply the small side without adding concurrency.
+    """
+    keyed = big.select(F.struct(*[F.col(c) for c in on]).alias("__key"))
+    prof = skew_profile(keyed, "__key", top=1).collect()
+    if not prof:
+        return 1
+    ratio = prof[0]["skew_ratio"]
+    if ratio is None or ratio <= threshold:
+        return 1
+    return max(2, min(max_salts, math.ceil(ratio)))
 
 
 def salted_join(
@@ -28,7 +63,7 @@ def salted_join(
     small: DataFrame,
     on: list[str],
     spread_col: str,
-    salts: int = 16,
+    salts: int | str = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``salts`` sub-keys.
@@ -41,6 +76,12 @@ def salted_join(
     Right/full outer joins are rejected: an unmatched small-side key would
     surface once per salt replica (``salts`` copies instead of one),
     silently inflating downstream counts.
+
+    ``salts="auto"`` measures instead of guessing: :func:`choose_salts`
+    profiles the big side's key once and sizes S to the hot key's
+    multiple of the mean key count (1 → the plain un-salted join; mild
+    skew is AQE's job).  The profile is one plan-build job — pass a
+    literal where the key's shape is already known.
     """
     if how.replace("_", "").lower() in ("rightouter", "right", "fullouter", "full", "outer"):
         raise ValueError(
@@ -48,6 +89,17 @@ def salted_join(
             " unmatched small-side row would appear once per salt replica;"
             " swap the sides or use the plain join for these"
         )
+    if salts == "auto":
+        salts = choose_salts(big, on)
+    elif not isinstance(salts, int) or salts < 1:
+        raise ValueError(
+            f"salts must be a positive int or 'auto', got {salts!r}"
+        )
+    if salts == 1:
+        # measured-uniform key: the salt machinery would only add a
+        # constant column and replicate nothing — the plain join IS the
+        # salted join at S=1
+        return big.join(small, on, how)
     b = big.withColumn(
         "__salt", F.pmod(F.hash(F.col(spread_col)), F.lit(salts))
     )

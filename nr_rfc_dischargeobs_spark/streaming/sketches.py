@@ -144,16 +144,44 @@ def read_cms_table(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
-def _last_committed_batch(checkpoint_dir: str) -> int:
+def _last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int:
     """Highest batch id with a completed commit in a Structured
     Streaming checkpoint (``<ckpt>/commits/<batchId>`` files — the
-    engine's own completion markers), or -1 if none committed yet."""
-    import os
+    engine's own completion markers), or -1 if none committed yet.
 
-    commits = os.path.join(checkpoint_dir, "commits")
-    if not os.path.isdir(commits):
+    Resolved through the session's Hadoop FileSystem, NOT driver-local
+    ``os.listdir``: a checkpoint on an object store (``s3a://…``) or a
+    scheme-prefixed local path (``file:/…``) is invisible to os.path —
+    the local spelling returned -1 there, silently treating EVERY landed
+    partition as an uncommitted orphan and disabling the fold the caller
+    explicitly opted into.  An unsupported scheme (missing connector)
+    raises from ``getFileSystem`` — loud, never a silent no-op.
+
+    A missing ``commits/`` under an EXISTING checkpoint is the normal
+    fresh-checkpoint state (stream started, nothing committed) → -1.
+    A checkpoint_dir that doesn't exist at all is a caller error (a
+    typo'd path would otherwise also fold nothing, fail-safe but
+    silent) → raises."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        raise ValueError(
+            f"checkpoint_dir {checkpoint_dir!r} does not exist on its"
+            " filesystem — checkpoint-aware compaction would silently"
+            " fold nothing; pass the stream's real checkpointLocation"
+            " or None to fold everything after a clean drain"
+        )
+    commits = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_dir.rstrip("/") + "/commits"
+    )
+    if not fs.exists(commits):
         return -1
-    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    ids = [
+        int(name)
+        for st in fs.listStatus(commits)
+        if (name := st.getPath().getName()).isdigit()
+    ]
     return max(ids, default=-1)
 
 
@@ -185,7 +213,7 @@ def compact_cms_table(
     from .documents import compact_corpus
 
     last = (
-        _last_committed_batch(checkpoint_dir)
+        _last_committed_batch(spark, checkpoint_dir)
         if checkpoint_dir is not None
         else None
     )

@@ -195,3 +195,42 @@ def test_exists_reraises_non_missing_errors(spark, tmp_path):
         store.exists()
     missing = ObservationStore(spark, str(tmp_path / "never_written"))
     assert missing.exists() is False
+
+
+def test_is_missing_path_token_fallback_without_accessors():
+    """ADVICE fix pin: an exception that escaped PySpark's error
+    framework (no getCondition/getErrorClass — e.g. a raw Py4JJavaError)
+    still classifies as missing-path when its MESSAGE carries the
+    structured condition token, so first-run behavior survives exception
+    wrappers; prose without the token stays un-matched, and a structured
+    exception reporting a DIFFERENT condition never falls through to the
+    text scan."""
+    from nr_rfc_dischargeobs_spark.errors import is_missing_path
+
+    class RawError(Exception):
+        pass
+
+    assert is_missing_path(
+        RawError("[PATH_NOT_FOUND] Path does not exist: /x/y")
+    )
+    assert is_missing_path(
+        RawError("[UNABLE_TO_INFER_SCHEMA] Unable to infer schema")
+    )
+    assert not is_missing_path(RawError("path does not exist"))  # prose only
+    assert not is_missing_path(RawError("ACCESS_DENIED on bucket"))
+
+    class Structured(Exception):
+        def getCondition(self):
+            return "ACCESS_DENIED"
+
+    # structured condition wins: the token in the message must NOT make
+    # a credentials failure look like a fresh store
+    assert not is_missing_path(
+        Structured("ACCESS_DENIED while listing [PATH_NOT_FOUND]-like dir")
+    )
+
+    class StructuredMissing(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    assert is_missing_path(StructuredMissing("anything"))

@@ -329,3 +329,79 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     # left outer stays fine: only big-side rows surface unmatched
     got = salted_join(big, small, ["k"], "row_id", how="left").collect()
     assert len(got) == 1 and got[0]["v"] is None
+
+
+def test_salted_join_auto_sizes_from_measured_skew(spark):
+    """salts='auto' must pick the SAME S a profiling engineer would read
+    off skew_profile (ceil of max/mean), and the result must stay
+    row-identical to the plain join."""
+    import math as _math
+
+    from nr_rfc_dischargeobs_spark.operators.skew import (
+        choose_salts,
+        salted_join,
+    )
+
+    # planted hot key: k=1 carries 200 rows, 50 cold keys carry 1 each
+    big = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(k, 900 + k) for k in range(2, 52)],
+        ["k", "row_id"],
+    )
+    small = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 52)], ["k", "label"]
+    )
+    # manual choice from the profile: ratio = max_cnt·n_keys/n_rows
+    ratio = 200 * 51 / 250
+    assert choose_salts(big, ["k"]) == _math.ceil(ratio) == 41
+    auto = sorted(
+        (r["k"], r["row_id"], r["label"])
+        for r in salted_join(big, small, ["k"], "row_id", salts="auto").collect()
+    )
+    manual = sorted(
+        (r["k"], r["row_id"], r["label"])
+        for r in salted_join(big, small, ["k"], "row_id", salts=41).collect()
+    )
+    plain = sorted(
+        (r["k"], r["row_id"], r["label"])
+        for r in big.join(small, "k").collect()
+    )
+    assert auto == manual == plain and len(plain) == 250
+
+
+def test_salted_join_auto_uniform_key_skips_salting(spark):
+    """Uniform keys (ratio ~1 <= threshold) must measure S=1 and take the
+    plain-join path — no salt column, no small-side replication."""
+    from nr_rfc_dischargeobs_spark.operators.skew import (
+        choose_salts,
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(k, 10 * k + i) for k in range(50) for i in range(4)],
+        ["k", "row_id"],
+    )
+    small = spark.createDataFrame([(k, f"v{k}") for k in range(50)], ["k", "v"])
+    assert choose_salts(big, ["k"]) == 1
+    auto = salted_join(big, small, ["k"], "row_id", salts="auto")
+    # S=1 short-circuits to the plain join: no salt expression in the plan
+    assert "pmod" not in auto._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, big.join(small, "k").collect())
+    )
+
+
+def test_salted_join_salts_validation_and_empty_big(spark):
+    from nr_rfc_dischargeobs_spark.operators.skew import (
+        choose_salts,
+        salted_join,
+    )
+
+    big = spark.createDataFrame([(1, 10)], ["k", "row_id"])
+    small = spark.createDataFrame([(1, "x")], ["k", "v"])
+    for bad in (0, -3, "sixteen", 2.5):
+        with pytest.raises(ValueError, match="salts"):
+            salted_join(big, small, ["k"], "row_id", salts=bad)
+    # empty big side: nothing to profile -> S=1, result stays empty
+    empty = big.filter("k < 0")
+    assert choose_salts(empty, ["k"]) == 1
+    assert salted_join(empty, small, ["k"], "row_id", salts="auto").count() == 0

@@ -1179,3 +1179,46 @@ def test_hourly_stream_rollup_last_value_skips_nulls(spark, tmp_path):
     out = spark.sql("SELECT * FROM hsr_nulltest").collect()
     assert len(out) == 1
     assert out[0]["last_value"] == 3.0  # not NULL
+
+
+def test_last_committed_batch_resolves_scheme_prefixed_checkpoints(
+    spark, tmp_path
+):
+    """ADVICE fix pin: the commit log is resolved through the Hadoop
+    FileSystem, so a scheme-prefixed checkpoint (file:/…, the local
+    stand-in for s3a://…) reads the SAME last-committed id as the plain
+    path — the old os.listdir spelling returned -1 there, silently
+    disabling the fold the caller opted into."""
+    import json
+
+    import pytest
+
+    from nr_rfc_dischargeobs_spark.streaming import cms_table_stream
+    from nr_rfc_dischargeobs_spark.streaming.sketches import (
+        _last_committed_batch,
+    )
+
+    landing = tmp_path / "tok"
+    landing.mkdir()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(json.dumps({"token": f"w{i}"}) for i in range(5)) + "\n"
+    )
+    stream = spark.readStream.schema("token STRING").json(str(landing))
+    cms_dir, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt")
+    q = cms_table_stream(stream, cms_dir, ckpt, key="token", d=2, w=64)
+    q.awaitTermination(120)
+
+    plain = _last_committed_batch(spark, ckpt)
+    assert plain == 0  # one drained batch
+    assert _last_committed_batch(spark, "file:" + ckpt) == plain
+    assert _last_committed_batch(spark, "file://" + ckpt) == plain
+
+    # fresh-but-existing checkpoint (no commits yet) is the normal -1
+    empty_ckpt = tmp_path / "ckpt_fresh"
+    empty_ckpt.mkdir()
+    assert _last_committed_batch(spark, str(empty_ckpt)) == -1
+
+    # a checkpoint that does not exist is a caller error, never a silent
+    # fold-nothing
+    with pytest.raises(ValueError, match="does not exist"):
+        _last_committed_batch(spark, str(tmp_path / "no_such_ckpt"))
