@@ -11,10 +11,13 @@ oracle is hash-verified by the driver) is pinned test-by-test in
 rows on the same corpus, which makes the driver's oracle transitively the
 TVF's oracle.
 
-A SQL UDF body is resolved at CALL time, so the functions can be
-registered before (or after) :func:`..catalog.register_tables` — they just
-need the ``documents`` view to exist when queried.  Registration is
-session-scoped metadata: nothing runs until a query calls the function.
+A SQL UDF body is ANALYZED at CREATE time (Spark's
+``CreateSQLFunctionCommand`` resolves the body against the current
+catalog), so register the views first — :func:`..catalog.register_tables`
+before :func:`register_sql_tvfs`; the text/dedup tier needs ``documents``
+and the similarity tier needs ``embeddings``.  Registration stays
+session-scoped metadata: nothing EXECUTES until a query calls the
+function.
 """
 
 from __future__ import annotations
@@ -125,6 +128,124 @@ FROM (
   GROUP BY lang, q_pct
 )
 """,
+    # extensions.dedup: shingle_rows(n=1) → minhash_signatures(bands=2)
+    # → lsh_candidate_pairs — the banded-equality-join discipline spelled
+    # in SQL (work is Σ|bucket|², never n²)
+    "tvf_dedup_lsh_pairs": """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_dedup_lsh_pairs(max_doc_id BIGINT)
+RETURNS TABLE (doc_a BIGINT, doc_b BIGINT)
+RETURN
+WITH sh AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id,
+               explode(array_distinct(split(lower(text), ' '))) AS shingle
+        FROM documents WHERE doc_id < max_doc_id)
+  WHERE trim(shingle) != ''
+), sig AS (
+  SELECT doc_id,
+         min(substring(concat(md5(shingle), md5(concat('x', shingle))),
+                       1, 8)) AS mh0,
+         min(substring(concat(md5(shingle), md5(concat('x', shingle))),
+                       9, 8)) AS mh1
+  FROM sh GROUP BY doc_id
+), long AS (
+  SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 'mh1' AS band, mh1 AS sig FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+""",
+    # extensions.similarity.brute_force_topk: queries vec_id < split_id
+    # vs corpus >= split_id; exact quantized-int dots, zero-norm excluded
+    "tvf_sim_cosine_topk": """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_sim_cosine_topk(
+    split_id BIGINT, k INT)
+RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,
+               cosine DOUBLE)
+RETURN
+WITH p AS (
+  SELECT vec_id,
+         transform(embedding,
+                   x -> cast(round(cast(x AS DOUBLE) * 100000, 0)
+                             AS BIGINT)) AS q
+  FROM embeddings
+), p2 AS (
+  SELECT vec_id, q,
+         aggregate(q, cast(0 AS BIGINT), (acc, x) -> acc + x * x) AS n
+  FROM p
+), qs AS (SELECT vec_id AS query_id, q AS qv, n AS qn
+          FROM p2 WHERE vec_id < split_id AND n > 0),
+cs AS (SELECT vec_id AS neighbor_id, q AS cv, n AS cn
+       FROM p2 WHERE vec_id >= split_id AND n > 0),
+scored AS (
+  SELECT query_id, neighbor_id,
+         cast(aggregate(zip_with(qv, cv, (x, y) -> x * y),
+                        cast(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)
+           / (sqrt(cast(qn AS DOUBLE)) * sqrt(cast(cn AS DOUBLE)))
+           AS cosine
+  FROM cs CROSS JOIN qs
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+              AS INT) AS rank
+  FROM scored)
+WHERE rank <= k
+""",
+    # extensions.similarity.semantic_dedup: coarse-assign to the first
+    # n_seeds vectors, drop any vector with a smaller-id clustermate at
+    # cosine >= threshold (one-hop SemDeDup semantics, zero-norm kept)
+    "tvf_sim_semantic_dedup": """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_sim_semantic_dedup(
+    max_vec_id BIGINT, n_seeds BIGINT, threshold DOUBLE)
+RETURNS TABLE (vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN,
+               canonical_id BIGINT)
+RETURN
+WITH p AS (
+  SELECT vec_id,
+         transform(embedding,
+                   x -> cast(round(cast(x AS DOUBLE) * 100000, 0)
+                             AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < max_vec_id
+), p2 AS (
+  SELECT vec_id, q,
+         aggregate(q, cast(0 AS BIGINT), (acc, x) -> acc + x * x) AS n
+  FROM p
+), cents AS (SELECT vec_id AS cid, q AS cq, n AS cn
+             FROM p2 WHERE vec_id < n_seeds),
+a1 AS (
+  SELECT vec_id, q, n, cid FROM (
+    SELECT p2.vec_id, p2.q, p2.n, cents.cid,
+           row_number() OVER (
+             PARTITION BY p2.vec_id
+             ORDER BY p2.n + cents.cn
+                      - 2 * aggregate(zip_with(p2.q, cents.cq,
+                                               (x, y) -> x * y),
+                                      cast(0 AS BIGINT),
+                                      (acc, x) -> acc + x) ASC,
+                      cents.cid ASC) AS rn
+    FROM p2 CROSS JOIN cents)
+  WHERE rn = 1
+), dropped AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS canon FROM (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE x.n > 0 AND y.n > 0
+      AND cast(aggregate(zip_with(x.q, y.q, (xx, yy) -> xx * yy),
+                         cast(0 AS BIGINT), (acc, xx) -> acc + xx)
+               AS DOUBLE)
+          / (sqrt(cast(x.n AS DOUBLE)) * sqrt(cast(y.n AS DOUBLE)))
+          >= threshold)
+  GROUP BY vec_b
+)
+SELECT a1.vec_id, a1.cid AS cluster_id,
+       dropped.canon IS NULL AS kept,
+       coalesce(dropped.canon, a1.vec_id) AS canonical_id
+FROM a1 LEFT JOIN dropped ON a1.vec_id = dropped.vec_id
+""",
     # gopher word-count gate, parameterized (n_words_expr formula)
     "tvf_text_word_count_gate": """
 CREATE OR REPLACE TEMPORARY FUNCTION tvf_text_word_count_gate(
@@ -141,8 +262,9 @@ WHERE size(split(lower(text), ' ')) BETWEEN min_words AND max_words
 def register_sql_tvfs(spark: SparkSession) -> list[str]:
     """Create every TVF in :data:`SQL_TVFS`; returns the function names.
 
-    Call after (or before — bodies resolve at call time) the
-    ``documents`` view exists, e.g. via :func:`.catalog.register_tables`.
+    Call AFTER the ``documents`` and ``embeddings`` views exist (e.g. via
+    :func:`.catalog.register_tables`) — SQL UDF bodies are analyzed at
+    CREATE time against the current catalog.
     """
     for ddl in SQL_TVFS.values():
         spark.sql(ddl)

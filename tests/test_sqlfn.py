@@ -35,6 +35,24 @@ def docs_view(spark):
         ["doc_id", "text", "lang", "n_chars"],
     )
     docs.createOrReplaceTempView("documents")
+    # embeddings view: the similarity-tier TVF bodies are analyzed at
+    # CREATE time, so the view must exist before register_sql_tvfs.
+    # ids 0-1 double as SemDeDup seeds; 6 is a zero-norm degenerate;
+    # 4 and 5 are near-duplicates of each other (same direction).
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.2, -0.1]),
+            (1, [-0.5, 1.0, 0.0, 0.3]),
+            (2, [0.9, 0.1, 0.25, -0.05]),
+            (3, [-0.4, 0.9, 0.1, 0.2]),
+            (4, [0.7, 0.7, 0.0, 0.0]),
+            (5, [0.71, 0.69, 0.01, 0.0]),
+            (6, [0.0, 0.0, 0.0, 0.0]),
+            (7, [0.2, -0.8, 0.5, 0.1]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    embs.createOrReplaceTempView("embeddings")
     register_sql_tvfs(spark)
     return docs
 
@@ -103,3 +121,58 @@ def test_tvf_hist_quantiles_matches_operator(spark, docs_view):
         "lang", "q_pct", "bin", "bin_lo", "bin_hi", "cum_count", "n_rows"
     )
     assert rows(got) == rows(want)
+
+
+def test_tvf_dedup_lsh_pairs_matches_operator(spark, docs_view):
+    got = spark.sql("SELECT * FROM tvf_dedup_lsh_pairs(100)")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_rows(docs_view, n=1), bands=2
+    )
+    want = dedup.lsh_candidate_pairs(sigs, bands=2)
+    assert rows(got) == rows(want)
+    # the exact-duplicate pair must be a candidate (identical signatures)
+    assert (0, 2) in {(r[0], r[1]) for r in rows(got)}
+    # the parameter prunes: capping below doc 2 removes its pairs
+    capped = spark.sql("SELECT * FROM tvf_dedup_lsh_pairs(2)")
+    assert all(r[1] < 2 for r in rows(capped))
+
+
+def test_tvf_sim_cosine_topk_matches_operator(spark, docs_view):
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    emb = spark.table("embeddings")
+    queries = similarity.prepare(emb.filter(F.col("vec_id") < 2))
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 2))
+    want = similarity.brute_force_topk(queries, corpus, k=3)
+    got = spark.sql("SELECT * FROM tvf_sim_cosine_topk(2, 3)")
+    # floats compared exactly: the TVF spells the same quantized integer
+    # dot + IEEE division, so parity is bitwise
+    assert rows(got) == rows(want)
+    # zero-norm corpus vector (id 6) never appears
+    assert all(r[1] != 6 for r in rows(got))
+
+
+def test_tvf_sim_semantic_dedup_matches_operator(spark, docs_view):
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    emb = spark.table("embeddings")
+    prep = similarity.prepare(emb.filter(F.col("vec_id") < 100))
+    cents = similarity.prepare(emb.filter(F.col("vec_id") < 2))
+    want = similarity.semantic_dedup(prep, cents, threshold=0.3)
+    got = spark.sql("SELECT * FROM tvf_sim_semantic_dedup(100, 2, 0.3)")
+    assert rows(got) == rows(want)
+    by_id = {r[0]: r for r in rows(got)}
+    # the planted near-dup (5 ~ 4) is dropped; its canonical is the
+    # SMALLEST in-threshold clustermate (one-hop SemDeDup semantics —
+    # at threshold 0.3 that is id 0, not its closest neighbor)
+    assert by_id[5][2] is False and by_id[5][3] < 5
+    # zero-norm vector is always kept (no cosine direction)
+    assert by_id[6][2] is True and by_id[6][3] == 6
+    # a tighter threshold keeps more: 5 must then canonicalize to 4
+    tight = {
+        r[0]: r
+        for r in rows(
+            spark.sql("SELECT * FROM tvf_sim_semantic_dedup(100, 2, 0.95)")
+        )
+    }
+    assert tight[5][2] is False and tight[5][3] == 4
