@@ -73,6 +73,24 @@ def synth_docs(spark, n: int, tokens: int = 60) -> DataFrame:
     )
 
 
+def synth_neardup_docs(spark, n: int, group: int = 5, tokens: int = 60) -> DataFrame:
+    """Documents in ``group``-sized NEAR-duplicate families: every member
+    shares its family's tokens except ONE member-unique token, so exact
+    dedup cannot collapse them (distinct fingerprints) while the
+    MinHash→Jaccard tier must (3-gram Jaccard ≈ 0.9 within a family) —
+    the workload the composed curation chain exists for."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, {tokens - 1}),"
+            f" i -> CASE WHEN i = (id % {group}) * 7"
+            f" THEN substr(md5(concat('u', cast(id as string))), 1, 5)"
+            f" ELSE substr(md5(concat(cast(id - id % {group} as string),"
+            f" '_', cast(i as string))), 1, 5) END))"
+        ).alias("text"),
+    )
+
+
 def synth_embs(spark, n: int, dim: int = 64) -> DataFrame:
     """embeddings-shaped table: n deterministic dim-d float vectors."""
     return spark.range(n).select(
@@ -90,6 +108,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vecs", type=int, default=200_000)
     ap.add_argument("--adc-vecs", type=int, default=1_000_000)
+    ap.add_argument("--curate-docs", type=int, default=10_000_000)
     ap.add_argument("--weather-stations", type=int, default=1_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -365,6 +384,19 @@ def main() -> int:
           similarity.ivf_pq_topk(
               prep_adc.filter(F.col("vec_id") < 256), ivfpq_index,
               coarse_cents, pq_cents, k=10, nprobe=4))
+    # --- the refine stage on top of the same index: top-30 ADC slate
+    # re-scored EXACTLY against raw vectors (Arrow kernel; candidates
+    # broadcast into one corpus scan).  The marginal cost over the
+    # un-refined search is the production question — it buys back the
+    # recall the PQ compression gave up (pinned in tests).
+    timed(t, f"ivf_pq_refined_{adc_n // 1_000_000}m_codes_R30_k10",
+          similarity.ivf_pq_refine(
+              similarity.ivf_pq_topk(
+                  prep_adc.filter(F.col("vec_id") < 256), ivfpq_index,
+                  coarse_cents, pq_cents, k=30, nprobe=4),
+              prep_adc.filter(F.col("vec_id") < 256),
+              prep_adc.filter(F.col("vec_id") >= 256),
+              k=10, kernel="arrow"))
     # index-build A/B at the same volume: the window spelling pays one
     # corpus-keyed exchange, the literal-fold spelling zero — both
     # produce identical assignments (pinned in tests)
@@ -426,6 +458,127 @@ def main() -> int:
     timed(t, f"semantic_dedup_skew20pct_{skew_n // 1000}k_salt8",
           similarity.semantic_dedup(
               prep_skew, cents_skew, threshold=0.9999, dim=8, salt=8))
+
+    # --- composed curation at 10M docs (10× the per-operator tier):
+    # the full rule→exact→MinHash-LSH→Jaccard chain over near-duplicate
+    # FAMILIES (exact dedup can't collapse them; the LSH tier must).
+    # The 1M run with the SAME planted structure sits next to it so the
+    # pair-join blowup is measurable inside one artifact: candidate
+    # work is Σ|bucket|² over family-sized buckets — linear in corpus
+    # size for fixed family size, NOT n².
+    from nr_rfc_dischargeobs_spark.extensions import curate
+
+    print(
+        f"curation tier (composed chain, {args.curate_docs:,} docs):",
+        file=sys.stderr,
+    )
+    for label, n_cur in (
+        ("curate_corpus_1m_5xneardups", min(args.curate_docs, 1_000_000)),
+        (f"curate_corpus_{args.curate_docs // 1_000_000}m_5xneardups",
+         args.curate_docs),
+    ):
+        cdocs = synth_neardup_docs(spark, n_cur).localCheckpoint()
+        _cur_reg: list = []
+        timed(t, label,
+              curate.curate_corpus(cdocs, cache_shingles=True,
+                                    cache_registry=_cur_reg))
+        for _df in _cur_reg:
+            _df.unpersist()
+        if n_cur == args.curate_docs:
+            # semantic curation at the same 10M-doc gate: quality-scan
+            # all docs, inner-join the embedded subset (the production
+            # contract — SemDeDup only sees embedded docs), then the
+            # audited semantic_dedup plan on the survivors
+            emb_sub = similarity.prepare(
+                synth_embs(spark, 100_000, dim=16)
+            )
+            gated_ids = text.quality_scores(cdocs).filter(
+                (F.col("n_words") >= 10) & (F.col("uniq_ratio") >= 0.2)
+            ).select("doc_id")
+            prep_sem = emb_sub.join(
+                gated_ids, emb_sub["vec_id"] == gated_ids["doc_id"]
+            ).select("vec_id", "q", "n").localCheckpoint()
+            cents_sem = prep_sem.filter(F.col("vec_id") < 128)
+            timed(t,
+                  f"curate_semantic_{args.curate_docs // 1_000_000}m_gate"
+                  "_100k_embedded",
+                  similarity.semantic_dedup(
+                      prep_sem, cents_sem, threshold=0.98, dim=16))
+        cdocs.unpersist()
+
+    # --- EP1 end-to-end at probe volume: landing-zone file stream →
+    # foreachBatch coalescing upsert into the partitioned store, drained
+    # with availableNow over several micro-batches — the reference's
+    # ingest loop as a stream.  Drift check: the streamed store must
+    # hold EXACTLY the batch-written store's rows (xxhash-sum compared),
+    # the same batch-vs-stream parity contract as the A1 rollup tests.
+    print(f"pipelines tier (EP1 stream ingest, {args.events:,} obs):",
+          file=sys.stderr)
+    import shutil
+    import tempfile
+
+    from nr_rfc_dischargeobs_spark.sources import ObservationStore
+    from nr_rfc_dischargeobs_spark.streaming.ingest import (
+        stream_upsert_into_store,
+    )
+
+    n_st_ep1 = 300
+    obs_ep1 = spark.range(args.events).select(
+        F.format_string(
+            "S%03d", (F.col("id") % n_st_ep1).cast("int")
+        ).alias("station_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / n_st_ep1).cast("long") * 300
+        ).alias("obs_time"),
+        F.lit("Q").alias("datatype"),
+        F.round(F.sin(F.col("id") / 97.0) * 50 + 50, 3).alias("value"),
+        F.lit("raw").alias("qc_level"),
+        F.lit("synth").alias("source"),
+    )
+    ep1_root = tempfile.mkdtemp(
+        prefix="scale_ep1_", dir=str(Path(__file__).parent)
+    )
+    try:
+        landing = str(Path(ep1_root) / "landing")
+        obs_ep1.repartition(8).write.mode("overwrite").parquet(landing)
+        stream = (
+            spark.readStream.schema(obs_ep1.schema)
+            .option("maxFilesPerTrigger", 2)  # force several micro-batches
+            .parquet(landing)
+        )
+        s_store = ObservationStore(spark, str(Path(ep1_root) / "stream_store"))
+        t0 = time.time()
+        q = stream_upsert_into_store(
+            stream, s_store, str(Path(ep1_root) / "ckpt")
+        )
+        q.awaitTermination()
+        n_streamed = s_store.read().count()
+        t["ep1_stream_upsert_10m"] = {
+            "sec": round(time.time() - t0, 1), "rows": n_streamed,
+        }
+        print(f"  {t['ep1_stream_upsert_10m']['sec']:7.1f} s  "
+              f"{n_streamed:>12,} rows  ep1_stream_upsert_10m",
+              file=sys.stderr)
+        b_store = ObservationStore(spark, str(Path(ep1_root) / "batch_store"))
+        b_store.write(obs_ep1)
+
+        def _sig(df):
+            # decimal(38,0) sum: int64 hashes summed over 10M rows
+            # overflow a BIGINT accumulator under ANSI mode
+            cols = sorted(df.columns)
+            return df.select(
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+        s_sig, b_sig = _sig(s_store.read()), _sig(b_store.read())
+        t["ep1_stream_upsert_10m"]["matches_batch"] = bool(
+            s_sig.s == b_sig.s and s_sig.n == b_sig.n
+        )
+        if not t["ep1_stream_upsert_10m"]["matches_batch"]:
+            print("  !! EP1 stream/batch store MISMATCH", file=sys.stderr)
+    finally:
+        shutil.rmtree(ep1_root, ignore_errors=True)
 
     # --- EP2 end-to-end at probe volume: the reference's actual daily
     # job (pruned store read → A1 hourly+override → dense spine → W1
