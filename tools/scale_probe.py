@@ -84,17 +84,26 @@ def synth_docs(spark, n: int, tokens: int = 60) -> DataFrame:
     )
 
 
-def synth_neardup_docs(spark, n: int, group: int = 5, tokens: int = 60) -> DataFrame:
-    """Documents in ``group``-sized NEAR-duplicate families: every member
-    shares its family's tokens except ONE member-unique token, so exact
-    dedup cannot collapse them (distinct fingerprints) while the
-    MinHash→Jaccard tier must (3-gram Jaccard ≈ 0.9 within a family) —
-    the workload the composed curation chain exists for."""
+def synth_neardup_docs(spark, n: int, group: int = 5, tokens: int = 20) -> DataFrame:
+    """Documents in ``group``-sized NEAR-duplicate families: member 0 is
+    the family BASE; every other member swaps ONE base token for a
+    member-unique one at a member-specific position.  Exact dedup cannot
+    collapse any of them (distinct fingerprints), while the
+    MinHash→Jaccard tier must: each non-base member's edge to the base
+    has 2-gram Jaccard (s−2)/(s+2) (≈ 0.81 at 20 tokens ≥ the default
+    0.8 verify threshold), and the per-edge min-id drop rule removes all
+    ``group−1`` of them against the base — kept ≈ n/group.  Member↔member
+    edges sit BELOW the threshold ((s−4)/(s+4)) — the collapse must flow
+    through the base edges, which also exercises the rule's
+    one-hop semantics.  Positions scale with ``tokens`` so every unique
+    token lands inside the document."""
+    stride = max((tokens - 1) // group, 1)
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.expr(
             f"concat_ws(' ', transform(sequence(0, {tokens - 1}),"
-            f" i -> CASE WHEN i = (id % {group}) * 7"
+            f" i -> CASE WHEN id % {group} != 0"
+            f" AND i = (id % {group}) * {stride}"
             f" THEN substr(md5(concat('u', cast(id as string))), 1, 5)"
             f" ELSE substr(md5(concat(cast(id - id % {group} as string),"
             f" '_', cast(i as string))), 1, 5) END))"
@@ -483,19 +492,24 @@ def main() -> int:
         f"curation tier (composed chain, {args.curate_docs:,} docs):",
         file=sys.stderr,
     )
-    # 40 tokens/doc and NO shingle cache: at 10M docs the 60-token
-    # fixture's minhash shuffle (~580M shingle rows × 64-char hash
-    # concat) PLUS the persisted shingle frame spilled past this box's
-    # disk — the slimmer fixture keeps the same semantics (family
-    # Jaccard ≈ 0.85 ≥ the 0.8 verify threshold) at ~45% of the bytes,
-    # and recomputing shingles for the verify join trades CPU for spill.
+    # 20 tokens/doc, 2-gram shingles, NO shingle cache — sized to THIS
+    # box's ~80 GB spill headroom: the chain's inherent cost is the
+    # minhash shuffle plus the Jaccard-verify join's TWO doc_id-keyed
+    # shuffles of the full shingle frame, ~n·(t−1) rows × ~110 B each.
+    # 60-token 3-gram docs needed >90 GB at 10M and died mid-probe
+    # (2026-08-15, twice); this dial fits while keeping the semantics —
+    # family Jaccard ≈ 17/21 ≈ 0.81 ≥ the 0.8 verify threshold, so the
+    # LSH→Jaccard tier still must collapse what exact dedup cannot.
+    # Same dial for BOTH sizes so the blowup ratio is apples-to-apples.
     for label, n_cur in (
         ("curate_corpus_1m_5xneardups", min(args.curate_docs, 1_000_000)),
         (f"curate_corpus_{args.curate_docs // 1_000_000}m_5xneardups",
          args.curate_docs),
     ):
-        cdocs = synth_neardup_docs(spark, n_cur, tokens=40).localCheckpoint()
-        timed(t, label, curate.curate_corpus(cdocs))
+        cdocs = synth_neardup_docs(
+            spark, n_cur, tokens=20
+        ).localCheckpoint()
+        timed(t, label, curate.curate_corpus(cdocs, shingle_n=2))
         if n_cur == args.curate_docs:
             # semantic curation at the same 10M-doc gate: quality-scan
             # all docs, inner-join the embedded subset (the production
