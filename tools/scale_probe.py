@@ -112,12 +112,61 @@ def synth_neardup_docs(spark, n: int, group: int = 5, tokens: int = 20) -> DataF
 
 
 def synth_embs(spark, n: int, dim: int = 64) -> DataFrame:
-    """embeddings-shaped table: n deterministic dim-d float vectors."""
+    """embeddings-shaped table: n deterministic dim-d float vectors.
+
+    NOTE: ``sin(id·0.37 + …)`` is periodic in id with period ≈ 17, so
+    the corpus is ~17 directions replicated n/17× each — fine for COST
+    probes (the scans/joins don't care), degenerate for QUALITY metrics
+    (any top-k is a coin flip among ~n/17 near-identical neighbors;
+    recall@k reads ≈ 0 for every method).  Use
+    :func:`synth_random_embs` for recall/accuracy measurements."""
     return spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.expr(
             f"transform(sequence(0, {dim - 1}),"
             " i -> cast(sin(id * 0.37 + i * 1.13) as float))"
+        ).alias("embedding"),
+    )
+
+
+def synth_random_embs(spark, n: int, dim: int = 64) -> DataFrame:
+    """n deterministic but hash-diverse dim-d vectors (the classic
+    fract(sin(x)·43758.5453) hash) — every vector its own direction, so
+    nearest-neighbor QUALITY metrics are meaningful.  Note that fully
+    random high-dim vectors have NO cluster structure: any coarse
+    quantizer's recall ceiling is nprobe/n_lists (the true neighbors
+    spread uniformly over lists) — use :func:`synth_clustered_embs`
+    when measuring IVF-family recall, which presumes clusterable data."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> cast("
+            " sin(id * 12.9898 + i * 78.233) * 43758.5453"
+            " - floor(sin(id * 12.9898 + i * 78.233) * 43758.5453)"
+            " - 0.5 as float))"
+        ).alias("embedding"),
+    )
+
+
+def synth_clustered_embs(
+    spark, n: int, dim: int = 64, k: int = 64, noise: float = 0.25
+) -> DataFrame:
+    """n vectors in ``k`` hash-random clusters: vector = center(id % k)
+    + ``noise``·random — the shape real embedding corpora have and the
+    shape IVF presumes (a query's true neighbors live in its own
+    cluster, so a trained coarse quantizer's probes actually capture
+    them).  ``noise=0`` with ``n=k`` yields the pure centers — the
+    stand-in for a kmeans-trained coarse quantizer."""
+    ctr = f"(id % {k}) * 12.9898 + i * 78.233"
+    nz = "id * 7.1234 + i * 3.456"
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> cast("
+            f" (sin({ctr}) * 43758.5453"
+            f"  - floor(sin({ctr}) * 43758.5453) - 0.5)"
+            f" + {noise} * (sin({nz}) * 9871.123"
+            f"  - floor(sin({nz}) * 9871.123) - 0.5) as float))"
         ).alias("embedding"),
     )
 
@@ -417,6 +466,65 @@ def main() -> int:
               prep_adc.filter(F.col("vec_id") < 256),
               prep_adc.filter(F.col("vec_id") >= 256),
               k=10, kernel="arrow"))
+    # recall@10 vs the exact baseline at the SAME nprobe — the number
+    # the refine stage exists to move.  Measured on the CLUSTERED corpus
+    # (synth_clustered_embs) with the true centers as the coarse
+    # quantizer (the kmeans-trained stand-in): IVF presumes clusterable
+    # data — on synth_embs recall@k reads 0 for every method
+    # (near-duplicate directions), and on fully random vectors the
+    # ceiling is nprobe/n_lists regardless of engine quality.  Exact
+    # ground truth via the Arrow kernel (one corpus pass); both
+    # searches audited with ann_recall.
+    prep_r = similarity.prepare(
+        synth_clustered_embs(spark, adc_n)
+    ).localCheckpoint()
+    r_cents = [(r["vec_id"], r["q"])
+               for r in prep_r.filter(F.col("vec_id") < 8).collect()]
+    r_coarse = similarity.prepare(
+        synth_clustered_embs(spark, 64, noise=0.0)
+    )
+    q_side = prep_r.filter(F.col("vec_id") < 256)
+    c_side = prep_r.filter(F.col("vec_id") >= 256)
+    r_index = similarity.ivf_pq_index(
+        c_side, r_coarse, r_cents
+    ).localCheckpoint()
+    exact10 = similarity.brute_force_topk_arrow(
+        q_side, c_side, k=10
+    ).localCheckpoint()
+    # three rows tell the whole story: ADC's own top-10 ordering
+    # (unrefined), the R=30 candidate slate's ceiling (the best ANY
+    # re-ranker could extract from those candidates), and the refined
+    # result — which must EQUAL the ceiling, because the exact re-score
+    # ranks every true neighbor in the slate above every non-neighbor.
+    # The gap ceiling→1.0 is codebook quality (the documented
+    # approximation axis: these probes run the 8-seed UNTRAINED
+    # codebook); the gap unrefined→ceiling is what refine recovers.
+    slate30 = similarity.ivf_pq_topk(q_side, r_index, r_coarse,
+                                     r_cents, k=30, nprobe=4)
+    for lbl, approx in (
+        ("unrefined",
+         similarity.ivf_pq_topk(q_side, r_index, r_coarse,
+                                r_cents, k=10, nprobe=4)),
+        ("slate30_ceiling", slate30),
+        ("refined",
+         similarity.ivf_pq_refine(
+             slate30, q_side, c_side, k=10, kernel="arrow")),
+    ):
+        t0 = time.time()
+        row = similarity.ann_recall(approx, exact10).agg(
+            F.avg("recall").alias("r"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        key = f"ann_recall10_{adc_n // 1_000_000}m_nprobe4_{lbl}"
+        t[key] = {
+            "sec": round(time.time() - t0, 1),
+            "rows": row.n,
+            "mean_recall_at_10": round(row.r, 4),
+        }
+        print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+              f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+    exact10.unpersist()
+    prep_r.unpersist()
+    r_index.unpersist()
     # index-build A/B at the same volume: the window spelling pays one
     # corpus-keyed exchange, the literal-fold spelling zero — both
     # produce identical assignments (pinned in tests)
