@@ -30,21 +30,34 @@ def is_missing_path(ex: BaseException) -> bool:
     ``PySparkException.getCondition()`` (``getErrorClass()`` before 4.0,
     kept as a deprecated alias).  Exceptions carrying NEITHER accessor —
     a raw Py4JJavaError that escaped PySpark's conversion layer, or an
-    older wrapper — fall back to matching the same structured condition
-    TOKENS in ``str(ex)``: Spark embeds the error-class key in the
-    message (``[PATH_NOT_FOUND] Path does not exist…``), so the token
-    match keeps first-run behavior across exception wrappers without
-    re-introducing free-text message matching (the token is the
-    registry key, not prose).  An exception with an accessor that
-    reports a DIFFERENT condition never falls through to the text match
-    — throttling, credentials, corruption stay loud.
+    older wrapper — fall back to matching the structured condition
+    TOKEN at the HEAD of the message: Spark formats every framework
+    error as ``[CONDITION] message…``, and Py4J prefixes one
+    ``An error occurred while calling …`` line plus the Java class
+    name.  Only those leading positions are checked — a token quoted
+    DEEP in a stack trace's cause chain (a job-abort wrapper whose
+    retry log mentions ``[PATH_NOT_FOUND]`` around a genuinely
+    different failure) must NOT classify as a fresh store, because the
+    callers' fresh-store path overwrites.  An exception with an
+    accessor that reports a DIFFERENT condition never falls through to
+    the text match — throttling, credentials, corruption stay loud.
     """
     getter = getattr(ex, "getCondition", None) or getattr(
         ex, "getErrorClass", None
     )
     if getter is None:
-        text = str(ex)
-        return any(c in text for c in _MISSING_PATH_CONDITIONS)
+        import re
+
+        # first 3 lines cover the Py4J preamble + the primary message;
+        # a line matches only when the [TOKEN] LEADS it (after an
+        # optional ': ' continuation and Java class-name prefix)
+        head = r"^(?:: )?(?:[\w.$]+(?:Exception|Error):\s*)?\[({})\]".format(
+            "|".join(_MISSING_PATH_CONDITIONS)
+        )
+        return any(
+            re.match(head, line.strip())
+            for line in str(ex).splitlines()[:3]
+        )
     try:
         condition = getter()
     except Exception:  # noqa: BLE001 — classification must never raise

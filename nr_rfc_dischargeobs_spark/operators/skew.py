@@ -32,30 +32,53 @@ def choose_salts(
     on: list[str],
     max_salts: int = 64,
     threshold: float = 4.0,
+    min_rows_per_key: int = 1_000_000,
 ) -> int:
     """Measure the join key's skew and pick the salt count from it.
 
     One bounded profiling job (``diagnostics.skew_profile`` top-1 — a
     combine-friendly exact count keyed by the join key, ONE row
     collected; the same metadata-scale plan-build carve-out as the PQ
-    codebook collects).  ``skew_ratio`` is the hot key's count over the
-    mean key count — exactly the multiple by which the hot key's shuffle
-    bucket outweighs an average task, so spreading it over
-    ``ceil(skew_ratio)`` sub-keys levels the buckets back to ~mean.
+    codebook collects).  Two independent triggers:
 
-    Returns 1 (don't salt) when the ratio is at or under ``threshold``:
-    mild skew is AQE's job, and salting costs small-side replication.
-    Capped at ``max_salts`` — past the cluster's parallelism more salts
-    only multiply the small side without adding concurrency.
+    - **Skew**: ``skew_ratio`` (hot-key count over mean-key count) is
+      the multiple by which the hot key's shuffle bucket outweighs an
+      average one — spreading it over ``ceil(skew_ratio)`` sub-keys
+      levels the buckets back to ~mean.  Ratios at or under
+      ``threshold`` don't salt: mild skew is AQE's job, and salting
+      costs small-side replication.
+    - **Concurrency** (review fix): a LOW-CARDINALITY key can be
+      perfectly uniform (ratio ≈ 1) and still put the whole table on
+      ``n_keys`` tasks — 10M rows over 4 equally-heavy keys is 4 giant
+      buckets, not skew.  When the key count is below the session's
+      shuffle parallelism AND the average key carries at least
+      ``min_rows_per_key`` rows (a bucket worth splitting), salts are
+      sized to restore parallelism: ``ceil(partitions / n_keys)``.
+
+    The larger trigger wins, capped at ``max_salts`` — past the
+    cluster's parallelism more salts only multiply the small side
+    without adding concurrency.
     """
     keyed = big.select(F.struct(*[F.col(c) for c in on]).alias("__key"))
     prof = skew_profile(keyed, "__key", top=1).collect()
     if not prof:
         return 1
-    ratio = prof[0]["skew_ratio"]
-    if ratio is None or ratio <= threshold:
-        return 1
-    return max(2, min(max_salts, math.ceil(ratio)))
+    row = prof[0]
+    ratio = row["skew_ratio"]
+    s_skew = (
+        math.ceil(ratio)
+        if ratio is not None and ratio > threshold
+        else 1
+    )
+    s_conc = 1
+    if row["n_keys"] and row["mean_cnt"] >= min_rows_per_key:
+        parallelism = int(
+            big.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        if row["n_keys"] < parallelism:
+            s_conc = math.ceil(parallelism / row["n_keys"])
+    s = max(s_skew, s_conc)
+    return 1 if s <= 1 else max(2, min(max_salts, s))
 
 
 def salted_join(

@@ -142,11 +142,14 @@ WITH sh AS (
         FROM documents WHERE doc_id < max_doc_id)
   WHERE trim(shingle) != ''
 ), sig AS (
+  -- both 8-char min-slices lie inside the FIRST md5's 32 chars, so the
+  -- operator's second md5 (which only feeds hashes 4-7 of the up-to-8
+  -- family) is dead work at this TVF's fixed bands=2 — one md5 per
+  -- shingle, bit-identical results (hashing dominates signature cost;
+  -- see minhash_signatures' measured note)
   SELECT doc_id,
-         min(substring(concat(md5(shingle), md5(concat('x', shingle))),
-                       1, 8)) AS mh0,
-         min(substring(concat(md5(shingle), md5(concat('x', shingle))),
-                       9, 8)) AS mh1
+         min(substring(md5(shingle), 1, 8)) AS mh0,
+         min(substring(md5(shingle), 9, 8)) AS mh1
   FROM sh GROUP BY doc_id
 ), long AS (
   SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig

@@ -216,8 +216,30 @@ def test_is_missing_path_token_fallback_without_accessors():
     assert is_missing_path(
         RawError("[UNABLE_TO_INFER_SCHEMA] Unable to infer schema")
     )
+    # the Py4J spelling: preamble line + Java-class-prefixed message
+    assert is_missing_path(
+        RawError(
+            "An error occurred while calling o42.parquet.\n"
+            ": org.apache.spark.sql.AnalysisException: [PATH_NOT_FOUND]"
+            " Path does not exist: /x/y"
+        )
+    )
     assert not is_missing_path(RawError("path does not exist"))  # prose only
     assert not is_missing_path(RawError("ACCESS_DENIED on bucket"))
+    # a token QUOTED deep in a cause chain must not classify: the
+    # primary failure is something else and the fresh-store path
+    # overwrites — review-fix pin (head-anchored match, first 3 lines)
+    assert not is_missing_path(
+        RawError(
+            "Job aborted due to stage failure: task 3 failed 4 times\n"
+            "most recent failure: ThrottlingException: slow down\n"
+            "caused by: retry of speculative read\n"
+            "Caused by: AnalysisException: [PATH_NOT_FOUND] /tmp/x"
+        )
+    )
+    assert not is_missing_path(
+        RawError("reading store failed after [PATH_NOT_FOUND]-like retry")
+    )
 
     class Structured(Exception):
         def getCondition(self):

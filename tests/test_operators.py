@@ -405,3 +405,42 @@ def test_salted_join_salts_validation_and_empty_big(spark):
     empty = big.filter("k < 0")
     assert choose_salts(empty, ["k"]) == 1
     assert salted_join(empty, small, ["k"], "row_id", salts="auto").count() == 0
+
+
+def test_choose_salts_low_cardinality_uniform_key_restores_parallelism(
+    spark,
+):
+    """Review-fix pin: a PERFECTLY UNIFORM key over few distinct values
+    (ratio ~1, so the skew trigger is silent) still concentrates the
+    table on n_keys tasks — the concurrency trigger sizes salts to
+    ceil(partitions / n_keys) once the average key carries a
+    bucket worth splitting."""
+    import math as _math
+
+    from nr_rfc_dischargeobs_spark.operators.skew import (
+        choose_salts,
+        salted_join,
+    )
+
+    # 4 keys × 50 rows — uniform; threshold floor lowered so the unit
+    # test exercises the trigger without a million-row fixture
+    big = spark.createDataFrame(
+        [(k, 100 * k + i) for k in range(4) for i in range(50)],
+        ["k", "row_id"],
+    )
+    small = spark.createDataFrame([(k, f"v{k}") for k in range(4)], ["k", "v"])
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = _math.ceil(parts / 4)
+    assert choose_salts(big, ["k"], min_rows_per_key=10) == min(64, want)
+    # default floor (1M rows/key): 50-row keys are not worth splitting
+    assert choose_salts(big, ["k"]) == 1
+    # values unchanged under the concurrency-sized salted join
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                big, small, ["k"], "row_id", salts=min(64, want)
+            ).collect(),
+        )
+    )
+    assert got == sorted(map(tuple, big.join(small, "k").collect()))

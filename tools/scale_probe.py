@@ -475,56 +475,68 @@ def main() -> int:
     # ceiling is nprobe/n_lists regardless of engine quality.  Exact
     # ground truth via the Arrow kernel (one corpus pass); both
     # searches audited with ann_recall.
-    prep_r = similarity.prepare(
-        synth_clustered_embs(spark, adc_n)
-    ).localCheckpoint()
-    r_cents = [(r["vec_id"], r["q"])
-               for r in prep_r.filter(F.col("vec_id") < 8).collect()]
-    r_coarse = similarity.prepare(
-        synth_clustered_embs(spark, 64, noise=0.0)
-    )
-    q_side = prep_r.filter(F.col("vec_id") < 256)
-    c_side = prep_r.filter(F.col("vec_id") >= 256)
-    r_index = similarity.ivf_pq_index(
-        c_side, r_coarse, r_cents
-    ).localCheckpoint()
-    exact10 = similarity.brute_force_topk_arrow(
-        q_side, c_side, k=10
-    ).localCheckpoint()
-    # three rows tell the whole story: ADC's own top-10 ordering
-    # (unrefined), the R=30 candidate slate's ceiling (the best ANY
-    # re-ranker could extract from those candidates), and the refined
-    # result — which must EQUAL the ceiling, because the exact re-score
-    # ranks every true neighbor in the slate above every non-neighbor.
-    # The gap ceiling→1.0 is codebook quality (the documented
-    # approximation axis: these probes run the 8-seed UNTRAINED
-    # codebook); the gap unrefined→ceiling is what refine recovers.
-    slate30 = similarity.ivf_pq_topk(q_side, r_index, r_coarse,
-                                     r_cents, k=30, nprobe=4)
-    for lbl, approx in (
-        ("unrefined",
-         similarity.ivf_pq_topk(q_side, r_index, r_coarse,
-                                r_cents, k=10, nprobe=4)),
-        ("slate30_ceiling", slate30),
-        ("refined",
-         similarity.ivf_pq_refine(
-             slate30, q_side, c_side, k=10, kernel="arrow")),
-    ):
-        t0 = time.time()
-        row = similarity.ann_recall(approx, exact10).agg(
-            F.avg("recall").alias("r"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
-        key = f"ann_recall10_{adc_n // 1_000_000}m_nprobe4_{lbl}"
-        t[key] = {
-            "sec": round(time.time() - t0, 1),
-            "rows": row.n,
-            "mean_recall_at_10": round(row.r, 4),
-        }
-        print(f"  {t[key]['sec']:7.1f} s  recall@10 "
-              f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
-    exact10.unpersist()
-    prep_r.unpersist()
-    r_index.unpersist()
+    # persist(), NOT localCheckpoint, for the tier-local frames: a
+    # checkpointed DataFrame's .unpersist() is a no-op (the CacheManager
+    # never saw its LogicalRDD plan), so the pinned 1M-row blocks would
+    # silently survive into the disk-hungry curation tier below — the
+    # headroom that tier's dial was sized for.  persist() entries
+    # release for real.  The tier body is failure-isolated: an OOM in
+    # the eager ground-truth build must not forfeit every measurement
+    # below (the same contract timed() keeps per entry).
+    try:
+        prep_r = similarity.prepare(
+            synth_clustered_embs(spark, adc_n)
+        ).persist()
+        prep_r.count()
+        r_cents = [(r["vec_id"], r["q"])
+                   for r in prep_r.filter(F.col("vec_id") < 8).collect()]
+        r_coarse = similarity.prepare(
+            synth_clustered_embs(spark, 64, noise=0.0)
+        )
+        q_side = prep_r.filter(F.col("vec_id") < 256)
+        c_side = prep_r.filter(F.col("vec_id") >= 256)
+        r_index = similarity.ivf_pq_index(c_side, r_coarse, r_cents).persist()
+        exact10 = similarity.brute_force_topk_arrow(
+            q_side, c_side, k=10
+        ).persist()
+        # three rows tell the whole story: ADC's own top-10 ordering
+        # (unrefined), the R=30 candidate slate's ceiling (the best ANY
+        # re-ranker could extract from those candidates), and the
+        # refined result — which must EQUAL the ceiling, because the
+        # exact re-score ranks every true neighbor in the slate above
+        # every non-neighbor.  The gap ceiling→1.0 is codebook quality
+        # (the documented approximation axis: these probes run the
+        # 8-seed UNTRAINED codebook); the gap unrefined→ceiling is what
+        # refine recovers.
+        slate30 = similarity.ivf_pq_topk(q_side, r_index, r_coarse,
+                                         r_cents, k=30, nprobe=4)
+        for lbl, approx in (
+            ("unrefined",
+             similarity.ivf_pq_topk(q_side, r_index, r_coarse,
+                                    r_cents, k=10, nprobe=4)),
+            ("slate30_ceiling", slate30),
+            ("refined",
+             similarity.ivf_pq_refine(
+                 slate30, q_side, c_side, k=10, kernel="arrow")),
+        ):
+            t0 = time.time()
+            row = similarity.ann_recall(approx, exact10).agg(
+                F.avg("recall").alias("r"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            key = f"ann_recall10_{adc_n // 1_000_000}m_nprobe4_{lbl}"
+            t[key] = {
+                "sec": round(time.time() - t0, 1),
+                "rows": row.n,
+                "mean_recall_at_10": round(row.r, 4),
+            }
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+        exact10.unpersist()
+        prep_r.unpersist()
+        r_index.unpersist()
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["ann_recall_tier_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  ann_recall tier: {str(ex)[:120]}", file=sys.stderr)
     # index-build A/B at the same volume: the window spelling pays one
     # corpus-keyed exchange, the literal-fold spelling zero — both
     # produce identical assignments (pinned in tests)
@@ -614,9 +626,12 @@ def main() -> int:
         (f"curate_corpus_{args.curate_docs // 1_000_000}m_5xneardups",
          args.curate_docs),
     ):
-        cdocs = synth_neardup_docs(
-            spark, n_cur, tokens=20
-        ).localCheckpoint()
+        # persist(), not localCheckpoint: the 10M-doc text frame must
+        # actually FREE when the loop iteration ends (a checkpointed
+        # frame's unpersist is a no-op — review fix), and the fixture
+        # is a cheap expression over range() if recompute ever happens
+        cdocs = synth_neardup_docs(spark, n_cur, tokens=20).persist()
+        cdocs.count()
         timed(t, label, curate.curate_corpus(cdocs, shingle_n=2))
         if n_cur == args.curate_docs:
             # semantic curation at the same 10M-doc gate: quality-scan
@@ -631,13 +646,15 @@ def main() -> int:
             ).select("doc_id")
             prep_sem = emb_sub.join(
                 gated_ids, emb_sub["vec_id"] == gated_ids["doc_id"]
-            ).select("vec_id", "q", "n").localCheckpoint()
+            ).select("vec_id", "q", "n").persist()
+            prep_sem.count()
             cents_sem = prep_sem.filter(F.col("vec_id") < 128)
             timed(t,
                   f"curate_semantic_{args.curate_docs // 1_000_000}m_gate"
                   "_100k_embedded",
                   similarity.semantic_dedup(
                       prep_sem, cents_sem, threshold=0.98, dim=16))
+            prep_sem.unpersist()
         cdocs.unpersist()
 
     # --- EP1 end-to-end at probe volume: landing-zone file stream →
@@ -685,7 +702,12 @@ def main() -> int:
         q = stream_upsert_into_store(
             stream, s_store, str(Path(ep1_root) / "ckpt")
         )
-        q.awaitTermination()
+        # bounded wait: a hung drain must not forfeit the EP2/EP3 tiers
+        # below (the per-entry failure-tolerance contract) — at 10M rows
+        # the drain measures ~1 min, so 30 min is a dead stream
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("EP1 stream drain did not finish in 1800 s")
         n_streamed = s_store.read().count()
         t["ep1_stream_upsert_10m"] = {
             "sec": round(time.time() - t0, 1), "rows": n_streamed,
@@ -711,6 +733,9 @@ def main() -> int:
         )
         if not t["ep1_stream_upsert_10m"]["matches_batch"]:
             print("  !! EP1 stream/batch store MISMATCH", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["ep1_stream_tier_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  ep1 stream tier: {str(ex)[:120]}", file=sys.stderr)
     finally:
         shutil.rmtree(ep1_root, ignore_errors=True)
 
