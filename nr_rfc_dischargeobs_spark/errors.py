@@ -51,8 +51,11 @@ def is_missing_path(ex: BaseException) -> bool:
         # first 3 lines cover the Py4J preamble + the primary message;
         # a line matches only when the [TOKEN] LEADS it (after an
         # optional ': ' continuation and Java class-name prefix)
+        # escape + sort: tokens are metachar-free today, but a future
+        # dotted class name must not silently widen the alternation, and
+        # sorting keeps the compiled pattern deterministic across runs
         head = r"^(?:: )?(?:[\w.$]+(?:Exception|Error):\s*)?\[({})\]".format(
-            "|".join(_MISSING_PATH_CONDITIONS)
+            "|".join(re.escape(c) for c in sorted(_MISSING_PATH_CONDITIONS))
         )
         return any(
             re.match(head, line.strip())

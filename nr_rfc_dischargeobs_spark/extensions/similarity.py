@@ -1190,7 +1190,12 @@ def ivf_pq_refine(
     """
     if kernel not in ("arrow", "native"):
         raise ValueError(f"kernel must be 'arrow' or 'native', got {kernel!r}")
-    cand = candidates.select("query_id", "neighbor_id")
+    # distinct: ``candidates`` from ivf_pq_topk is unique by construction,
+    # but this is a public API accepting arbitrary frames — a duplicate
+    # (query_id, neighbor_id) row would occupy multiple ranks in the final
+    # top-k, silently shrinking effective k.  The slate is metadata-scale
+    # (|Q|·R rows), so the dedup exchange is audit-cost.
+    cand = candidates.select("query_id", "neighbor_id").distinct()
     gathered = (
         corpus.filter(F.col("n") > 0)
         .select(

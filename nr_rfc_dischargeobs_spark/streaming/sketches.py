@@ -209,7 +209,15 @@ def compact_cms_table(
     still lands on its own path.  Without a checkpoint the sweep folds
     everything — only safe after a clean ``availableNow`` drain
     (query terminated without error), which is the documented cron
-    contract."""
+    contract.
+
+    Precondition when ``checkpoint_dir`` is passed: the STREAM MUST HAVE
+    STARTED at least once — Spark creates the checkpoint directory at
+    stream start, and a missing directory raises (deliberately: a typo'd
+    path would otherwise silently fold nothing).  A compaction cron wired
+    BEFORE the stream's first trigger should either start after the
+    stream or catch the ``ValueError`` and skip the cycle; there is
+    nothing to compact before the first batch anyway."""
     from .documents import compact_corpus
 
     last = (

@@ -483,6 +483,7 @@ def main() -> int:
     # release for real.  The tier body is failure-isolated: an OOM in
     # the eager ground-truth build must not forfeit every measurement
     # below (the same contract timed() keeps per entry).
+    prep_r = r_index = exact10 = None
     try:
         prep_r = similarity.prepare(
             synth_clustered_embs(spark, adc_n)
@@ -531,12 +532,17 @@ def main() -> int:
             }
             print(f"  {t[key]['sec']:7.1f} s  recall@10 "
                   f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
-        exact10.unpersist()
-        prep_r.unpersist()
-        r_index.unpersist()
     except Exception as ex:  # noqa: BLE001 — isolate the tier
         t["ann_recall_tier_error"] = str(ex).splitlines()[0][:200]
         print(f"  FAILED  ann_recall tier: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        # unpersist in FINALLY: an exception above would otherwise leak
+        # ~1M-row cached blocks into the disk-headroom-sensitive curation
+        # tier below — the exact storage-pressure failure the persist()
+        # comment warns about
+        for df in (exact10, prep_r, r_index):
+            if df is not None:
+                df.unpersist()
     # index-build A/B at the same volume: the window spelling pays one
     # corpus-keyed exchange, the literal-fold spelling zero — both
     # produce identical assignments (pinned in tests)
