@@ -82,6 +82,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # core) is re-verified locally via tools/check_oracle.py.
     return {
         # --- changed this round: driver re-verifies first ---
+        "ext_sim_ivfadc_topk": extensions.sim_ivfadc_topk,  # new r9
+        "ext_sim_pq_train_codebook": extensions.sim_pq_train_codebook,  # new r9
+        "ext_dedup_minhash_wide": extensions.dedup_minhash_wide,  # new r9
+        "ext_dedup_lsh_pairs_capped": extensions.dedup_lsh_pairs_capped,  # new r9
         "ext_sim_ivf_pq_refined": extensions.sim_ivf_pq_refined,  # new r8
         "ext_sim_ivf_pq_topk": extensions.sim_ivf_pq_topk,
         # --- oldest driver check (r3) ---
@@ -309,6 +313,10 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_pq_adc_topk": extensions.SIM_PQ_ADC_TOPK_SQL,
         "ext_sim_ivf_pq_topk": extensions.SIM_IVF_PQ_TOPK_SQL,
         "ext_sim_ivf_pq_refined": extensions.SIM_IVF_PQ_REFINED_SQL,
+        "ext_sim_ivfadc_topk": extensions.SIM_IVFADC_TOPK_SQL,
+        "ext_sim_pq_train_codebook": extensions.SIM_PQ_TRAIN_CODEBOOK_SQL,
+        "ext_dedup_minhash_wide": extensions.DEDUP_MINHASH_WIDE_SQL,
+        "ext_dedup_lsh_pairs_capped": extensions.DEDUP_LSH_PAIRS_CAPPED_SQL,
         "ext_text_bigram_lm": extensions.TEXT_BIGRAM_LM_SQL,
         "ext_text_line_dedup": extensions.TEXT_LINE_DEDUP_SQL,
         "ext_text_span_dedup": extensions.TEXT_SPAN_DEDUP_SQL,

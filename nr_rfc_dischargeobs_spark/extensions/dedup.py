@@ -101,18 +101,34 @@ def minhash_signatures(
     exponentially.  One groupBy computes all bands×r mins at once; band
     signatures are hashes of their row concatenation.
 
-    The up-to-8 per-shingle hash family is TWO md5 calls, not bands×r:
-    ``md5(s) || md5('x'||s)`` is 64 hex chars, sliced into eight 32-bit
-    hex words (independent for min-hash purposes, byte-portable to any
-    md5-capable engine).  Hashing dominates signature cost at corpus
-    scale — measured 3× end-to-end at 100k docs vs per-band md5.
+    The per-shingle hash family is ⌈n/4⌉ md5 calls (min 2), not bands×r:
+    each call yields 32 hex chars sliced into four 32-bit hex words
+    (independent for min-hash purposes, byte-portable to any md5-capable
+    engine), concatenated as ``md5(s) || md5('x'||s) || md5('x2'||s) ||
+    md5('x3'||s) || …`` — the numbered-salt extension of the original
+    two-call family, so every configuration with bands×r ≤ 8 produces
+    byte-identical signatures to the historical spelling.  This admits
+    production bandings like b=16/r=4 (64 permutations — the standard
+    0.8-Jaccard operating point, S-curve midpoint s* = (1/b)^(1/r) ≈
+    0.5) at 16 md5 calls per DISTINCT shingle; hashing stays the
+    signature-cost floor but scales linearly in ⌈n/4⌉, not n.  Capped at
+    256 hashes — past b·r ≈ 256 the md5 bill dominates any realistic
+    precision gain (widen r, not the family, beyond that).
     """
     n_hashes = bands * rows_per_band
-    if n_hashes > 8:
-        raise ValueError("bands * rows_per_band must be <= 8")
+    if n_hashes > 256:
+        raise ValueError("bands * rows_per_band must be <= 256")
+    n_calls = max(2, -(-n_hashes // 4))
+    salts = ["", "x"] + [f"x{j}" for j in range(2, n_calls)]
     cat = F.concat(
-        F.md5(F.col("shingle")),
-        F.md5(F.concat(F.lit("x"), F.col("shingle"))),
+        *[
+            F.md5(
+                F.concat(F.lit(salt), F.col("shingle"))
+                if salt
+                else F.col("shingle")
+            )
+            for salt in salts[:n_calls]
+        ]
     )
     hashed = shingles.select(F.col(doc_id), cat.alias("__cat"))
     aggs = [
@@ -142,14 +158,39 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, doc_id: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 4,
+    doc_id: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band's signature (r=1
     banding).  Unpivot signatures to (band, sig) rows, self-join on equality
-    — the join key is the bucket, so work is Σ|bucket|², never n²."""
+    — the join key is the bucket, so work is Σ|bucket|², never n².
+
+    ``max_bucket`` is the hot-bucket gate (the winnowing ``max_df``
+    discipline applied to its sibling): a (band, sig) bucket holding more
+    than ``max_bucket`` docs is DROPPED before the self-join.  At corpus
+    scale a viral boilerplate string puts millions of docs in one bucket
+    — |bucket|² pairs of which almost none survive the Jaccard verify —
+    so the gate trades recall on that one degenerate signature for
+    removing the dominant term of Σ|bucket|².  True near-dup pairs keep
+    every OTHER band to collide on (the standard banding redundancy), so
+    the recall cost is bounded by the per-band miss rate.  ``None``
+    (default) disables the gate — the plan and results are exactly the
+    historical ones.  The gate itself is one aggregation on the SAME
+    (band, sig) key the join shuffles on (map-side combinable) plus a
+    semi-join back — no new exchange key, no window sort."""
     long_ = signatures.unpivot(
         [doc_id], [f"mh{b}" for b in range(bands)], "band", "sig"
     )
+    if max_bucket is not None:
+        keep = (
+            long_.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "sig")
+        )
+        long_ = long_.join(keep, ["band", "sig"], "leftsemi")
     a = long_.select(
         F.col(doc_id).alias("doc_a"), F.col("band"), F.col("sig")
     )

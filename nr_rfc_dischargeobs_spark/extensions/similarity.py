@@ -818,7 +818,9 @@ def pq_codes(
     # referenced more than once, so the staged shape survives
     # optimization (verified by timing and janino silence; values
     # identical by construction).
-    stage0 = list(out_cols) + ["q"]
+    # "q" may itself be a passthrough column (the codebook trainer melts
+    # codes back against the raw residuals) — never project it twice
+    stage0 = list(out_cols) + ([] if "q" in out_cols else ["q"])
     for s in range(m):
         nsub = " + ".join(
             f"element_at(q, {s * dsub + j + 1}) * element_at(q, {s * dsub + j + 1})"
@@ -1055,6 +1057,7 @@ def ivf_pq_index(
     m: int = 4,
     dim: int = 64,
     assign: str = "window",
+    residual: bool = False,
 ) -> DataFrame:
     """Build the IVF-PQ INDEX — the stored artifact of production ANN
     (Jégou et al., TPAMI 2011; the FAISS ``IVFx,PQy`` layout): every
@@ -1077,6 +1080,20 @@ def ivf_pq_index(
     Write the result partitioned/bucketed by ``list_id`` and searches
     scan only probed lists.
 
+    ``residual=True`` stores each vector's code over its RESIDUAL
+    ``vec − coarse_centroid(list_id)`` instead of the raw vector — the
+    IVFADC layout (Jégou et al., TPAMI 2011 §V): residuals concentrate
+    around the origin, so a ``centroid_rows`` codebook TRAINED on them
+    (:func:`pq_train_codebooks`) spends its k codes on the small
+    within-list spread rather than the whole embedding space — the whole
+    recall gap between an untrained and a production IVF-PQ index.
+    Search residual indexes with :func:`ivfadc_topk` (the scorer must
+    add the coarse term back); :func:`ivf_pq_topk` reads raw-coded
+    indexes only.  The residual subtraction is one ``zip_with`` against
+    a literal list_id→centroid map (coarse centroids are a model
+    parameter, k·dim ints) — still scan-local, still zero exchanges in
+    ``assign="local"`` mode.
+
     Output: (vec_id, list_id, code_0..code_{m-1}, sq_err).
     """
     if assign not in ("window", "local"):
@@ -1084,11 +1101,13 @@ def ivf_pq_index(
         # spelling would pay the corpus-keyed exchange the caller
         # believed they avoided — visible only in the cluster bill
         raise ValueError(f"assign must be 'window' or 'local', got {assign!r}")
-    if assign == "local":
+    coarse_rows: list[tuple[int, list[int]]] | None = None
+    if assign == "local" or residual:
         coarse_rows = [
             (r["vec_id"], r["q"])
             for r in coarse_centroids.select("vec_id", "q").collect()
         ]
+    if assign == "local":
         assigned = ivf_assign_local(prepared, coarse_rows)
     else:
         # assignment dot: HOF fold, never unrolled — the coarse
@@ -1096,9 +1115,269 @@ def ivf_pq_index(
         # no whole-stage codegen), where the fold beats the unrolled
         # tree ~6× (the third side of the dot dial, see :func:`dot`)
         assigned = ivf_assign(prepared, coarse_centroids, 1, None)
+    if residual:
+        assigned = residualize(assigned, coarse_rows)
     return pq_codes(
         assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
     )
+
+
+def _vec_sql(vals: list[int]) -> str:
+    """A quantized vector as one literal SQL array of exact BIGINTs."""
+    return "array({})".format(
+        ", ".join(f"CAST({int(v)} AS BIGINT)" for v in vals)
+    )
+
+
+def _coarse_map_sql(coarse_rows: list[tuple[int, list[int]]]) -> str:
+    """``map(list_id → quantized centroid vector)`` as SQL text — ONE
+    server-side parse regardless of k·dim (the py4j-chatter economics of
+    :func:`pq_codes`; a ``F.lit``-per-element spelling costs k·dim
+    round-trips)."""
+    entries = ", ".join(
+        f"CAST({int(cid)} AS BIGINT), {_vec_sql(cq)}"
+        for cid, cq in sorted(coarse_rows)
+    )
+    return f"map({entries})"
+
+
+def residualize(
+    assigned: DataFrame, coarse_rows: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """(vec_id, q, …, list_id) → (vec_id, list_id, q = vec − centroid):
+    the residual every IVFADC stage encodes/trains over.  The coarse
+    centroids ride as a literal list_id→vector map, so the subtraction
+    is scan-local (no join, no shuffle); both sides are exact quantized
+    BIGINTs, so residuals are exact integers any engine reproduces."""
+    cm = _coarse_map_sql(coarse_rows)
+    return assigned.selectExpr(
+        "vec_id",
+        "list_id",
+        f"zip_with(q, element_at({cm}, list_id), (a, b) -> a - b) AS q",
+    )
+
+
+def pq_train_codebooks(
+    residuals: DataFrame,
+    k: int = 8,
+    m: int = 4,
+    dim: int = 64,
+    iters: int = 1,
+) -> list[tuple[int, list[int]]]:
+    """Train the per-subspace PQ codebooks — Lloyd's k-means run
+    INDEPENDENTLY in each of the ``m`` subspaces (the training half of
+    Jégou et al., TPAMI 2011; what FAISS's ``ProductQuantizer::train``
+    does), over a (sampled) frame of :func:`residualize` residuals.
+    Returns ``centroid_rows`` in exactly the shape :func:`pq_codes` /
+    :func:`ivfadc_topk` consume: synthetic full-dim rows whose subspace-s
+    slice of row c is subspace s's trained centroid c — per-subspace
+    independence is preserved because every consumer only ever SLICES
+    the rows per subspace.
+
+    Engine-exact by the same construction as :func:`kmeans_lite`:
+
+    - seeds are the residuals of the ``k`` SMALLEST vec_ids, renumbered
+      0..k−1 in vec_id order (deterministic, no rand());
+    - assignment is :func:`pq_codes` itself against the current codebook
+      (exact-BIGINT distances, first-min tie-break) — the trainer and
+      the encoder can never disagree on a boundary;
+    - the update re-quantizes each per-(subspace, code, dim) mean back
+      onto the integer grid (``rescale_ratio``), and a code that loses
+      all members KEEPS its previous centroid (the classic empty-cluster
+      rule, chosen over kmeans_lite's drop-out because PQ codes must
+      stay contiguous 0..k−1).
+
+    Scale shape per iteration: one corpus-sample scan (the assignment is
+    scan-local literal expressions), one (m·k·dim)-row aggregate, one
+    metadata-scale collect (the codebook is a model parameter).  Train
+    on a bounded sample at fleet scale — codebook quality saturates far
+    below full-corpus coverage (100k–1M rows in practice).
+    """
+    from ..functions import exact
+
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    dsub = dim // m
+    seed_rows = sorted(
+        residuals.select("vec_id", "q").orderBy(F.col("vec_id").asc())
+        .limit(k).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not seed_rows:
+        raise ValueError("cannot seed PQ codebooks from an empty frame")
+    codebook = [
+        (cid, [int(v) for v in r["q"]]) for cid, r in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        coded = pq_codes(
+            residuals.select("vec_id", "q"), codebook, m=m, dim=dim,
+            passthrough=("q",),
+        )
+        codes_arr = "array({})".format(
+            ", ".join(f"code_{s}" for s in range(m))
+        )
+        melt = coded.select(
+            F.expr(codes_arr).alias("__codes"),
+            F.posexplode(F.col("q")).alias("pos", "e"),
+        ).selectExpr(
+            "pos",
+            "e",
+            f"element_at(__codes, CAST(pos div {dsub} AS INT) + 1) AS cid",
+        )
+        means = melt.groupBy("cid", "pos").agg(
+            exact.rescale_ratio(F.sum("e"), F.count("e"), 1).alias("me")
+        )
+        got = {
+            (int(r["cid"]), int(r["pos"])): int(r["me"])
+            for r in means.collect()
+        }
+        codebook = [
+            (cid, [got.get((cid, p), old[p]) for p in range(dim)])
+            for cid, old in codebook
+        ]
+    return codebook
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC search — :func:`ivf_pq_topk` for a RESIDUAL-encoded index
+    (``ivf_pq_index(residual=True)`` + :func:`pq_train_codebooks`): the
+    reconstruction is ``coarse_centroid(list) + decode(code)``, so the
+    score decomposes as
+
+    - ``adot  = dot(q, coarse_list) + Σ_s LUT_s[code_s]``  (the LUTs are
+      the SAME raw-query-vs-codebook tables as plain ADC — dot is linear,
+      so the coarse term is one extra per-(query, probed-list) constant);
+    - ``rn    = ‖coarse_list‖² + 2·Σ_s cross_{list,s}[code_s]
+      + Σ_s ‖cb_s[code_s]‖²`` — every term a Python-folded exact BIGINT
+      looked up by (list, code), nlists·m·k constants total (a model
+      parameter, same literal posture as the codebook).
+
+    Scale shape is ivf_pq_topk's, unchanged: the index never shuffles or
+    replicates, the probe side is exploded nprobe× and broadcast, the
+    per-pair work is m+1 lookups and adds.  Scores are the exactly-
+    computable reconstructed cosine (hence the DuckDB oracle); with
+    ``nprobe`` ≥ the list count this equals brute-force search over the
+    decoded corpus exactly (:func:`ivfadc_decode`, pinned in tests).
+
+    Output: (query_id, neighbor_id, rank, cosine_adc).
+    """
+    cents, dsub = _pq_check(centroid_rows, m, dim)
+    coarse_rows = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse_centroids.select("vec_id", "q").collect()
+    )
+    cm = _coarse_map_sql(coarse_rows)
+    # probe-side assignment: HOF fold for the same BNLJ-stage reason as
+    # ivf_pq_topk; qdot_coarse is one fold over the tiny probe side
+    q = (
+        ivf_assign(queries, coarse_centroids, nprobe, None)
+        .filter(F.col("n") > 0)
+        .selectExpr(
+            "vec_id AS query_id", "n AS qn", "list_id",
+            f"aggregate(zip_with(q, element_at({cm}, list_id),"
+            " (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x) AS qdot_c",
+            *_adc_lut_cols(cents, m, dsub),
+        )
+    )
+    joined = index.select(
+        "vec_id", "list_id", *[f"code_{s}" for s in range(m)]
+    ).join(F.broadcast(q), "list_id")
+    # per-(list, subspace, code) reconstruction-norm constants, folded in
+    # Python over exact ints: cn_coarse[l], cross[l][s][c], rnorm[s][c]
+    cn_map = "map({})".format(", ".join(
+        f"CAST({cid} AS BIGINT), CAST({sum(v * v for v in cq)} AS BIGINT)"
+        for cid, cq in coarse_rows
+    ))
+    cross_maps = []
+    for s in range(m):
+        entries = []
+        for cid, cq in coarse_rows:
+            csub = cq[s * dsub:(s + 1) * dsub]
+            vals = [
+                sum(a * b for a, b in zip(csub, cc[s * dsub:(s + 1) * dsub]))
+                for _, cc in cents
+            ]
+            entries.append(f"CAST({cid} AS BIGINT), {_vec_sql(vals)}")
+        cross_maps.append("map({})".format(", ".join(entries)))
+    rnorm_arrs = [
+        _vec_sql([
+            sum(v * v for v in cc[s * dsub:(s + 1) * dsub]) for _, cc in cents
+        ])
+        for s in range(m)
+    ]
+    lut_sum = " + ".join(
+        f"element_at(lut_{s}, code_{s} + 1)" for s in range(m)
+    )
+    rn_sum = " + ".join(
+        f"2 * element_at(element_at({cross_maps[s]}, list_id), code_{s} + 1)"
+        f" + element_at({rnorm_arrs[s]}, code_{s} + 1)"
+        for s in range(m)
+    )
+    scored = (
+        joined.selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            "qn",
+            f"qdot_c + {lut_sum} AS __adot",
+            f"element_at({cn_map}, list_id) + {rn_sum} AS __rn",
+        )
+        .filter(F.col("__rn") > 0)
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__adot"), F.col("qn"), F.col("__rn")).alias(
+                "cosine_adc"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_adc")
+    )
+
+
+def ivfadc_decode(
+    index: DataFrame,
+    coarse_rows: list[tuple[int, list[int]]],
+    centroid_rows: list[tuple[int, list[int]]],
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Reconstruct every indexed vector from its residual code:
+    ``coarse_centroid(list) + concat_s(cb_s[code_s])`` → a
+    :func:`prepare`-shaped (vec_id, q, n) frame.  The audit/test aid
+    that closes the loop: :func:`ivfadc_topk` at nprobe ≥ nlists must
+    equal :func:`brute_force_topk` over THIS frame bit-for-bit (same
+    exact-BIGINT dot, same IEEE division)."""
+    cents, dsub = _pq_check(centroid_rows, m, dim)
+    cb_arrs = [
+        "array({})".format(", ".join(
+            _vec_sql(cc[s * dsub:(s + 1) * dsub]) for _, cc in cents
+        ))
+        for s in range(m)
+    ]
+    res = "concat({})".format(", ".join(
+        f"element_at({cb_arrs[s]}, code_{s} + 1)" for s in range(m)
+    ))
+    cm = _coarse_map_sql(coarse_rows)
+    return index.selectExpr(
+        "vec_id",
+        f"zip_with(element_at({cm}, list_id), {res}, (a, b) -> a + b) AS q",
+    ).withColumn("n", sq_norm(F.col("q")))
 
 
 def ivf_pq_topk(

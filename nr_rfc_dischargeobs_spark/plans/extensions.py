@@ -113,6 +113,94 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def dedup_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width MinHash banding — b=16, r=4 (64 permutations,
+    the standard 0.8-Jaccard operating point; S-curve midpoint
+    (1/16)^(1/4) ≈ 0.5) over 3-word shingles: the configuration the old
+    bands×r ≤ 8 family cap could not express.  16 md5 calls per distinct
+    shingle, one groupBy for all 64 mins."""
+    sh = dedup.shingle_rows(load(spark, sf_dir, "documents"), n=3)
+    return dedup.minhash_signatures(sh, bands=16, rows_per_band=4)
+
+
+def _minhash_wide_sql() -> str:
+    """b=16/r=4 oracle: the numbered-salt md5 family concatenated (16
+    calls, 512 hex chars), 64 slice-mins, band sigs = md5 of the 4-row
+    concat — generated, not hand-spelled, so b/r changes stay one-line."""
+    salts = ["", "x"] + [f"x{j}" for j in range(2, 16)]
+    cat = " || ".join(
+        f"md5('{s}' || shingle)" if s else "md5(shingle)" for s in salts
+    )
+    mins = ",\n       ".join(
+        f"MIN(substr(__cat, {8 * h + 1}, 8)) AS h{h}" for h in range(64)
+    )
+    bandsigs = ",\n       ".join(
+        "md5(concat_ws('|', {})) AS mh{}".format(
+            ", ".join(f"h{4 * b + r}" for r in range(4)), b
+        )
+        for b in range(16)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])))) AS shingle
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {cat} AS __cat FROM sh
+), mins AS (
+  SELECT doc_id,
+       {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       {bandsigs}
+FROM mins
+"""
+
+
+DEDUP_MINHASH_WIDE_SQL = _minhash_wide_sql()
+
+
+def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs WITH the hot-bucket gate (max_bucket=20):
+    same unigram/2-band banding as ``ext_dedup_lsh_pairs``, but (band,
+    sig) buckets holding >20 docs — the boilerplate signatures that
+    dominate Σ|bucket|² — are dropped before the self-join.  On this
+    corpus the gate removes the 76/73/21-doc buckets and keeps the ≤15s,
+    so the two registered queries pin both sides of the dial."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs, n=1), bands=2)
+    return dedup.lsh_candidate_pairs(sigs, bands=2, max_bucket=20)
+
+
+DEDUP_LSH_PAIRS_CAPPED_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS shingle
+  FROM documents WHERE doc_id < 100
+), sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle) || md5('x' || shingle), 9, 8)) AS mh1
+  FROM sh GROUP BY doc_id
+), long AS (
+  SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 'mh1' AS band, mh1 AS sig FROM sig
+), kept AS (
+  SELECT band, sig FROM long GROUP BY 1, 2 HAVING COUNT(*) <= 20
+), gated AS (
+  SELECT long.doc_id, long.band, long.sig
+  FROM long JOIN kept USING (band, sig)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM gated a JOIN gated b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (16-bit birthday-collides at ~300 docs)."""
     return dedup.simhash64(load(spark, sf_dir, "documents"))
@@ -2474,6 +2562,192 @@ SELECT query_id, neighbor_id,
             AS INT) AS rank,
        cosine
 FROM rescored
+QUALIFY rank <= 3
+"""
+
+
+def _ivfadc_parts(spark: SparkSession, sf_dir: str, iters: int = 1):
+    """Shared construction for the TRAINED (IVFADC) plans: coarse = raw
+    rows 8–12, queries 12–28, corpus ≥ 28; PQ codebook trained with
+    ``iters`` Lloyd steps over CORPUS RESIDUALS, seeded from the 8
+    smallest corpus vec_ids (m=4, dsub=16, k=8 — sized so the DuckDB
+    oracle can re-derive the whole training pass declaratively).
+
+    Stated plan-build exception, same as the other PQ plans: the coarse
+    collect (4 rows) and the training pass (one sampled-aggregate job
+    per iteration collecting k·dim ints — a model parameter) run at
+    construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    prep = similarity.prepare(emb)
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
+    residuals = similarity.residualize(
+        similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(
+        residuals, k=8, m=4, dim=64, iters=iters
+    )
+    return coarse, queries, corpus, coarse_rows, cb
+
+
+def sim_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-codebook TRAINING pass itself, oracle-checked: one Lloyd
+    iteration of per-subspace k-means over corpus residuals (the IVFADC
+    training recipe, Jégou et al. TPAMI 2011 §V) — seeds = residuals of
+    the 8 smallest corpus ids, exact-BIGINT assignment, re-quantized
+    means, empty codes keep their seed.  Output is the trained codebook
+    in long form (cid, pos, val): every downstream IVFADC query consumes
+    exactly these integers as literals, so a green row here pins the
+    entire model-parameter derivation, not just the search."""
+    _, _, _, _, cb = _ivfadc_parts(spark, sf_dir, iters=1)
+    rows = [
+        (int(cid), int(pos), int(vec[pos]))
+        for cid, vec in cb
+        for pos in range(64)
+    ]
+    return spark.createDataFrame(rows, "cid int, pos int, val long")
+
+
+def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search end-to-end — the TRAINED successor of
+    ``sim_ivf_pq_topk`` and the round-9 headline: corpus residuals
+    (vec − coarse centroid) encoded against a codebook TRAINED on them
+    (:func:`~..extensions.similarity.pq_train_codebooks`), searched by
+    residual-decomposed ADC (:func:`~..extensions.similarity.
+    ivfadc_topk`) at nprobe=2 of 4 lists, top-3 by reconstructed
+    cosine.  Same persist barrier as the other PQ plans (stored-artifact
+    posture + janino compile isolation)."""
+    coarse, queries, corpus, _, cb = _ivfadc_parts(spark, sf_dir, iters=1)
+    index = similarity.ivf_pq_index(
+        corpus, coarse, cb, m=4, dim=64, residual=True
+    ).persist()
+    _PLAN_CACHES.append(index)
+    return similarity.ivfadc_topk(
+        queries, index, coarse, cb, k=3, nprobe=2, m=4, dim=64
+    )
+
+
+# shared CTE chain for the IVFADC plans: coarse assignment → residuals →
+# seed codebook → ONE Lloyd step (assign, re-quantized means, keep-seed
+# on empty) → trained codebook cb1.  TRAIN_CODEBOOK_SQL reads cb1
+# directly; IVFADC_TOPK_SQL continues through encode → probe →
+# reconstruction → ADC scoring.
+_IVFADC_CTES = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), co AS (
+  SELECT vec_id AS lid, e AS le, i FROM u
+  WHERE vec_id >= 8 AND vec_id < 12
+), nco AS (SELECT lid, SUM(le * le) AS ln FROM co GROUP BY 1),
+uu AS (SELECT vec_id, e, i FROM u WHERE vec_id >= 28),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uu GROUP BY 1),
+uq AS (SELECT vec_id, e, i FROM u WHERE vec_id >= 12 AND vec_id < 28),
+nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+ca AS (
+  SELECT uu.vec_id, co.lid, nc.n + nco.ln - 2 * SUM(uu.e * co.le) AS d
+  FROM uu JOIN co ON uu.i = co.i
+  JOIN nc ON uu.vec_id = nc.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY 1, 2, nc.n, nco.ln
+), corpus_list AS (
+  SELECT vec_id, lid FROM ca
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) = 1
+), res AS (
+  SELECT uu.vec_id, uu.i, uu.e - co.le AS e
+  FROM uu
+  JOIN corpus_list cl ON uu.vec_id = cl.vec_id
+  JOIN co ON co.lid = cl.lid AND co.i = uu.i
+), rs AS (
+  SELECT vec_id, e, i, i // 16 AS s, i % 16 AS j FROM res
+), nr AS (SELECT vec_id, s, SUM(e * e) AS nsub FROM rs GROUP BY 1, 2),
+sd AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM res ORDER BY vec_id LIMIT 8)
+), cb0 AS (
+  SELECT sd.cid, rs.s, rs.j, rs.i, rs.e AS ce
+  FROM sd JOIN rs ON sd.vec_id = rs.vec_id
+), cn0 AS (SELECT cid, s, SUM(ce * ce) AS cn FROM cb0 GROUP BY 1, 2),
+d0 AS (
+  SELECT rs.vec_id, rs.s, cb0.cid, nr.nsub + cn0.cn - 2 * SUM(rs.e * cb0.ce) AS d
+  FROM rs JOIN cb0 ON rs.s = cb0.s AND rs.j = cb0.j
+  JOIN nr ON rs.vec_id = nr.vec_id AND rs.s = nr.s
+  JOIN cn0 ON cb0.cid = cn0.cid AND cb0.s = cn0.s
+  GROUP BY 1, 2, 3, nr.nsub, cn0.cn
+), a0 AS (
+  SELECT vec_id, s, cid FROM d0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+), m0 AS (
+  SELECT a0.s, a0.cid, rs.j,
+         CAST(ROUND(CAST(SUM(rs.e) * 1 AS DOUBLE) / COUNT(rs.e), 0)
+              AS BIGINT) AS me
+  FROM a0 JOIN rs ON a0.vec_id = rs.vec_id AND a0.s = rs.s
+  GROUP BY 1, 2, 3
+), cb1 AS (
+  SELECT cb0.cid, cb0.s, cb0.j, cb0.i, COALESCE(m0.me, cb0.ce) AS ce
+  FROM cb0 LEFT JOIN m0
+    ON cb0.s = m0.s AND cb0.cid = m0.cid AND cb0.j = m0.j
+)
+"""
+
+SIM_PQ_TRAIN_CODEBOOK_SQL = _IVFADC_CTES + """
+SELECT cid, CAST(i AS INT) AS pos, ce AS val FROM cb1
+"""
+
+SIM_IVFADC_TOPK_SQL = _IVFADC_CTES.rstrip() + """, cn1 AS (
+  SELECT cid, s, SUM(ce * ce) AS cn FROM cb1 GROUP BY 1, 2
+), d1 AS (
+  SELECT rs.vec_id, rs.s, cb1.cid, nr.nsub + cn1.cn - 2 * SUM(rs.e * cb1.ce) AS d
+  FROM rs JOIN cb1 ON rs.s = cb1.s AND rs.j = cb1.j
+  JOIN nr ON rs.vec_id = nr.vec_id AND rs.s = nr.s
+  JOIN cn1 ON cb1.cid = cn1.cid AND cb1.s = cn1.s
+  GROUP BY 1, 2, 3, nr.nsub, cn1.cn
+), code AS (
+  SELECT vec_id, s, cid FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+), qa AS (
+  SELECT uq.vec_id, co.lid, nq.n + nco.ln - 2 * SUM(uq.e * co.le) AS d
+  FROM uq JOIN co ON uq.i = co.i
+  JOIN nq ON uq.vec_id = nq.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY 1, 2, nq.n, nco.ln
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM qa
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) <= 2
+), recon AS (
+  SELECT code.vec_id, cb1.i, co.le + cb1.ce AS e
+  FROM code
+  JOIN cb1 ON code.s = cb1.s AND code.cid = cb1.cid
+  JOIN corpus_list cl ON code.vec_id = cl.vec_id
+  JOIN co ON co.lid = cl.lid AND co.i = cb1.i
+), rn AS (SELECT vec_id, SUM(e * e) AS rn FROM recon GROUP BY 1),
+adc AS (
+  SELECT qp.query_id, r.vec_id AS neighbor_id, SUM(uq.e * r.e) AS adot
+  FROM query_probe qp
+  JOIN corpus_list cl ON cl.lid = qp.lid
+  JOIN recon r ON r.vec_id = cl.vec_id
+  JOIN uq ON uq.vec_id = qp.query_id AND uq.i = r.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT adc.query_id, adc.neighbor_id,
+         CAST(adc.adot AS DOUBLE)
+           / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(rn.rn AS DOUBLE)))
+           AS cosine_adc
+  FROM adc
+  JOIN nq ON adc.query_id = nq.vec_id
+  JOIN rn ON adc.neighbor_id = rn.vec_id
+  WHERE nq.n > 0 AND rn.rn > 0
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_adc DESC, neighbor_id ASC)
+            AS INT) AS rank,
+       cosine_adc
+FROM scored
 QUALIFY rank <= 3
 """
 

@@ -88,6 +88,12 @@ def test_results_identical_across_shuffle_partitionings(spark):
         "ext_sample_shard_plan",
         "ext_text_entropy",
         "ext_sim_pq_adc_topk",
+        # round-9 operators: the TRAINED pipeline — codebook training
+        # (driver-side collect of re-quantized means) and the residual
+        # IVFADC search must be partition-invariant end to end
+        "ext_sim_pq_train_codebook",
+        "ext_sim_ivfadc_topk",
+        "ext_dedup_minhash_wide",
     ):
         results = []
         for parts in ("3", "32"):

@@ -70,6 +70,85 @@ def test_minhash_lsh_recalls_near_dup(corpus):
     assert (0, 3) not in pairs  # unrelated doc does not
 
 
+def test_minhash_wide_family_extends_narrow_prefix(corpus):
+    """The numbered-salt family extension must leave the historical ≤8
+    slices byte-identical: slice h only reads chars [8h, 8h+8) of the
+    concatenation, and the first two md5 calls are unchanged."""
+    sh = dedup.shingle_rows(corpus, n=1)
+    narrow = {
+        r["doc_id"]: [r[f"mh{b}"] for b in range(8)]
+        for r in dedup.minhash_signatures(sh, bands=8).collect()
+    }
+    wide = {
+        r["doc_id"]: [r[f"mh{b}"] for b in range(8)]
+        for r in dedup.minhash_signatures(sh, bands=16).collect()
+    }
+    assert narrow == wide
+    with pytest.raises(ValueError, match="256"):
+        dedup.minhash_signatures(sh, bands=64, rows_per_band=5)
+
+
+def _planted_pairs(spark, n_pairs: int, shared: int, unique: int):
+    """n_pairs doc pairs with |A∩B|=shared, |A|=|B|=shared+unique distinct
+    namespaced tokens → Jaccard = shared/(shared+2·unique) per pair, and
+    (near-)zero cross-pair overlap."""
+    rows = []
+    for i in range(n_pairs):
+        common = [f"p{i}c{t}" for t in range(shared)]
+        rows.append((2 * i, " ".join(common + [f"p{i}a{t}" for t in range(unique)])))
+        rows.append((2 * i + 1, " ".join(common + [f"p{i}b{t}" for t in range(unique)])))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("bands,rows_per_band", [(4, 2), (16, 4)])
+def test_lsh_candidate_probability_curve(spark, bands, rows_per_band):
+    """The banding S-curve 1−(1−s^r)^b on planted Jaccard-0.5 pairs —
+    the statistical contract the (b, r) dial rests on, now testable past
+    the old bands×r ≤ 8 cap (b=16/r=4 is the production 64-perm point).
+    150 planted pairs → binomial sd ≈ 0.04; assert within ±0.12 (3σ)."""
+    n_pairs, s = 150, 0.5
+    docs = _planted_pairs(spark, n_pairs, shared=30, unique=15)  # J = 0.5
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_rows(docs, n=1), bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=bands).collect()
+    }
+    hit = sum((2 * i, 2 * i + 1) in got for i in range(n_pairs)) / n_pairs
+    want = 1 - (1 - s ** rows_per_band) ** bands
+    assert abs(hit - want) < 0.12, (hit, want)
+
+
+def test_lsh_hot_bucket_gate_drops_boilerplate_keeps_neardups(spark):
+    """max_bucket: a viral boilerplate bucket (30 identical docs → one
+    (band, sig) bucket in EVERY band) is dropped pre-join; a true
+    near-dup pair elsewhere is untouched; and the default (gate off)
+    still emits everything."""
+    boiler = [(i, "subscribe to our newsletter for updates") for i in range(30)]
+    near = [
+        (100, "rare unique analytical content about rivers flowing north"),
+        (101, "rare unique analytical content about rivers flowing south"),
+    ]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs, n=1), bands=4)
+    gated = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=4, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in gated
+    assert not any(a < 30 and b < 30 for a, b in gated)
+    ungated = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4).collect()
+    }
+    assert (0, 1) in ungated and (100, 101) in ungated
+    assert len(ungated) == 30 * 29 // 2 + 1
+
+
 def test_jaccard_scores_ordering(corpus):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
