@@ -9,7 +9,9 @@ def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty"}
+    # round-9 flagship: the trained IVFADC search (query_id × top-3)
+    assert set(df.columns) >= {"query_id", "neighbor_id", "rank", "cosine_adc"}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
 
 
 def test_queries_and_oracles_consistent():
