@@ -1117,6 +1117,39 @@ def ivf_pq_index(
         assigned = ivf_assign(prepared, coarse_centroids, 1, None)
     if residual:
         assigned = residualize(assigned, coarse_rows)
+        coded = pq_codes(
+            assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
+        )
+        # store the reconstruction norm rn = ‖coarse(list) + decode(code)‖²
+        # as an index COLUMN (what FAISS does for IP/cosine search): it is
+        # a pure function of (list_id, codes), computed here scan-local
+        # from codebook-sized literals (m·k·dsub + nlists·dim ints), so
+        # the SEARCH plan needs no per-(list, code) constants at all — a
+        # first cut folded nlists·m·k cross-term literals into the search
+        # expression, which is quadratic plan text in the index geometry
+        # (32k terms at 64 lists × m=32 × k=16) and stalled codegen for
+        # minutes; this spelling keeps both build and search plans linear
+        # in the model size
+        cents, dsub = _pq_check(centroid_rows, m, dim)
+        cb_arrs = [
+            "array({})".format(", ".join(
+                _vec_sql(cc[s * dsub:(s + 1) * dsub]) for _, cc in cents
+            ))
+            for s in range(m)
+        ]
+        res = "concat({})".format(", ".join(
+            f"element_at({cb_arrs[s]}, code_{s} + 1)" for s in range(m)
+        ))
+        cm = _coarse_map_sql(coarse_rows)
+        recon = (
+            f"zip_with(element_at({cm}, list_id), {res},"
+            " (a, b) -> a + b)"
+        )
+        return coded.selectExpr(
+            "*",
+            f"aggregate({recon}, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x * x) AS rn",
+        )
     return pq_codes(
         assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
     )
@@ -1256,10 +1289,14 @@ def ivfadc_topk(
     - ``adot  = dot(q, coarse_list) + Σ_s LUT_s[code_s]``  (the LUTs are
       the SAME raw-query-vs-codebook tables as plain ADC — dot is linear,
       so the coarse term is one extra per-(query, probed-list) constant);
-    - ``rn    = ‖coarse_list‖² + 2·Σ_s cross_{list,s}[code_s]
-      + Σ_s ‖cb_s[code_s]‖²`` — every term a Python-folded exact BIGINT
-      looked up by (list, code), nlists·m·k constants total (a model
-      parameter, same literal posture as the codebook).
+    - ``rn``  is READ from the index — ``ivf_pq_index(residual=True)``
+      stores the exact reconstruction norm per code row (the FAISS
+      norms-table discipline), so the search plan carries only
+      codebook-sized literals.  (A first cut folded the
+      nlists·m·k per-(list, code) cross terms into the search expression
+      instead — quadratic plan text in the index geometry, minutes of
+      codegen at 64 lists × m=32; storing rn keeps search linear in the
+      model size and costs one int64 per corpus row.)
 
     Scale shape is ivf_pq_topk's, unchanged: the index never shuffles or
     replicates, the probe side is exploded nprobe× and broadcast, the
@@ -1271,6 +1308,11 @@ def ivfadc_topk(
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
     cents, dsub = _pq_check(centroid_rows, m, dim)
+    if "rn" not in index.columns:
+        raise ValueError(
+            "ivfadc_topk needs a residual index with the stored rn"
+            " column — build it with ivf_pq_index(..., residual=True)"
+        )
     coarse_rows = sorted(
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in coarse_centroids.select("vec_id", "q").collect()
@@ -1290,38 +1332,10 @@ def ivfadc_topk(
         )
     )
     joined = index.select(
-        "vec_id", "list_id", *[f"code_{s}" for s in range(m)]
+        "vec_id", "list_id", "rn", *[f"code_{s}" for s in range(m)]
     ).join(F.broadcast(q), "list_id")
-    # per-(list, subspace, code) reconstruction-norm constants, folded in
-    # Python over exact ints: cn_coarse[l], cross[l][s][c], rnorm[s][c]
-    cn_map = "map({})".format(", ".join(
-        f"CAST({cid} AS BIGINT), CAST({sum(v * v for v in cq)} AS BIGINT)"
-        for cid, cq in coarse_rows
-    ))
-    cross_maps = []
-    for s in range(m):
-        entries = []
-        for cid, cq in coarse_rows:
-            csub = cq[s * dsub:(s + 1) * dsub]
-            vals = [
-                sum(a * b for a, b in zip(csub, cc[s * dsub:(s + 1) * dsub]))
-                for _, cc in cents
-            ]
-            entries.append(f"CAST({cid} AS BIGINT), {_vec_sql(vals)}")
-        cross_maps.append("map({})".format(", ".join(entries)))
-    rnorm_arrs = [
-        _vec_sql([
-            sum(v * v for v in cc[s * dsub:(s + 1) * dsub]) for _, cc in cents
-        ])
-        for s in range(m)
-    ]
     lut_sum = " + ".join(
         f"element_at(lut_{s}, code_{s} + 1)" for s in range(m)
-    )
-    rn_sum = " + ".join(
-        f"2 * element_at(element_at({cross_maps[s]}, list_id), code_{s} + 1)"
-        f" + element_at({rnorm_arrs[s]}, code_{s} + 1)"
-        for s in range(m)
     )
     scored = (
         joined.selectExpr(
@@ -1329,7 +1343,7 @@ def ivfadc_topk(
             "vec_id AS neighbor_id",
             "qn",
             f"qdot_c + {lut_sum} AS __adot",
-            f"element_at({cn_map}, list_id) + {rn_sum} AS __rn",
+            "rn AS __rn",
         )
         .filter(F.col("__rn") > 0)
         .select(

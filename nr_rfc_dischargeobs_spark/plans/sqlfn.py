@@ -272,3 +272,101 @@ def register_sql_tvfs(spark: SparkSession) -> list[str]:
     for ddl in SQL_TVFS.values():
         spark.sql(ddl)
     return list(SQL_TVFS)
+
+
+# extensions.similarity.ivf_pq_topk over a STORED index artifact — the
+# deployment split in pure SQL: the index was built once
+# (ivf_pq_index(...).write.partitionBy("list_id")...), this searches it.
+# Scoring is the reconstruction spelling (decode each m=4 code to its
+# codebook subvectors, exact-integer dot against the probed queries) —
+# mathematically identical to the operator's LUT decomposition, hence
+# row-identical parity (pinned in tests/test_sqlfn.py).  The codebook,
+# coarse, and query tiers derive from `embeddings` exactly as the
+# registered `ext_sim_ivf_pq_topk` plan does: codebook = vec_id < cb_hi,
+# coarse lists = [cb_hi, coarse_hi), queries = [coarse_hi, query_hi).
+# Hardwired to the registered m=4 code layout (code_0..code_3): a SQL
+# body is analyzed at CREATE time, so the stored schema is part of the
+# function's contract.
+IVF_PQ_SEARCH_TVF = """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivf_pq_search(
+    cb_hi BIGINT, coarse_hi BIGINT, query_hi BIGINT, dsub INT,
+    k INT, nprobe INT)
+RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,
+               cosine_adc DOUBLE)
+RETURN
+WITH p AS (
+  SELECT vec_id,
+         transform(embedding,
+                   x -> cast(round(cast(x AS DOUBLE) * 100000, 0)
+                             AS BIGINT)) AS q
+  FROM embeddings
+), u AS (
+  SELECT vec_id, pos AS i, e FROM p LATERAL VIEW posexplode(q) x AS pos, e
+), c AS (
+  SELECT vec_id AS cid, e AS ce, i div dsub AS s, i % dsub AS j, i
+  FROM u WHERE vec_id < cb_hi
+), co AS (
+  SELECT vec_id AS lid, e AS le, i FROM u
+  WHERE vec_id >= cb_hi AND vec_id < coarse_hi
+), nco AS (SELECT lid, sum(le * le) AS ln FROM co GROUP BY lid),
+uq AS (SELECT vec_id, e, i FROM u
+       WHERE vec_id >= coarse_hi AND vec_id < query_hi),
+nq AS (SELECT vec_id, sum(e * e) AS n FROM uq GROUP BY vec_id),
+qa AS (
+  SELECT uq.vec_id, co.lid, nq.n + nco.ln - 2 * sum(uq.e * co.le) AS d
+  FROM uq JOIN co ON uq.i = co.i
+  JOIN nq ON uq.vec_id = nq.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY uq.vec_id, co.lid, nq.n, nco.ln
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
+    FROM qa)
+  WHERE rn <= nprobe
+), code AS (
+  SELECT vec_id, list_id, s, cid FROM ivf_pq_index_store
+  LATERAL VIEW posexplode(array(code_0, code_1, code_2, code_3)) x AS s, cid
+), recon AS (
+  SELECT code.vec_id, code.list_id, c.i, c.ce AS e
+  FROM code JOIN c ON c.s = code.s AND c.cid = code.cid
+), rn_ AS (SELECT vec_id, sum(e * e) AS rn FROM recon GROUP BY vec_id),
+adc AS (
+  SELECT qp.query_id, r.vec_id AS neighbor_id, sum(uq.e * r.e) AS adot
+  FROM query_probe qp
+  JOIN recon r ON r.list_id = qp.lid
+  JOIN uq ON uq.vec_id = qp.query_id AND uq.i = r.i
+  GROUP BY qp.query_id, r.vec_id
+), scored AS (
+  SELECT adc.query_id, adc.neighbor_id,
+         cast(adc.adot AS DOUBLE)
+           / (sqrt(cast(nq.n AS DOUBLE)) * sqrt(cast(rn_.rn AS DOUBLE)))
+           AS cosine_adc
+  FROM adc
+  JOIN nq ON adc.query_id = nq.vec_id
+  JOIN rn_ ON adc.neighbor_id = rn_.vec_id
+  WHERE nq.n > 0 AND rn_.rn > 0
+)
+SELECT query_id, neighbor_id, rank, cosine_adc FROM (
+  SELECT query_id, neighbor_id, cosine_adc,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_adc DESC,
+                                          neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= k
+"""
+
+
+def register_ivf_pq_search_tvf(spark: SparkSession, index_path: str) -> str:
+    """Register ``tvf_ivf_pq_search`` over a STORED IVF-PQ index: points
+    the ``ivf_pq_index_store`` view at ``index_path`` (the parquet
+    artifact an ``ivf_pq_index(...).write`` produced — partitioned by
+    ``list_id`` in production so probes prune partitions), then creates
+    the TVF.  Separate from :func:`register_sql_tvfs` because the body
+    is analyzed against the store view at CREATE time — the artifact
+    must exist first, unlike the corpus-view TVFs."""
+    spark.read.parquet(index_path).createOrReplaceTempView(
+        "ivf_pq_index_store"
+    )
+    spark.sql(IVF_PQ_SEARCH_TVF)
+    return "tvf_ivf_pq_search"

@@ -176,3 +176,40 @@ def test_tvf_sim_semantic_dedup_matches_operator(spark, docs_view):
         )
     }
     assert tight[5][2] is False and tight[5][3] == 4
+
+
+def test_tvf_ivf_pq_search_matches_operator_on_stored_index(spark, tmp_path):
+    """The stored-artifact TVF: build the IVF-PQ index with the operator,
+    WRITE it (partitioned by list_id, the production layout), register
+    the store view + TVF, and the SQL search must return exactly the
+    operator's rows on the SAME artifact — completing the pure-SQL
+    surface for the similarity tier."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivf_pq_search_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    prep = similarity.prepare(emb_raw)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in prep.filter(F.col("vec_id") < 8).collect()
+    ]
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    ix_path = str(tmp_path / "ivf_pq_index")
+    similarity.ivf_pq_index(corpus, coarse, cents).write.partitionBy(
+        "list_id"
+    ).parquet(ix_path)
+    stored = spark.read.parquet(ix_path)
+    want = similarity.ivf_pq_topk(
+        queries, stored, coarse, cents, k=3, nprobe=2
+    )
+    assert register_ivf_pq_search_tvf(spark, ix_path) == "tvf_ivf_pq_search"
+    got = spark.sql("SELECT * FROM tvf_ivf_pq_search(8, 12, 28, 16, 3, 2)")
+    # bitwise parity: the TVF's reconstruction dot and the operator's
+    # LUT decomposition sum the same exact integers, then apply the
+    # same IEEE division
+    assert rows(got) == rows(want)

@@ -171,6 +171,160 @@ def synth_clustered_embs(
     )
 
 
+def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
+    """recall@10 vs the exact baseline — the FULL round-9 matrix:
+    fixture × codebook × nprobe.  Fixtures: CLUSTERED (64 true
+    clusters, true centers as the coarse quantizer — the kmeans-
+    trained stand-in; the shape IVF presumes) and RANDOM (hash-diverse
+    directions, arbitrary coarse vectors — the honest adversarial
+    number: with no cluster structure the coarse ceiling is
+    nprobe/n_lists regardless of codebook quality).  Codebooks:
+    UNTRAINED (8 raw seed rows, raw coding — the r8 configuration,
+    recall@10 0.0004 at nprobe=4) vs TRAINED (m=32/k=16 per-subspace
+    k-means over residuals, 4 Lloyd iterations on a 50k sample —
+    IVFADC).  nprobe ∈ {1,4,16,64}; 64 = every list probed, isolating
+    pure codebook quality from coarse recall.  Exact ground truth via
+    the Arrow kernel (one corpus pass per fixture); every search
+    audited with ann_recall.  A refined row (R=30 slate, exact
+    re-rank) per fixture at nprobe=4 keeps the r8 ceiling story
+    comparable.
+
+    persist(), NOT localCheckpoint, for the tier-local frames: a
+    checkpointed DataFrame's .unpersist() is a no-op (the CacheManager
+    never saw its LogicalRDD plan), so the pinned 1M-row blocks would
+    silently survive into the disk-hungry curation tier below — the
+    headroom that tier's dial was sized for.  persist() entries
+    release for real.  The tier body is failure-isolated: an OOM in
+    the eager ground-truth build must not forfeit every measurement
+    below (the same contract timed() keeps per entry).
+    """
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    held = []
+    try:
+        for fixture, gen, coarse_df in (
+            ("clustered", synth_clustered_embs(spark, adc_n),
+             similarity.prepare(synth_clustered_embs(spark, 64, noise=0.0))),
+            ("random", synth_random_embs(spark, adc_n),
+             similarity.prepare(
+                 synth_random_embs(spark, adc_n + 64)
+                 .filter(F.col("vec_id") >= adc_n))),
+        ):
+            prep_r = similarity.prepare(gen).persist()
+            held.append(prep_r)
+            prep_r.count()
+            q_side = prep_r.filter(F.col("vec_id") < 256)
+            c_side = prep_r.filter(F.col("vec_id") >= 256)
+            exact10 = similarity.brute_force_topk_arrow(
+                q_side, c_side, k=10
+            ).persist()
+            held.append(exact10)
+            exact10.count()
+            coarse_rows = [
+                (int(r["vec_id"]), [int(v) for v in r["q"]])
+                for r in coarse_df.select("vec_id", "q").collect()
+            ]
+            # trained codebook: 4 Lloyd iterations over a deterministic
+            # 50k residual sample (training cost is sample-scale, never
+            # corpus-scale — codebook quality saturates far below full
+            # coverage)
+            sample = c_side.filter(F.col("vec_id") % 20 == 0)
+            residual_sample = similarity.residualize(
+                similarity.ivf_assign(sample, coarse_df, 1, None),
+                coarse_rows,
+            )
+            t0 = time.time()
+            trained_cb = similarity.pq_train_codebooks(
+                residual_sample, k=16, m=32, dim=64, iters=4
+            )
+            t[f"ivfadc_train_m32_k16_sample_{fixture}"] = {
+                "sec": round(time.time() - t0, 1), "rows": 16 * 64,
+            }
+            untrained_cb = [
+                (i, [int(v) for v in r["q"]])
+                for i, r in enumerate(
+                    c_side.orderBy("vec_id").limit(8).collect()
+                )
+            ]
+            for cb_lbl, cb, m_, residual in (
+                ("untrained", untrained_cb, 4, False),
+                ("trained", trained_cb, 32, True),
+            ):
+                t0 = time.time()
+                ix = similarity.ivf_pq_index(
+                    c_side, coarse_df, cb, m=m_, dim=64, residual=residual
+                ).persist()
+                held.append(ix)
+                n_ix = ix.count()
+                t[f"ivfadc_index_build_{adc_n // 1_000_000}m_{fixture}_{cb_lbl}"] = {
+                    "sec": round(time.time() - t0, 1), "rows": n_ix,
+                }
+
+                def search(k_, nprobe_, cb=cb, ix=ix, m_=m_,
+                           residual=residual):
+                    fn = (similarity.ivfadc_topk if residual
+                          else similarity.ivf_pq_topk)
+                    return fn(q_side, ix, coarse_df, cb, k=k_,
+                              nprobe=nprobe_, m=m_, dim=64)
+
+                probes = [1, 4, 16, 64]
+                for nprobe in probes:
+                    t0 = time.time()
+                    row = similarity.ann_recall(
+                        search(10, nprobe), exact10
+                    ).agg(
+                        F.avg("recall").alias("r"),
+                        F.count(F.lit(1)).alias("n"),
+                    ).collect()[0]
+                    key = (f"ann_recall10_{adc_n // 1_000_000}m_{fixture}_{cb_lbl}"
+                           f"_nprobe{nprobe}")
+                    t[key] = {
+                        "sec": round(time.time() - t0, 1),
+                        "rows": row.n,
+                        "mean_recall_at_10": round(row.r, 4),
+                    }
+                    print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                          f"{t[key]['mean_recall_at_10']}  {key}",
+                          file=sys.stderr)
+                # refined at the operating point: R=30 ADC slate, exact
+                # re-rank — must sit at the slate ceiling (r8 identity)
+                t0 = time.time()
+                row = similarity.ann_recall(
+                    similarity.ivf_pq_refine(
+                        search(30, 4), q_side, c_side, k=10,
+                        kernel="arrow",
+                    ),
+                    exact10,
+                ).agg(
+                    F.avg("recall").alias("r"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                key = (f"ann_recall10_{adc_n // 1_000_000}m_{fixture}"
+                       f"_{cb_lbl}_nprobe4_refined")
+                t[key] = {
+                    "sec": round(time.time() - t0, 1),
+                    "rows": row.n,
+                    "mean_recall_at_10": round(row.r, 4),
+                }
+                print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                      f"{t[key]['mean_recall_at_10']}  {key}",
+                      file=sys.stderr)
+                ix.unpersist()
+            exact10.unpersist()
+            prep_r.unpersist()
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["ann_recall_tier_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  ann_recall tier: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        # unpersist in FINALLY: an exception above would otherwise leak
+        # ~1M-row cached blocks into the disk-headroom-sensitive curation
+        # tier below — the exact storage-pressure failure the persist()
+        # comment warns about (double-unpersist on the success path is a
+        # no-op)
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -180,6 +334,10 @@ def main() -> int:
     ap.add_argument("--curate-docs", type=int, default=10_000_000)
     ap.add_argument("--weather-stations", type=int, default=1_000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only-ann", action="store_true",
+                    help="run ONLY the ann-recall matrix tier (fast "
+                         "re-measure of the recall story without the "
+                         "events/docs/curation tiers)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -201,6 +359,14 @@ def main() -> int:
         "timings": {},
     }
     t = results["timings"]
+
+    if args.only_ann:
+        ann_recall_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
 
     print(f"events tier ({args.events:,} rows):", file=sys.stderr)
     ev = synth_events(spark, args.events).localCheckpoint()
@@ -466,152 +632,7 @@ def main() -> int:
               prep_adc.filter(F.col("vec_id") < 256),
               prep_adc.filter(F.col("vec_id") >= 256),
               k=10, kernel="arrow"))
-    # recall@10 vs the exact baseline — the FULL round-9 matrix:
-    # fixture × codebook × nprobe.  Fixtures: CLUSTERED (64 true
-    # clusters, true centers as the coarse quantizer — the kmeans-
-    # trained stand-in; the shape IVF presumes) and RANDOM (hash-diverse
-    # directions, arbitrary coarse vectors — the honest adversarial
-    # number: with no cluster structure the coarse ceiling is
-    # nprobe/n_lists regardless of codebook quality).  Codebooks:
-    # UNTRAINED (8 raw seed rows, raw coding — the r8 configuration,
-    # recall@10 0.0004 at nprobe=4) vs TRAINED (m=32/k=16 per-subspace
-    # k-means over residuals, 4 Lloyd iterations on a 50k sample —
-    # IVFADC).  nprobe ∈ {1,4,16,64}; 64 = every list probed, isolating
-    # pure codebook quality from coarse recall.  Exact ground truth via
-    # the Arrow kernel (one corpus pass per fixture); every search
-    # audited with ann_recall.  A refined row (R=30 slate, exact
-    # re-rank) per fixture at nprobe=4 keeps the r8 ceiling story
-    # comparable.
-    # persist(), NOT localCheckpoint, for the tier-local frames: a
-    # checkpointed DataFrame's .unpersist() is a no-op (the CacheManager
-    # never saw its LogicalRDD plan), so the pinned 1M-row blocks would
-    # silently survive into the disk-hungry curation tier below — the
-    # headroom that tier's dial was sized for.  persist() entries
-    # release for real.  The tier body is failure-isolated: an OOM in
-    # the eager ground-truth build must not forfeit every measurement
-    # below (the same contract timed() keeps per entry).
-    held = []
-    try:
-        for fixture, gen, coarse_df in (
-            ("clustered", synth_clustered_embs(spark, adc_n),
-             similarity.prepare(synth_clustered_embs(spark, 64, noise=0.0))),
-            ("random", synth_random_embs(spark, adc_n),
-             similarity.prepare(
-                 synth_random_embs(spark, adc_n + 64)
-                 .filter(F.col("vec_id") >= adc_n))),
-        ):
-            prep_r = similarity.prepare(gen).persist()
-            held.append(prep_r)
-            prep_r.count()
-            q_side = prep_r.filter(F.col("vec_id") < 256)
-            c_side = prep_r.filter(F.col("vec_id") >= 256)
-            exact10 = similarity.brute_force_topk_arrow(
-                q_side, c_side, k=10
-            ).persist()
-            held.append(exact10)
-            exact10.count()
-            coarse_rows = [
-                (int(r["vec_id"]), [int(v) for v in r["q"]])
-                for r in coarse_df.select("vec_id", "q").collect()
-            ]
-            # trained codebook: 4 Lloyd iterations over a deterministic
-            # 50k residual sample (training cost is sample-scale, never
-            # corpus-scale — codebook quality saturates far below full
-            # coverage)
-            sample = c_side.filter(F.col("vec_id") % 20 == 0)
-            residual_sample = similarity.residualize(
-                similarity.ivf_assign(sample, coarse_df, 1, None),
-                coarse_rows,
-            )
-            t0 = time.time()
-            trained_cb = similarity.pq_train_codebooks(
-                residual_sample, k=16, m=32, dim=64, iters=4
-            )
-            t[f"ivfadc_train_m32_k16_50k_{fixture}"] = {
-                "sec": round(time.time() - t0, 1), "rows": 16 * 64,
-            }
-            untrained_cb = [
-                (i, [int(v) for v in r["q"]])
-                for i, r in enumerate(
-                    c_side.orderBy("vec_id").limit(8).collect()
-                )
-            ]
-            for cb_lbl, cb, m_, residual in (
-                ("untrained", untrained_cb, 4, False),
-                ("trained", trained_cb, 32, True),
-            ):
-                t0 = time.time()
-                ix = similarity.ivf_pq_index(
-                    c_side, coarse_df, cb, m=m_, dim=64, residual=residual
-                ).persist()
-                held.append(ix)
-                n_ix = ix.count()
-                t[f"ivfadc_index_build_1m_{fixture}_{cb_lbl}"] = {
-                    "sec": round(time.time() - t0, 1), "rows": n_ix,
-                }
-
-                def search(k_, nprobe_, cb=cb, ix=ix, m_=m_,
-                           residual=residual):
-                    fn = (similarity.ivfadc_topk if residual
-                          else similarity.ivf_pq_topk)
-                    return fn(q_side, ix, coarse_df, cb, k=k_,
-                              nprobe=nprobe_, m=m_, dim=64)
-
-                probes = [1, 4, 16, 64]
-                for nprobe in probes:
-                    t0 = time.time()
-                    row = similarity.ann_recall(
-                        search(10, nprobe), exact10
-                    ).agg(
-                        F.avg("recall").alias("r"),
-                        F.count(F.lit(1)).alias("n"),
-                    ).collect()[0]
-                    key = (f"ann_recall10_1m_{fixture}_{cb_lbl}"
-                           f"_nprobe{nprobe}")
-                    t[key] = {
-                        "sec": round(time.time() - t0, 1),
-                        "rows": row.n,
-                        "mean_recall_at_10": round(row.r, 4),
-                    }
-                    print(f"  {t[key]['sec']:7.1f} s  recall@10 "
-                          f"{t[key]['mean_recall_at_10']}  {key}",
-                          file=sys.stderr)
-                # refined at the operating point: R=30 ADC slate, exact
-                # re-rank — must sit at the slate ceiling (r8 identity)
-                t0 = time.time()
-                row = similarity.ann_recall(
-                    similarity.ivf_pq_refine(
-                        search(30, 4), q_side, c_side, k=10,
-                        kernel="arrow",
-                    ),
-                    exact10,
-                ).agg(
-                    F.avg("recall").alias("r"),
-                    F.count(F.lit(1)).alias("n"),
-                ).collect()[0]
-                key = f"ann_recall10_1m_{fixture}_{cb_lbl}_nprobe4_refined"
-                t[key] = {
-                    "sec": round(time.time() - t0, 1),
-                    "rows": row.n,
-                    "mean_recall_at_10": round(row.r, 4),
-                }
-                print(f"  {t[key]['sec']:7.1f} s  recall@10 "
-                      f"{t[key]['mean_recall_at_10']}  {key}",
-                      file=sys.stderr)
-                ix.unpersist()
-            exact10.unpersist()
-            prep_r.unpersist()
-    except Exception as ex:  # noqa: BLE001 — isolate the tier
-        t["ann_recall_tier_error"] = str(ex).splitlines()[0][:200]
-        print(f"  FAILED  ann_recall tier: {str(ex)[:120]}", file=sys.stderr)
-    finally:
-        # unpersist in FINALLY: an exception above would otherwise leak
-        # ~1M-row cached blocks into the disk-headroom-sensitive curation
-        # tier below — the exact storage-pressure failure the persist()
-        # comment warns about (double-unpersist on the success path is a
-        # no-op)
-        for df in held:
-            df.unpersist()
+    ann_recall_tier(spark, t, adc_n)
     # index-build A/B at the same volume: the window spelling pays one
     # corpus-keyed exchange, the literal-fold spelling zero — both
     # produce identical assignments (pinned in tests)
