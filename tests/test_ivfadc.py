@@ -279,3 +279,56 @@ def test_trained_residual_codebook_lifts_recall_over_untrained(spark):
         df.unpersist()
     # the lift must be decisive, not marginal
     assert r_trained >= r_untrained + 0.2, (r_untrained, r_trained)
+
+
+def test_farthest_first_seeds_cover_separated_clusters(spark):
+    """Gonzalez traversal on well-separated planted clusters must pick
+    exactly one seed per cluster before revisiting any — the property
+    that makes the learned coarse quantizer recover real structure
+    (first-k seeding measured 18x residual norms on the probe fixture)."""
+    k = 6
+    prep = similarity.prepare(
+        _clustered(spark, 300, k=k, dim=16, noise=0.1)
+    ).select("vec_id", "q", "n")
+    seeds = similarity.farthest_first_seeds(prep, k)
+    assert len(seeds) == k
+    assert len({sid % k for sid, _ in seeds}) == k  # one per true cluster
+    # determinism: same frame, same traversal
+    assert seeds == similarity.farthest_first_seeds(prep, k)
+
+
+def test_kmeans_lite_explicit_seeds_match_default_first_k(spark):
+    """seeds=(the first-k rows) must reproduce the default seeding
+    exactly — the compat pin for the new parameter."""
+    prep = similarity.prepare(
+        _clustered(spark, 200, k=4, dim=16)
+    )
+    first4 = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in prep.orderBy("vec_id").limit(4).collect()
+    ]
+    want = {
+        r["vec_id"]: (list(r["q"]), r["n"])
+        for r in similarity.kmeans_lite(prep, k=4, iters=2).collect()
+    }
+    got = {
+        r["vec_id"]: (list(r["q"]), r["n"])
+        for r in similarity.kmeans_lite(
+            prep, k=4, iters=2, seeds=first4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_farthest_first_seeds_validation(spark):
+    import pytest as _pytest
+
+    empty = similarity.prepare(
+        _clustered(spark, 10, k=2, dim=4)
+    ).filter(F.col("vec_id") < 0)
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.farthest_first_seeds(empty, 2)
+    one = similarity.prepare(_clustered(spark, 3, k=2, dim=4))
+    with _pytest.raises(ValueError, match="k >= 1"):
+        similarity.farthest_first_seeds(one, 0)
+    assert len(similarity.farthest_first_seeds(one, 1)) == 1

@@ -227,8 +227,15 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
             # trained codebook: 4 Lloyd iterations over a deterministic
             # 50k residual sample (training cost is sample-scale, never
             # corpus-scale — codebook quality saturates far below full
-            # coverage)
-            sample = c_side.filter(F.col("vec_id") % 20 == 0)
+            # coverage).  HASH-based sampling, not `vec_id % 20`: the
+            # modulo spelling aliased against the fixture's id%64 cluster
+            # assignment (gcd(20,64)=4 → the sample covered only 16 of 64
+            # clusters — a degenerate training set that silently capped
+            # every learned-coarse experiment; the same hazard exists on
+            # any production id scheme with structure, so hash always)
+            sample = c_side.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0
+            )
             residual_sample = similarity.residualize(
                 similarity.ivf_assign(sample, coarse_df, 1, None),
                 coarse_rows,
@@ -246,13 +253,55 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                     c_side.orderBy("vec_id").limit(8).collect()
                 )
             ]
-            for cb_lbl, cb, m_, residual in (
-                ("untrained", untrained_cb, 4, False),
-                ("trained", trained_cb, 32, True),
-            ):
+            variants = [
+                ("untrained", untrained_cb, 4, False, coarse_df,
+                 [1, 4, 16, 64]),
+                ("trained", trained_cb, 32, True, coarse_df,
+                 [1, 4, 16, 64]),
+            ]
+            if fixture == "clustered":
+                # the fully-TRAINED pipeline — no true-centers stand-in:
+                # farthest-first seeding (Gonzalez k-center: one seed per
+                # separated cluster, deterministically) + kmeans_lite on
+                # the hash sample trains the coarse quantizer (Lloyd
+                # dropout can leave < 64 lists; honest production
+                # reality), then the PQ codebook retrains on residuals
+                # AGAINST that coarse.  First-k seeding instead measured
+                # 18× residual norms and ~0.2 recall — seeding quality IS
+                # the coarse-training axis.  Probes {1,4} + refined keep
+                # the added wall bounded.
+                t0 = time.time()
+                km_coarse = similarity.kmeans_lite(
+                    sample, k=64, iters=3,
+                    seeds=similarity.farthest_first_seeds(sample, 64),
+                ).persist()
+                held.append(km_coarse)
+                n_lists = km_coarse.count()
+                t[f"ivfadc_coarse_train_k64_sample_{fixture}"] = {
+                    "sec": round(time.time() - t0, 1), "rows": n_lists,
+                }
+                km_rows = [
+                    (int(r["vec_id"]), [int(v) for v in r["q"]])
+                    for r in km_coarse.select("vec_id", "q").collect()
+                ]
+                res2 = similarity.residualize(
+                    similarity.ivf_assign(sample, km_coarse, 1, None),
+                    km_rows,
+                )
+                t0 = time.time()
+                cb2 = similarity.pq_train_codebooks(
+                    res2, k=16, m=32, dim=64, iters=4
+                )
+                t[f"ivfadc_train_m32_k16_kmcoarse_{fixture}"] = {
+                    "sec": round(time.time() - t0, 1), "rows": 16 * 64,
+                }
+                variants.append(
+                    ("fullytrained", cb2, 32, True, km_coarse, [1, 4])
+                )
+            for cb_lbl, cb, m_, residual, coarse_v, probes in variants:
                 t0 = time.time()
                 ix = similarity.ivf_pq_index(
-                    c_side, coarse_df, cb, m=m_, dim=64, residual=residual
+                    c_side, coarse_v, cb, m=m_, dim=64, residual=residual
                 ).persist()
                 held.append(ix)
                 n_ix = ix.count()
@@ -261,13 +310,12 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                 }
 
                 def search(k_, nprobe_, cb=cb, ix=ix, m_=m_,
-                           residual=residual):
+                           residual=residual, coarse_v=coarse_v):
                     fn = (similarity.ivfadc_topk if residual
                           else similarity.ivf_pq_topk)
-                    return fn(q_side, ix, coarse_df, cb, k=k_,
+                    return fn(q_side, ix, coarse_v, cb, k=k_,
                               nprobe=nprobe_, m=m_, dim=64)
 
-                probes = [1, 4, 16, 64]
                 for nprobe in probes:
                     t0 = time.time()
                     row = similarity.ann_recall(
