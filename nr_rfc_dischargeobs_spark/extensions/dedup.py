@@ -104,22 +104,31 @@ def minhash_signatures(
     The per-shingle hash family is ⌈n/4⌉ md5 calls (min 2), not bands×r:
     each call yields 32 hex chars sliced into four 32-bit hex words
     (independent for min-hash purposes, byte-portable to any md5-capable
-    engine), concatenated as ``md5(s) || md5('x'||s) || md5('x2'||s) ||
-    md5('x3'||s) || …`` — the numbered-salt extension of the original
+    engine), concatenated as ``md5(s) || md5('x'||s) || md5('x002'||s)
+    || md5('x003'||s) || …`` — the salted extension of the original
     two-call family, so every configuration with bands×r ≤ 8 produces
-    byte-identical signatures to the historical spelling.  This admits
-    production bandings like b=16/r=4 (64 permutations — the standard
-    0.8-Jaccard operating point, S-curve midpoint s* = (1/b)^(1/r) ≈
-    0.5) at 16 md5 calls per DISTINCT shingle; hashing stays the
-    signature-cost floor but scales linearly in ⌈n/4⌉, not n.  Capped at
-    256 hashes — past b·r ≈ 256 the md5 bill dominates any realistic
-    precision gain (widen r, not the family, beyond that).
+    byte-identical signatures to the historical spelling.  Salts for
+    call ≥ 2 are FIXED-WIDTH (``x%03d``): equal-length salts cannot
+    prefix-collide with each other, so no two extended hash coordinates
+    can be forced equal by shingle content (``md5('x2'||'3abc') ==
+    md5('x23'||'abc')`` was possible under variable-width numbering —
+    correlated coordinates violate the independence the 1−(1−s^r)^b
+    S-curve assumes).  The two LEGACY salts keep their documented
+    residual ambiguity (a shingle literally starting ``'x'``/``'x00N'``
+    can alias across families — the pre-existing ''/'x' property,
+    unchanged).  This admits production bandings like b=16/r=4 (64
+    permutations — the standard 0.8-Jaccard operating point, S-curve
+    midpoint s* = (1/b)^(1/r) ≈ 0.5) at 16 md5 calls per DISTINCT
+    shingle; hashing stays the signature-cost floor but scales linearly
+    in ⌈n/4⌉, not n.  Capped at 256 hashes — past b·r ≈ 256 the md5
+    bill dominates any realistic precision gain (widen r, not the
+    family, beyond that).
     """
     n_hashes = bands * rows_per_band
     if n_hashes > 256:
         raise ValueError("bands * rows_per_band must be <= 256")
     n_calls = max(2, -(-n_hashes // 4))
-    salts = ["", "x"] + [f"x{j}" for j in range(2, n_calls)]
+    salts = ["", "x"] + [f"x{j:03d}" for j in range(2, n_calls)]
     cat = F.concat(
         *[
             F.md5(

@@ -434,7 +434,8 @@ def farthest_first_seeds(
     seeds = [(int(first[0]["vec_id"]), [int(v) for v in first[0]["q"]])]
     work = prepared.select("vec_id", "q", "n").withColumn(
         "__mind", F.lit(None).cast("long")
-    ).localCheckpoint(eager=False)
+    )
+    prev = None
     for _ in range(k - 1):
         sid, sq = seeds[-1]
         sn = sum(v * v for v in sq)
@@ -443,10 +444,14 @@ def farthest_first_seeds(
             f" {_vec_sql(sq)}, (a, b) -> a * b), CAST(0 AS BIGINT),"
             " (acc, x) -> acc + x)"
         )
+        # least() skips NULLs, so the first round's NULL __mind needs no
+        # coalesce — and the HOF distance appears ONCE: Spark does not
+        # CSE higher-order functions, so a coalesce(…, d)/d spelling
+        # evaluates the interpreted fold twice per row per round
         work = work.selectExpr(
             "vec_id", "q", "n",
-            f"least(coalesce(__mind, {d_new}), {d_new}) AS __mind",
-        ).localCheckpoint(eager=False)
+            f"least(__mind, {d_new}) AS __mind",
+        ).persist()
         far = (
             work.select(
                 F.min_by(
@@ -460,7 +465,18 @@ def farthest_first_seeds(
             .select("s.vec_id", "s.q")
             .collect()[0]
         )
+        # persist + release-the-predecessor, NOT localCheckpoint: each
+        # round's plan substitutes the cached prior via the CacheManager
+        # (effective lineage truncation), and superseded blocks are freed
+        # eagerly — a checkpointed frame's unpersist is a no-op, so the
+        # checkpoint spelling pinned k copies of the sample until driver
+        # GC (the storage-pressure hazard the probe tiers budget against)
+        if prev is not None:
+            prev.unpersist()
+        prev = work
         seeds.append((int(far["vec_id"]), [int(v) for v in far["q"]]))
+    if prev is not None:
+        prev.unpersist()
     return seeds
 
 
@@ -496,6 +512,15 @@ def kmeans_lite(
     from ..functions import exact
 
     if seeds is not None:
+        if len(seeds) != k:
+            # fail loudly: silently training len(seeds) clusters while
+            # the caller asked for k corrupts every downstream
+            # list-count assumption (nprobe ≥ k ≡ full scan, recall
+            # arithmetic) without an error anywhere
+            raise ValueError(
+                f"k={k} but {len(seeds)} seeds were provided — pass"
+                " k=len(seeds) (seed count IS the cluster count)"
+            )
         spark = prepared.sparkSession
         cents = spark.createDataFrame(
             [
@@ -1514,6 +1539,15 @@ def ivf_pq_topk(
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
     cents, dsub = _pq_check(centroid_rows, m, dim)
+    if "rn" in index.columns:
+        # fail loudly: a residual (IVFADC) index decoded as raw-vector
+        # codes returns plausible-looking but WRONG cosines — the
+        # symmetric guard to ivfadc_topk's missing-rn check
+        raise ValueError(
+            "this index carries the stored-rn residual (IVFADC) layout"
+            " — search it with ivfadc_topk; ivf_pq_topk reads raw-coded"
+            " indexes only"
+        )
     # probe-side assignment: HOF fold for the same BNLJ-stage reason as
     # the index build (and the query batch is tiny anyway)
     q = (

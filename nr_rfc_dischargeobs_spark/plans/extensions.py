@@ -124,10 +124,10 @@ def dedup_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_wide_sql() -> str:
-    """b=16/r=4 oracle: the numbered-salt md5 family concatenated (16
+    """b=16/r=4 oracle: the fixed-width-salt md5 family concatenated (16
     calls, 512 hex chars), 64 slice-mins, band sigs = md5 of the 4-row
     concat — generated, not hand-spelled, so b/r changes stay one-line."""
-    salts = ["", "x"] + [f"x{j}" for j in range(2, 16)]
+    salts = ["", "x"] + [f"x{j:03d}" for j in range(2, 16)]
     cat = " || ".join(
         f"md5('{s}' || shingle)" if s else "md5(shingle)" for s in salts
     )

@@ -107,32 +107,27 @@ def test_pq_train_empty_cluster_keeps_previous_centroid(spark):
 
 
 def test_pq_train_keeps_seed_when_code_truly_empty(spark):
-    """Three vectors, two seeds; every TRAINING vector lands on seed 0
-    (seed 1's own vector is excluded from the training frame), so code 1
-    must coalesce to its untouched seed centroid."""
+    """Force a GENUINELY empty code: seeds are always members of the
+    training frame, so the only way a code wins zero members is
+    IDENTICAL seed vectors — the tie sends every vector (including seed
+    1's own) to the smaller cid, leaving code 1 with no members.  The
+    keep-seed fallback (got.get default / the oracle's COALESCE) must
+    then hold code 1 at its seed value, preserving contiguous 0..k−1."""
     prep = similarity.prepare(
         _emb(
             spark,
             [
-                (0, [0.0, 0.0]),
-                (1, [2.0, 2.0]),
-                (2, [0.02, 0.0]),
-                (3, [0.0, 0.02]),
+                (0, [1.0, 1.0]),
+                (1, [1.0, 1.0]),  # identical to seed 0 -> code 1 empty
+                (2, [1.0, 1.2]),
             ],
         )
     ).select("vec_id", "q")
-    # seeds = vecs 0 and 1; training frame includes 0,1,2,3 — vec 1 is
-    # its own seed so cluster 1 is nonempty.  Re-seed from {0,1} but
-    # train on a frame where vec 1 is REPLACED by points near seed 0:
-    seeds = prep.filter(F.col("vec_id") <= 1)
-    members = prep.filter(F.col("vec_id") != 1)
-    train = seeds.unionByName(members).distinct()
-    cb = similarity.pq_train_codebooks(train, k=2, m=1, dim=2, iters=1)
-    # cluster 1 = {vec 1} only (it is its own seed) -> mean = itself;
-    # cluster 0 = {0, 2, 3} -> mean ((0+2000+0)/3, (0+0+2000)/3) =
-    # (667, 667) after round-half-away-from-zero
-    assert cb[0] == (0, [667, 667])
-    assert cb[1] == (1, [200_000, 200_000])
+    cb = similarity.pq_train_codebooks(prep, k=2, m=1, dim=2, iters=1)
+    # cluster 0 = {0, 1, 2}: mean ((3·100000)/3, (100000·2+120000)/3)
+    # = (100000, 106667); cluster 1 = {} -> keeps its seed exactly
+    assert cb[0] == (0, [100_000, 106_667])
+    assert cb[1] == (1, [100_000, 100_000])
 
 
 def test_ivfadc_full_probe_equals_brute_force_over_decode(spark):
@@ -221,9 +216,7 @@ def test_trained_residual_codebook_lifts_recall_over_untrained(spark):
     kmeans-trained stand-in, as in the 1M probe)."""
     n, k_clusters, dim = 4000, 8, 16
     prep = similarity.prepare(
-        _clustered(spark, n, k=k_clusters, dim=dim).withColumnRenamed(
-            "embedding", "embedding"
-        )
+        _clustered(spark, n, k=k_clusters, dim=dim)
     ).persist()
     coarse = similarity.prepare(
         _clustered(spark, k_clusters, k=k_clusters, dim=dim, noise=0.0)
@@ -332,3 +325,29 @@ def test_farthest_first_seeds_validation(spark):
     with _pytest.raises(ValueError, match="k >= 1"):
         similarity.farthest_first_seeds(one, 0)
     assert len(similarity.farthest_first_seeds(one, 1)) == 1
+
+
+def test_ivf_pq_topk_rejects_residual_index(spark):
+    """The symmetric layout guard: a residual (stored-rn) index searched
+    with the raw-coding searcher would return plausible but WRONG
+    cosines — it must raise instead."""
+    import pytest as _pytest
+
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    coarse = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = emb.filter(F.col("vec_id") >= 28)
+    cents = [
+        (r["vec_id"], r["q"])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    residual_ix = similarity.ivf_pq_index(
+        corpus, coarse, cents, residual=True
+    )
+    with _pytest.raises(ValueError, match="ivfadc_topk"):
+        similarity.ivf_pq_topk(queries, residual_ix, coarse, cents)
+    raw_ix = similarity.ivf_pq_index(corpus, coarse, cents)
+    with _pytest.raises(ValueError, match="residual=True"):
+        similarity.ivfadc_topk(queries, raw_ix, coarse, cents)
