@@ -1160,12 +1160,13 @@ def ivf_assign_local(
 
 def ivf_pq_index(
     prepared: DataFrame,
-    coarse_centroids: DataFrame,
+    coarse_centroids: DataFrame | None,
     centroid_rows: list[tuple[int, list[int]]],
     m: int = 4,
     dim: int = 64,
     assign: str = "window",
     residual: bool = False,
+    coarse_rows: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """Build the IVF-PQ INDEX — the stored artifact of production ANN
     (Jégou et al., TPAMI 2011; the FAISS ``IVFx,PQy`` layout): every
@@ -1209,8 +1210,15 @@ def ivf_pq_index(
         # spelling would pay the corpus-keyed exchange the caller
         # believed they avoided — visible only in the cluster bill
         raise ValueError(f"assign must be 'window' or 'local', got {assign!r}")
-    coarse_rows: list[tuple[int, list[int]]] | None = None
-    if assign == "local" or residual:
+    # ``coarse_rows`` may be passed directly (the coarse quantizer is a
+    # model parameter — a streaming foreachBatch encoder, for one, holds
+    # it as plain data and has no centroid frame to collect from); with
+    # assign="local" it makes ``coarse_centroids`` fully optional
+    if coarse_rows is None and (assign == "local" or residual):
+        if coarse_centroids is None:
+            raise ValueError(
+                "pass coarse_centroids or pre-collected coarse_rows"
+            )
         coarse_rows = [
             (r["vec_id"], r["q"])
             for r in coarse_centroids.select("vec_id", "q").collect()
@@ -1218,6 +1226,12 @@ def ivf_pq_index(
     if assign == "local":
         assigned = ivf_assign_local(prepared, coarse_rows)
     else:
+        if coarse_centroids is None:
+            raise ValueError(
+                'the "window" assignment joins against a centroid FRAME'
+                ' — pass coarse_centroids, or use assign="local" with'
+                " coarse_rows"
+            )
         # assignment dot: HOF fold, never unrolled — the coarse
         # assignment is a broadcast CROSS join (BroadcastNestedLoopJoin,
         # no whole-stage codegen), where the fold beats the unrolled

@@ -1,6 +1,7 @@
 """Structured Streaming tier (SURVEY.md §2.9): the reference's cron-polled
 incremental batch semantics, re-founded on file streams + watermarks."""
 
+from .ann import ivfadc_index_stream, read_ivfadc_index
 from .documents import (
     compact_boilerplate,
     compact_corpus,
@@ -37,7 +38,9 @@ __all__ = [
     "curate_document_stream",
     "hll_register_stream",
     "hourly_stream_rollup",
+    "ivfadc_index_stream",
     "read_hll_estimate",
+    "read_ivfadc_index",
     "land_document_stream",
     "rising_falling_stream",
     "session_stream_rollup",

@@ -1222,3 +1222,91 @@ def test_last_committed_batch_resolves_scheme_prefixed_checkpoints(
     # fold-nothing
     with pytest.raises(ValueError, match="does not exist"):
         _last_committed_batch(spark, str(tmp_path / "no_such_ckpt"))
+
+
+def test_ivfadc_index_stream_matches_batch_and_replays_safe(spark, tmp_path):
+    """The streamed IVFADC store equals the batch index over everything
+    streamed (code rows identical, modulo the batch_id partition
+    column); a replay under a fresh checkpoint overwrites its own batch
+    path instead of duplicating vectors (structural idempotence); and
+    ivfadc_topk over the STORE returns exactly its answer over the
+    batch index — the deployment split end to end."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+    from nr_rfc_dischargeobs_spark.streaming import (
+        ivfadc_index_stream,
+        read_ivfadc_index,
+    )
+
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        ).collect()
+    ]
+    corpus_raw = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") >= 28)
+    residuals = similarity.residualize(
+        similarity.ivf_assign_local(
+            emb.filter(F.col("vec_id") >= 28), coarse_rows
+        ),
+        coarse_rows,
+    )
+    cb = similarity.pq_train_codebooks(residuals, k=8, m=4, dim=64, iters=1)
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    rows = corpus_raw.collect()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {"vec_id": r["vec_id"], "embedding": [float(v) for v in r["embedding"]]}
+            )
+            for r in rows
+        )
+        + "\n"
+    )
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        ).json(str(landing))
+        q = ivfadc_index_stream(
+            stream,
+            str(tmp_path / "index"),
+            str(tmp_path / ckpt),
+            coarse_rows,
+            cb,
+        )
+        q.awaitTermination(120)
+
+    drain("ckpt")
+    drain("ckpt_replay")  # replay: same content renumbered as batch 0
+
+    stored = read_ivfadc_index(spark, str(tmp_path / "index"))
+    code_cols = ["vec_id", "list_id", "code_0", "code_1", "code_2",
+                 "code_3", "sq_err", "rn"]
+    got = sorted(map(tuple, stored.select(*code_cols).collect()))
+    batch_ix = similarity.ivf_pq_index(
+        emb.filter(F.col("vec_id") >= 28), None, cb,
+        assign="local", residual=True, coarse_rows=coarse_rows,
+    )
+    want = sorted(map(tuple, batch_ix.select(*code_cols).collect()))
+    assert got == want  # no duplicates from the replay, values identical
+
+    queries = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    coarse_df = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    from_store = sorted(map(tuple, similarity.ivfadc_topk(
+        queries, stored, coarse_df, cb, k=3, nprobe=2
+    ).collect()))
+    from_batch = sorted(map(tuple, similarity.ivfadc_topk(
+        queries, batch_ix, coarse_df, cb, k=3, nprobe=2
+    ).collect()))
+    assert from_store == from_batch
