@@ -980,6 +980,76 @@ def _pq_check(
     return cents, dim // m
 
 
+# plan-node names that make an index input safe to join against without a
+# materialization barrier: a stored artifact (scan + pruning predicates) or
+# an already-cached frame.  Everything else — in particular an in-plan
+# ivf_pq_index() build whose staged encode carries codebook-sized generated
+# expressions — would be INLINED under the search's broadcast join by
+# Catalyst's projection collapse, and the fused expression tree detonates
+# janino codegen (reproduced: >15 min + driver OOM at 472 index rows vs
+# ~4 s with a barrier).  The registered plans always persist
+# (plans/extensions.py sim_ivf_pq_topk / sim_ivfadc_topk); this guard makes
+# the barrier STRUCTURAL so the public API can't be composed into the
+# detonating shape by accident (the round-9 test regression).
+_SCAN_ONLY_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRelation",
+        "Project",
+        "Filter",
+        "InMemoryRelation",
+        "LocalRelation",
+        "LogicalRDD",
+    }
+)
+
+
+def _plan_node_names(df: DataFrame) -> list[str]:
+    """Node names of the optimized logical plan, one per tree line (the
+    stable-enough surface: each optimized-plan node prints as one line
+    whose first identifier is the node class's simple name)."""
+    import re
+
+    text = df._jdf.queryExecution().optimizedPlan().toString()
+    names = []
+    for line in text.splitlines():
+        m = re.match(r"[A-Za-z][A-Za-z0-9_]*", line.lstrip(" :+-"))
+        if m:
+            names.append(m.group(0))
+    return names
+
+
+def _index_barrier(index: DataFrame, caller: str) -> DataFrame:
+    """Structural materialization barrier for PQ index inputs.
+
+    Pass-through when the index is already cached or is a plain stored
+    artifact (scan/project/filter only — keeps ``list_id`` partition
+    pruning intact).  Any other shape is persisted and eagerly
+    materialized here (persist + count), with a warning naming the
+    production posture: build the index ONCE, store it partitioned by
+    ``list_id``, and search the stored artifact.  The persisted blocks
+    live until the caller unpersists or the frame is garbage-collected
+    (Spark's ContextCleaner) — audit-scale for any index small enough
+    to be built in-plan."""
+    if index.is_cached:
+        return index
+    if all(n in _SCAN_ONLY_NODES for n in _plan_node_names(index)):
+        return index
+    import warnings
+
+    warnings.warn(
+        f"{caller}: the index input is an unmaterialized complex plan —"
+        " persisting it here to keep the staged encode out of the search"
+        " join's codegen. Production posture: build the index once, write"
+        " it partitioned by list_id, and search the stored artifact"
+        " (see plans/sqlfn.py tvf_ivf_pq_search).",
+        stacklevel=3,
+    )
+    index = index.persist()
+    index.count()
+    return index
+
+
 def _adc_lut_cols(
     cents: list[tuple[int, list[int]]], m: int, dsub: int
 ) -> list[str]:
@@ -1427,6 +1497,11 @@ def ivfadc_topk(
     ``nprobe`` ≥ the list count this equals brute-force search over the
     decoded corpus exactly (:func:`ivfadc_decode`, pinned in tests).
 
+    The ``index`` input passes through :func:`_index_barrier`: a stored
+    artifact or cached frame is searched as-is (pruning intact); an
+    in-plan build is persisted here first so its staged encode can never
+    inline under the search join (the round-9 codegen detonation).
+
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
     cents, dsub = _pq_check(centroid_rows, m, dim)
@@ -1435,6 +1510,7 @@ def ivfadc_topk(
             "ivfadc_topk needs a residual index with the stored rn"
             " column — build it with ivf_pq_index(..., residual=True)"
         )
+    index = _index_barrier(index, "ivfadc_topk")
     coarse_rows = sorted(
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in coarse_centroids.select("vec_id", "q").collect()
@@ -1550,6 +1626,9 @@ def ivf_pq_topk(
     :func:`pq_adc_topk`'s answer exactly (the recall-oracle identity,
     pinned in tests).
 
+    The ``index`` input passes through :func:`_index_barrier` (see
+    :func:`ivfadc_topk` — same hazard, same guard).
+
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
     cents, dsub = _pq_check(centroid_rows, m, dim)
@@ -1562,6 +1641,7 @@ def ivf_pq_topk(
             " — search it with ivfadc_topk; ivf_pq_topk reads raw-coded"
             " indexes only"
         )
+    index = _index_barrier(index, "ivf_pq_topk")
     # probe-side assignment: HOF fold for the same BNLJ-stage reason as
     # the index build (and the query batch is tiny anyway)
     q = (

@@ -351,3 +351,71 @@ def test_ivf_pq_topk_rejects_residual_index(spark):
     raw_ix = similarity.ivf_pq_index(corpus, coarse, cents)
     with _pytest.raises(ValueError, match="residual=True"):
         similarity.ivfadc_topk(queries, raw_ix, coarse, cents)
+
+
+def test_index_barrier_materializes_unpersisted_complex_index(spark):
+    """The round-9 regression pin: searching an UNPERSISTED in-plan
+    index must not detonate codegen — the structural barrier persists
+    it internally (with a warning naming the stored-artifact posture)
+    and the answer is identical to the explicitly-persisted path.  A
+    stored artifact (plain scan) must pass through UNTOUCHED so list_id
+    partition pruning survives."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    coarse = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = emb.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    residuals = similarity.residualize(
+        similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(residuals, k=8, m=4, dim=64, iters=1)
+
+    # the exact composition that OOM'd the round-9 suite: in-plan
+    # residual index, never persisted by the caller
+    naked_ix = similarity.ivf_pq_index(
+        corpus, coarse, cb, m=4, dim=64, residual=True
+    )
+    assert not naked_ix.is_cached
+    try:
+        with _pytest.warns(UserWarning, match="stored artifact"):
+            got = sorted(map(tuple, similarity.ivfadc_topk(
+                queries, naked_ix, coarse, cb, k=3, nprobe=2
+            ).collect()))
+        assert naked_ix.is_cached  # the barrier persisted it
+    finally:
+        naked_ix.unpersist()
+
+    persisted_ix = similarity.ivf_pq_index(
+        corpus, coarse, cb, m=4, dim=64, residual=True
+    ).persist()
+    try:
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # pass-through: no warning
+            want = sorted(map(tuple, similarity.ivfadc_topk(
+                queries, persisted_ix, coarse, cb, k=3, nprobe=2
+            ).collect()))
+    finally:
+        persisted_ix.unpersist()
+    assert got == want
+
+    # stored artifact: scan-shaped input passes through un-persisted
+    # (pruning intact) and still answers identically
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        _index_barrier,
+        _plan_node_names,
+        _SCAN_ONLY_NODES,
+    )
+
+    scan = emb.select("vec_id", "q").filter(F.col("vec_id") < 4)
+    assert all(n in _SCAN_ONLY_NODES for n in _plan_node_names(scan))
+    assert _index_barrier(scan, "test") is scan
+    assert not scan.is_cached

@@ -1294,19 +1294,30 @@ def test_ivfadc_index_stream_matches_batch_and_replays_safe(spark, tmp_path):
     code_cols = ["vec_id", "list_id", "code_0", "code_1", "code_2",
                  "code_3", "sq_err", "rn"]
     got = sorted(map(tuple, stored.select(*code_cols).collect()))
+    # persist: the in-plan index must NOT inline its staged encode under
+    # the search join (janino detonation — the hazard ivfadc_topk's
+    # structural barrier now guards; the explicit persist here is the
+    # stored-artifact posture the registered plan uses)
     batch_ix = similarity.ivf_pq_index(
         emb.filter(F.col("vec_id") >= 28), None, cb,
         assign="local", residual=True, coarse_rows=coarse_rows,
-    )
-    want = sorted(map(tuple, batch_ix.select(*code_cols).collect()))
-    assert got == want  # no duplicates from the replay, values identical
+    ).persist()
+    try:
+        want = sorted(map(tuple, batch_ix.select(*code_cols).collect()))
+        assert got == want  # no replay duplicates, values identical
 
-    queries = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
-    coarse_df = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
-    from_store = sorted(map(tuple, similarity.ivfadc_topk(
-        queries, stored, coarse_df, cb, k=3, nprobe=2
-    ).collect()))
-    from_batch = sorted(map(tuple, similarity.ivfadc_topk(
-        queries, batch_ix, coarse_df, cb, k=3, nprobe=2
-    ).collect()))
-    assert from_store == from_batch
+        queries = emb.filter(
+            (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+        )
+        coarse_df = emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        )
+        from_store = sorted(map(tuple, similarity.ivfadc_topk(
+            queries, stored, coarse_df, cb, k=3, nprobe=2
+        ).collect()))
+        from_batch = sorted(map(tuple, similarity.ivfadc_topk(
+            queries, batch_ix, coarse_df, cb, k=3, nprobe=2
+        ).collect()))
+        assert from_store == from_batch
+    finally:
+        batch_ix.unpersist()
