@@ -88,6 +88,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # via tools/check_oracle.py each round.
     return {
         # --- changed this round: driver re-verifies first ---
+        "ext_sim_ivfadc_store_topk": extensions.sim_ivfadc_store_topk,  # new r10
         "ext_sim_ivfadc_topk": extensions.sim_ivfadc_topk,  # new r9
         "ext_sim_pq_train_codebook": extensions.sim_pq_train_codebook,  # new r9
         "ext_dedup_minhash_wide": extensions.dedup_minhash_wide,  # new r9
@@ -318,6 +319,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_ivf_pq_topk": extensions.SIM_IVF_PQ_TOPK_SQL,
         "ext_sim_ivf_pq_refined": extensions.SIM_IVF_PQ_REFINED_SQL,
         "ext_sim_ivfadc_topk": extensions.SIM_IVFADC_TOPK_SQL,
+        "ext_sim_ivfadc_store_topk": extensions.SIM_IVFADC_STORE_TOPK_SQL,
         "ext_sim_pq_train_codebook": extensions.SIM_PQ_TRAIN_CODEBOOK_SQL,
         "ext_dedup_minhash_wide": extensions.DEDUP_MINHASH_WIDE_SQL,
         "ext_dedup_lsh_pairs_capped": extensions.DEDUP_LSH_PAIRS_CAPPED_SQL,

@@ -2632,6 +2632,41 @@ def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfadc_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVFADC posture, pinned end to end: train once,
+    WRITE the index as a stored artifact partitioned by ``list_id``,
+    read it back, search the store.  Same trained pipeline and
+    parameters as ``sim_ivfadc_topk``, so the values are identical by
+    construction (codes and stored ``rn`` round-trip through parquet
+    bit-exactly) — what this row adds is the store/search split itself:
+    the search plan is a plain partition-pruned scan (the
+    ``_index_barrier`` pass-through shape), never the in-plan build.
+
+    Stated plan-build exception, on top of ``_ivfadc_parts``'s: the
+    index WRITE job runs at construction — the offline-build half of
+    the train-once/store/search-many production split (the round-9
+    streaming test's intent, done right)."""
+    import hashlib
+    import os
+    import tempfile
+
+    coarse, queries, corpus, _, cb = _ivfadc_parts(spark, sf_dir, iters=1)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"nr_rfc_spark_ivfadc_store_{tag}"
+    )
+    (
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64, residual=True)
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    stored = spark.read.parquet(path)
+    return similarity.ivfadc_topk(
+        queries, stored, coarse, cb, k=3, nprobe=2, m=4, dim=64
+    )
+
+
 # shared CTE chain for the IVFADC plans: coarse assignment → residuals →
 # seed codebook → ONE Lloyd step (assign, re-quantized means, keep-seed
 # on empty) → trained codebook cb1.  TRAIN_CODEBOOK_SQL reads cb1
@@ -2750,6 +2785,11 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= 3
 """
+
+# the stored-artifact search is value-identical to the in-plan search by
+# construction (same trained model, codes round-trip through parquet
+# bit-exactly) — what the row pins is the Spark-side store/search split
+SIM_IVFADC_STORE_TOPK_SQL = SIM_IVFADC_TOPK_SQL
 
 
 def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
