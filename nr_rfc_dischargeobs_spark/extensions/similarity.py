@@ -484,6 +484,7 @@ def kmeans_lite(
     prepared: DataFrame, k: int = 8, iters: int = 1,
     dim: int | None = None,
     seeds: list[tuple[int, list[int]]] | None = None,
+    assign: str = "window",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over quantized embeddings — the coarse
     quantizer trainer for :func:`ivf_topk` (returns a ``prepare``-shaped
@@ -508,9 +509,24 @@ def kmeans_lite(
     aggregation keyed by (cluster, dim) — k×dim rows out.  Clusters that
     lose all members drop out (standard Lloyd's degeneracy; the next
     assignment simply uses fewer lists).
+
+    ``assign="arrow"`` swaps the crossJoin+window assignment for the
+    :func:`ivf_assign_arrow` BLAS kernel — identical assignments (exact
+    int64 distances, same smaller-cid tie-break; pinned in tests), but
+    the |corpus|·k candidate blow-up and the per-vector window sort are
+    replaced by a dense matmul per scan batch.  This is the dial for
+    production list counts (k ≈ √n): at k=1024 the window spelling
+    pushes a billion candidate rows per iteration through a sort; the
+    kernel streams the corpus once.  Centroids are collected to the
+    driver each iteration (k·dim ints — a model parameter; the window
+    path instead chains the uncollected centroid plan, which is the
+    better shape only at toy k).  The mean update stays native either
+    way.
     """
     from ..functions import exact
 
+    if assign not in ("window", "arrow"):
+        raise ValueError(f"assign must be 'window' or 'arrow', got {assign!r}")
     if seeds is not None:
         if len(seeds) != k:
             # fail loudly: silently training len(seeds) clusters while
@@ -544,22 +560,32 @@ def kmeans_lite(
             )
         )
     for _ in range(iters):
-        scored = prepared.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "q",
-            (
-                F.col("n") + F.col("cn") - 2 * dot(F.col("q"), F.col("cq"), dim)
-            ).alias("d"),
-            "cid",
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d").asc(), F.col("cid").asc()
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "q", "cid")
-        )
+        if assign == "arrow":
+            cent_rows = [
+                (int(r["cid"]), [int(v) for v in r["cq"]])
+                for r in cents.select("cid", "cq").collect()
+            ]
+            assigned = ivf_assign_arrow(prepared, cent_rows, 1).select(
+                "vec_id", "q", F.col("list_id").alias("cid")
+            )
+        else:
+            scored = prepared.crossJoin(F.broadcast(cents)).select(
+                "vec_id",
+                "q",
+                (
+                    F.col("n") + F.col("cn")
+                    - 2 * dot(F.col("q"), F.col("cq"), dim)
+                ).alias("d"),
+                "cid",
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("d").asc(), F.col("cid").asc()
+            )
+            assigned = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "q", "cid")
+            )
         dims = assigned.select(
             "cid", F.posexplode(F.col("q")).alias("pos", "e")
         )
@@ -584,6 +610,207 @@ def kmeans_lite(
         F.col("cq").alias("q"),
         F.col("cn").alias("n"),
     )
+
+
+def ivf_assign_arrow(
+    prepared: DataFrame,
+    coarse_rows: list[tuple[int, list[int]]],
+    nprobe: int = 1,
+    with_dist: bool = False,
+) -> DataFrame:
+    """:func:`ivf_assign` on an Arrow-vectorized kernel — same contract
+    (centroids are a model parameter, the corpus never shuffles), same
+    RESULTS (exact int64 distances ``n + cn − 2·dot``, ties to the
+    smaller list id — pinned against :func:`ivf_assign` in tests).
+
+    Why this exists: at production list counts (n_lists ≈ √n — ~1000
+    lists at 1M vectors, Jégou et al. §V), both native spellings hit a
+    wall.  The broadcast-join window (:func:`ivf_assign`) materializes
+    |corpus|·n_lists candidate rows through a per-vector sort, and the
+    literal fold (:func:`ivf_assign_local`) builds an n_lists·dim-term
+    expression tree that parses but evaluates interpreted per element.
+    The assignment IS a dense int64 matmul (corpus batch × centroid
+    matrix) — the same BLAS shape, and the same justification, as
+    :func:`brute_force_topk_arrow`; registered query plans stay native
+    (this kernel serves the training/probe tier and large-list index
+    builds).
+
+    ``with_dist=True`` appends the exact squared-L2 distance ``d`` to
+    each emitted (vector, probed-list) row — the seeding loop's cost
+    column (:func:`kmeans_parallel_seeds`).
+
+    Output: (vec_id, q, n, list_id[, d]) — :func:`ivf_assign`'s schema,
+    ``nprobe`` rows per input vector.
+    """
+    import numpy as np
+
+    cents = sorted((int(c), [int(v) for v in cq]) for c, cq in coarse_rows)
+    if not cents:
+        raise ValueError("need at least one coarse centroid")
+    cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([cq for _, cq in cents], dtype=np.int64)  # L × d
+    cn = (cmat * cmat).sum(axis=1)  # L, exact int64
+    t = min(nprobe, len(cents))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.array(pdf["q"].tolist(), dtype=np.int64)  # b × d
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            # exact int64 squared L2 per (vector, list); values bounded
+            # by dim·(2·QUANT)² ≈ 2.6e12 at d=64 — far inside int64
+            d = n[:, None] + cn[None, :] - 2 * (qmat @ cmat.T)
+            if t == 1:
+                # argmin returns the FIRST minimum — ties to the
+                # smaller list id since cents are id-sorted
+                top = np.argmin(d, axis=1)[:, None]
+            else:
+                # stable full argsort, not argpartition: argpartition's
+                # tie order is unspecified, and the contract is
+                # (d asc, list_id asc) exactly like ivf_assign
+                top = np.argsort(d, axis=1, kind="stable")[:, :t]
+            out = {
+                "vec_id": np.repeat(
+                    pdf["vec_id"].to_numpy(dtype=np.int64), t
+                ),
+                "q": [q for q in pdf["q"] for _ in range(t)],
+                "n": np.repeat(n, t),
+                "list_id": cid_arr[top].ravel(),
+            }
+            if with_dist:
+                out["d"] = np.take_along_axis(d, top, axis=1).ravel()
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, q array<bigint>, n long, list_id long"
+    if with_dist:
+        schema += ", d long"
+    return prepared.select("vec_id", "q", "n").mapInPandas(assign, schema)
+
+
+def kmeans_parallel_seeds(
+    prepared: DataFrame,
+    k: int,
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> list[tuple[int, list[int]]]:
+    """Scalable k-means|| seeding (Bahmani et al., VLDB 2012 — the
+    k-means++ initialization Spark MLlib itself ships) for LARGE ``k``:
+    :func:`farthest_first_seeds` is one driver job per seed, perfect at
+    k ≤ ~100 but a thousand sequential jobs at the production
+    n_lists ≈ √n coarse tier.  k-means|| replaces the per-seed loop with
+    ``rounds`` fixed passes: each round samples every point
+    independently with probability ``min(1, ℓ·d²(x,C)/Σd²)`` (ℓ =
+    ``oversample``, default 2k), the ~rounds·ℓ oversampled candidates
+    are weighted by the mass of points they serve, and a driver-side
+    weighted Lloyd (numpy — the candidate set is model-scale) reduces
+    them to exactly ``k`` seeds.
+
+    Deterministic by construction, like every trainer here: the sampling
+    "coin" is ``xxhash64(vec_id, round)`` mapped to [0,1) — no rand(),
+    so two runs (or two engines) sample identical candidate sets; the
+    driver-side reduction seeds by farthest-first over the candidates
+    (ties to the smaller candidate id) and re-quantizes means onto the
+    integer grid each iteration.
+
+    Scale shape per round: one :func:`ivf_assign_arrow` pass (corpus ×
+    current candidates, BLAS), one scalar aggregate (Σd²), one
+    metadata-scale collect of the sampled rows.  The corpus never
+    shuffles; driver state is ~rounds·ℓ·dim ints.
+
+    Returns ``k`` ``(i, quantized_vector)`` seeds for
+    ``kmeans_lite(seeds=…)``.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    ell = oversample if oversample is not None else 2 * k
+    first = (
+        prepared.select("vec_id", "q")
+        .orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("cannot seed from an empty frame")
+    cand: list[tuple[int, list[int]]] = [
+        (int(first[0]["vec_id"]), [int(v) for v in first[0]["q"]])
+    ]
+    base = prepared.select("vec_id", "q", "n")
+    for r in range(rounds):
+        scored = ivf_assign_arrow(base, cand, 1, with_dist=True)
+        phi = scored.agg(F.sum("d").alias("s")).collect()[0]["s"]
+        if not phi:
+            break  # every point IS a candidate already
+        # deterministic uniform in [0,1): 31 low bits of the per-round
+        # hash (pmod for the sign); p = min(1, ℓ·d²/Σd²)
+        picked = scored.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(r)), F.lit(1 << 31))
+            / F.lit(float(1 << 31))
+            < F.least(
+                F.lit(1.0),
+                F.lit(float(ell)) * F.col("d") / F.lit(float(phi)),
+            )
+        ).select("vec_id", "q")
+        cand.extend(
+            (int(row["vec_id"]), [int(v) for v in row["q"]])
+            for row in picked.collect()
+        )
+        # one id can be re-sampled across rounds (its d² shrinks but
+        # stays positive) — harmless for distance math, but weights and
+        # tie-breaks want unique candidates
+        cand = sorted({cid: cq for cid, cq in cand}.items())
+    if len(cand) < k:
+        raise ValueError(
+            f"k-means|| oversampled only {len(cand)} candidates < k={k}"
+            " — raise rounds/oversample (or the input has fewer than k"
+            " distinct ids)"
+        )
+    # weight each candidate by the points it serves (one BLAS pass)
+    wrows = {
+        int(row["list_id"]): int(row["w"])
+        for row in ivf_assign_arrow(base, cand, 1)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    }
+    cmat = np.array([cq for _, cq in cand], dtype=np.int64)
+    w = np.array(
+        [wrows.get(cid, 0) for cid, _ in cand], dtype=np.float64
+    )
+    # driver-side weighted Lloyd over the candidate set (model-scale:
+    # rounds·ℓ rows).  Seeds: farthest-first over candidates — exact
+    # int64 arithmetic, ties to the smaller candidate INDEX (id-sorted),
+    # the same Gonzalez coverage argument at candidate scale.
+    seed_ix = [0]
+    mind = ((cmat - cmat[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(mind))  # first max = smaller index on ties
+        seed_ix.append(nxt)
+        mind = np.minimum(mind, ((cmat - cmat[nxt]) ** 2).sum(axis=1))
+    centers = cmat[seed_ix].astype(np.float64)
+    for _ in range(5):
+        d2 = (
+            (cmat * cmat).sum(axis=1)[:, None]
+            + (centers * centers).sum(axis=1)[None, :]
+            - 2.0 * (cmat.astype(np.float64) @ centers.T)
+        )
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            mask = a == j
+            wm = w[mask]
+            if wm.sum() > 0:
+                # re-quantize onto the integer grid every iteration —
+                # the kmeans_lite discipline (state stays integral)
+                centers[j] = np.rint(
+                    (cmat[mask] * wm[:, None]).sum(axis=0) / wm.sum()
+                )
+    return [
+        (i, [int(v) for v in centers[i]]) for i in range(k)
+    ]
 
 
 def brute_force_topk_arrow(
@@ -1255,7 +1482,10 @@ def ivf_pq_index(
     assignments (same exact integer distances, same tie-break; pinned
     in tests) — pick by corpus size: the literal fold wins where the
     exchange is the bill (A/B at the 1M probe in SCALE_PROBE.json), the
-    window spelling skips the fixed plan/codegen cost at toy scale.
+    window spelling skips the fixed plan/codegen cost at toy scale, and
+    ``assign="arrow"`` (the :func:`ivf_assign_arrow` BLAS kernel) takes
+    over at production list counts (n_lists ≈ √n) where both native
+    spellings degrade — see that function's rationale.
     Write the result partitioned/bucketed by ``list_id`` and searches
     scan only probed lists.
 
@@ -1275,16 +1505,18 @@ def ivf_pq_index(
 
     Output: (vec_id, list_id, code_0..code_{m-1}, sq_err).
     """
-    if assign not in ("window", "local"):
+    if assign not in ("window", "local", "arrow"):
         # fail loudly: a typo silently falling back to the window
         # spelling would pay the corpus-keyed exchange the caller
         # believed they avoided — visible only in the cluster bill
-        raise ValueError(f"assign must be 'window' or 'local', got {assign!r}")
+        raise ValueError(
+            f"assign must be 'window', 'local' or 'arrow', got {assign!r}"
+        )
     # ``coarse_rows`` may be passed directly (the coarse quantizer is a
     # model parameter — a streaming foreachBatch encoder, for one, holds
     # it as plain data and has no centroid frame to collect from); with
-    # assign="local" it makes ``coarse_centroids`` fully optional
-    if coarse_rows is None and (assign == "local" or residual):
+    # assign="local"/"arrow" it makes ``coarse_centroids`` fully optional
+    if coarse_rows is None and (assign in ("local", "arrow") or residual):
         if coarse_centroids is None:
             raise ValueError(
                 "pass coarse_centroids or pre-collected coarse_rows"
@@ -1295,6 +1527,13 @@ def ivf_pq_index(
         ]
     if assign == "local":
         assigned = ivf_assign_local(prepared, coarse_rows)
+    elif assign == "arrow":
+        # the large-list dial (n_lists ≈ √n): the literal fold's
+        # n_lists·dim-term tree evaluates interpreted per element and
+        # the window spelling exchanges |corpus|·n_lists candidates —
+        # the BLAS kernel streams the corpus once (same assignments,
+        # pinned in tests)
+        assigned = ivf_assign_arrow(prepared, coarse_rows, 1)
     else:
         if coarse_centroids is None:
             raise ValueError(

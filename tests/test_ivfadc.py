@@ -419,3 +419,143 @@ def test_index_barrier_materializes_unpersisted_complex_index(spark):
     assert all(n in _SCAN_ONLY_NODES for n in _plan_node_names(scan))
     assert _index_barrier(scan, "test") is scan
     assert not scan.is_cached
+
+
+def test_ivf_assign_arrow_matches_native(spark):
+    """The BLAS assignment kernel must reproduce ivf_assign exactly —
+    same exact-int64 distances, same smaller-list-id tie-break — at
+    nprobe 1 and 3, including a deliberate tie (duplicated centroid)."""
+    prep = similarity.prepare(
+        _clustered(spark, 500, k=8, dim=16)
+    ).persist()
+    coarse = similarity.prepare(
+        _clustered(spark, 8, k=8, dim=16, noise=0.0)
+    )
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    # duplicated centroid under a new larger id: every vector assigned
+    # to the original must STAY on the smaller id in both kernels
+    dup_rows = coarse_rows + [(100, list(coarse_rows[0][1]))]
+    dup_df = spark.createDataFrame(
+        [(cid, cq, sum(v * v for v in cq)) for cid, cq in dup_rows],
+        "vec_id long, q array<bigint>, n long",
+    )
+    for nprobe, cents_df, cents_rows in (
+        (1, coarse, coarse_rows),
+        (3, coarse, coarse_rows),
+        (1, dup_df, dup_rows),
+    ):
+        want = sorted(map(tuple, similarity.ivf_assign(
+            prep, cents_df, nprobe, None
+        ).select("vec_id", "list_id").collect()))
+        got = sorted(map(tuple, similarity.ivf_assign_arrow(
+            prep, cents_rows, nprobe
+        ).select("vec_id", "list_id").collect()))
+        assert got == want, (nprobe, len(cents_rows))
+    assert not any(
+        t[1] == 100
+        for t in similarity.ivf_assign_arrow(prep, dup_rows, 1)
+        .select("vec_id", "list_id")
+        .collect()
+    )
+    prep.unpersist()
+
+
+def test_ivf_assign_arrow_with_dist_is_exact(spark):
+    prep = similarity.prepare(
+        _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    )
+    rows = {
+        (r["vec_id"], r["list_id"]): r["d"]
+        for r in similarity.ivf_assign_arrow(
+            prep, [(5, [100_000, 0])], 1, with_dist=True
+        ).collect()
+    }
+    assert rows[(0, 5)] == 0
+    assert rows[(1, 5)] == 2 * 100_000 * 100_000
+
+
+def test_kmeans_lite_arrow_assignment_matches_window(spark):
+    """assign='arrow' must train the IDENTICAL centroids as the window
+    spelling — integer state, exact distances, same tie-breaks."""
+    prep = similarity.prepare(_clustered(spark, 400, k=4, dim=16))
+    want = sorted(map(tuple, similarity.kmeans_lite(
+        prep, k=4, iters=3
+    ).collect()))
+    got = sorted(map(tuple, similarity.kmeans_lite(
+        prep, k=4, iters=3, assign="arrow"
+    ).collect()))
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="arrow"):
+        similarity.kmeans_lite(prep, k=4, assign="blas")
+
+
+def test_ivf_pq_index_arrow_assignment_matches_window(spark):
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    coarse = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    corpus = emb.filter(F.col("vec_id") >= 28)
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    want = sorted(map(tuple, similarity.ivf_pq_index(
+        corpus, coarse, cents, residual=True
+    ).collect()))
+    got = sorted(map(tuple, similarity.ivf_pq_index(
+        corpus, None, cents, residual=True, assign="arrow",
+        coarse_rows=[
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.collect()
+        ],
+    ).collect()))
+    assert got == want
+
+
+def test_kmeans_parallel_seeds_deterministic_and_covering(spark):
+    """k-means|| on well-separated planted clusters: deterministic
+    (hash coin, no rand), exactly k integer seeds, and the seeds cover
+    every true cluster (the Gonzalez coverage property transferred to
+    the candidate reduction)."""
+    k = 8
+    prep = similarity.prepare(
+        _clustered(spark, 2000, k=k, dim=16, noise=0.1)
+    ).persist()
+    seeds = similarity.kmeans_parallel_seeds(prep, k, rounds=3)
+    assert seeds == similarity.kmeans_parallel_seeds(prep, k, rounds=3)
+    assert [i for i, _ in seeds] == list(range(k))
+    assert all(isinstance(v, int) for _, vec in seeds for v in vec)
+    # coverage: assign the corpus to the seeds — every seed serves
+    # points from exactly one true cluster and all clusters are served
+    assigned = similarity.ivf_assign_arrow(prep, seeds, 1)
+    purity = assigned.groupBy("list_id").agg(
+        F.count_distinct(F.pmod(F.col("vec_id"), F.lit(k))).alias("nc")
+    ).collect()
+    assert len(purity) == k
+    assert all(r["nc"] == 1 for r in purity)
+    # seeds feed kmeans_lite directly
+    trained = similarity.kmeans_lite(
+        prep, k=k, iters=2, seeds=seeds, assign="arrow"
+    )
+    assert trained.count() == k
+    prep.unpersist()
+
+
+def test_kmeans_parallel_seeds_validation(spark):
+    import pytest as _pytest
+
+    prep = similarity.prepare(_clustered(spark, 20, k=2, dim=4))
+    with _pytest.raises(ValueError, match="k >= 1"):
+        similarity.kmeans_parallel_seeds(prep, 0)
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.kmeans_parallel_seeds(
+            prep.filter(F.col("vec_id") < 0), 2
+        )
+    with _pytest.raises(ValueError, match="candidates"):
+        # 20 rows can never oversample 64 candidates
+        similarity.kmeans_parallel_seeds(prep, 64, rounds=1)
