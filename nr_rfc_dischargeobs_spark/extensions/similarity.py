@@ -1192,6 +1192,74 @@ def pq_codes(
     )
 
 
+def pq_codes_arrow(
+    prepared: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    m: int = 4,
+    dim: int = 64,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`pq_codes` on an Arrow-vectorized kernel — same contract
+    (codebook as plain Python data, scan-local encode, zero exchanges),
+    same RESULTS (exact int64 subspace distances, first-min/smaller-cid
+    tie-break, exact ``sq_err`` — pinned against the native kernel in
+    tests).
+
+    Why this exists: production PQ is k=256 codes per subspace (one
+    byte — Jégou et al. §II), and the native kernel's unrolled
+    m·k·dsub-term distance tree DETONATES whole-stage codegen there
+    (measured: janino compile of the k=256/m=16 encode exhausts the
+    driver heap — the expression-tree wall, not a data-size wall).  The
+    encode is m dense int64 matmuls per batch (corpus-subspace ×
+    codebook-subspace) — the same BLAS shape, and the same
+    justification, as :func:`brute_force_topk_arrow`.  Registered query
+    plans keep the native kernel (their k ≤ 16 geometry compiles fine
+    and stays whole-stage); this kernel serves codebook-scale training,
+    probes, and index builds.
+    """
+    import numpy as np
+
+    cents, dsub = _pq_check(centroid_rows, m, dim)
+    cmat = np.array([cq for _, cq in cents], dtype=np.int64)  # k × dim
+
+    in_types = {f.name: f.dataType.simpleString() for f in prepared.schema.fields}
+    cols = list(dict.fromkeys(["vec_id", *passthrough, "q"]))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.array(pdf["q"].tolist(), dtype=np.int64)  # b × dim
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            sq = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m):
+                qs = qmat[:, s * dsub:(s + 1) * dsub]
+                cs = cmat[:, s * dsub:(s + 1) * dsub]
+                # exact int64: nsub + cn − 2·dot, the pq_codes identity
+                d = (
+                    (qs * qs).sum(axis=1)[:, None]
+                    + (cs * cs).sum(axis=1)[None, :]
+                    - 2 * (qs @ cs.T)
+                )
+                code = np.argmin(d, axis=1)  # first min = smaller cid
+                out[f"code_{s}"] = code.astype(np.int32)
+                sq += np.take_along_axis(d, code[:, None], axis=1).ravel()
+            out["sq_err"] = sq
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        ["vec_id long"]
+        + [f"{c} {in_types[c]}" for c in passthrough]
+        + [f"code_{s} int" for s in range(m)]
+        + ["sq_err long"]
+    )
+    return prepared.select(*cols).mapInPandas(encode, schema)
+
+
 def _pq_check(
     centroid_rows: list[tuple[int, list[int]]], m: int, dim: int
 ) -> tuple[list[tuple[int, list[int]]], int]:
@@ -1286,6 +1354,31 @@ def _adc_lut_cols(
     codebook.  ONE implementation shared by :func:`pq_adc_topk` and
     :func:`ivf_pq_topk` so the LUT spelling can never drift between
     them."""
+    if m * len(cents) * dsub > 2048:
+        # large-codebook spelling (k=256 production geometry): the
+        # unrolled m·k·dsub-term tree detonates janino past ~16k terms
+        # (heap-OOM during whole-stage compile, same wall as the native
+        # encode — see pq_codes_arrow).  Spell each LUT as ONE transform
+        # over the literal per-subspace codebook (an all-literal array
+        # constant-folds to a single Literal): interpreted HOF eval, but
+        # the LUT projection runs on the METADATA-SCALE probe side
+        # (|Q|·nprobe rows), so per-plan compile cost wins over per-row
+        # eval cost by orders of magnitude here.  Values identical —
+        # exact int64 either way.  The threshold keeps every k ≤ 16
+        # historical plan byte-identical (their unrolled text is part of
+        # pinned oracle hashes).
+        lut_cols = []
+        for s in range(m):
+            cb_arr = "array({})".format(", ".join(
+                _vec_sql(cq[s * dsub:(s + 1) * dsub]) for _, cq in cents
+            ))
+            lut_cols.append(
+                f"transform({cb_arr}, c -> aggregate(zip_with("
+                f"slice(q, {s * dsub + 1}, {dsub}), c,"
+                " (a, b) -> a * b), CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc + x)) AS lut_{s}"
+            )
+        return lut_cols
     lut_cols = []
     for s in range(m):
         dots = []
@@ -1464,6 +1557,7 @@ def ivf_pq_index(
     assign: str = "window",
     residual: bool = False,
     coarse_rows: list[tuple[int, list[int]]] | None = None,
+    encode: str = "native",
 ) -> DataFrame:
     """Build the IVF-PQ INDEX — the stored artifact of production ANN
     (Jégou et al., TPAMI 2011; the FAISS ``IVFx,PQy`` layout): every
@@ -1512,6 +1606,13 @@ def ivf_pq_index(
         raise ValueError(
             f"assign must be 'window', 'local' or 'arrow', got {assign!r}"
         )
+    if encode not in ("native", "arrow"):
+        raise ValueError(f"encode must be 'native' or 'arrow', got {encode!r}")
+    # encode dial: native literal tree for registered-plan geometry
+    # (k ≤ 16 — compiles whole-stage), the BLAS kernel for production
+    # k=256 codebooks where the literal tree detonates janino (see
+    # pq_codes_arrow)
+    encoder = pq_codes_arrow if encode == "arrow" else pq_codes
     # ``coarse_rows`` may be passed directly (the coarse quantizer is a
     # model parameter — a streaming foreachBatch encoder, for one, holds
     # it as plain data and has no centroid frame to collect from); with
@@ -1548,7 +1649,7 @@ def ivf_pq_index(
         assigned = ivf_assign(prepared, coarse_centroids, 1, None)
     if residual:
         assigned = residualize(assigned, coarse_rows)
-        coded = pq_codes(
+        coded = encoder(
             assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
         )
         # store the reconstruction norm rn = ‖coarse(list) + decode(code)‖²
@@ -1581,7 +1682,7 @@ def ivf_pq_index(
             f"aggregate({recon}, CAST(0 AS BIGINT),"
             " (acc, x) -> acc + x * x) AS rn",
         )
-    return pq_codes(
+    return encoder(
         assigned, centroid_rows, m=m, dim=dim, passthrough=("list_id",)
     )
 
@@ -1627,6 +1728,7 @@ def pq_train_codebooks(
     m: int = 4,
     dim: int = 64,
     iters: int = 1,
+    encode: str = "native",
 ) -> list[tuple[int, list[int]]]:
     """Train the per-subspace PQ codebooks — Lloyd's k-means run
     INDEPENDENTLY in each of the ``m`` subspaces (the training half of
@@ -1656,11 +1758,20 @@ def pq_train_codebooks(
     metadata-scale collect (the codebook is a model parameter).  Train
     on a bounded sample at fleet scale — codebook quality saturates far
     below full-corpus coverage (100k–1M rows in practice).
+
+    ``encode="arrow"`` assigns with :func:`pq_codes_arrow` instead of
+    the native literal tree — REQUIRED at the k=256 production
+    geometry, where the unrolled encode detonates codegen (see that
+    function's rationale).  Assignments are identical either way, so
+    the trained integers are too.
     """
     from ..functions import exact
 
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    if encode not in ("native", "arrow"):
+        raise ValueError(f"encode must be 'native' or 'arrow', got {encode!r}")
+    encoder = pq_codes_arrow if encode == "arrow" else pq_codes
     dsub = dim // m
     seed_rows = sorted(
         residuals.select("vec_id", "q").orderBy(F.col("vec_id").asc())
@@ -1673,7 +1784,7 @@ def pq_train_codebooks(
         (cid, [int(v) for v in r["q"]]) for cid, r in enumerate(seed_rows)
     ]
     for _ in range(iters):
-        coded = pq_codes(
+        coded = encoder(
             residuals.select("vec_id", "q"), codebook, m=m, dim=dim,
             passthrough=("q",),
         )

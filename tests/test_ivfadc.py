@@ -559,3 +559,137 @@ def test_kmeans_parallel_seeds_validation(spark):
     with _pytest.raises(ValueError, match="candidates"):
         # 20 rows can never oversample 64 candidates
         similarity.kmeans_parallel_seeds(prep, 64, rounds=1)
+
+
+def test_pq_codes_arrow_matches_native(spark):
+    """The BLAS encode kernel must reproduce pq_codes exactly — codes,
+    tie-breaks, sq_err, passthrough columns — at a geometry the native
+    kernel still compiles (k=16, m=4)."""
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 28)
+    cents = [
+        (i, [int(v) for v in r["q"]])
+        for i, r in enumerate(
+            emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        )
+    ]
+    lid = corpus.withColumn("list_id", F.pmod(F.col("vec_id"), F.lit(3)))
+    want = sorted(map(tuple, similarity.pq_codes(
+        lid, cents, m=4, dim=64, passthrough=("list_id",)
+    ).collect()))
+    got = sorted(map(tuple, similarity.pq_codes_arrow(
+        lid, cents, m=4, dim=64, passthrough=("list_id",)
+    ).collect()))
+    assert got == want
+    # q-passthrough parity (the trainer's melt shape)
+    want_q = sorted(
+        (t[0], tuple(t[1]), *t[2:])
+        for t in map(tuple, similarity.pq_codes(
+            corpus, cents, m=4, dim=64, passthrough=("q",)
+        ).collect())
+    )
+    got_q = sorted(
+        (t[0], tuple(t[1]), *t[2:])
+        for t in map(tuple, similarity.pq_codes_arrow(
+            corpus, cents, m=4, dim=64, passthrough=("q",)
+        ).collect())
+    )
+    assert got_q == want_q
+
+
+def test_pq_train_arrow_encode_matches_native(spark):
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ).select("vec_id", "q")
+    want = similarity.pq_train_codebooks(emb, k=8, m=4, dim=64, iters=2)
+    got = similarity.pq_train_codebooks(
+        emb, k=8, m=4, dim=64, iters=2, encode="arrow"
+    )
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="encode"):
+        similarity.pq_train_codebooks(emb, k=8, encode="blas")
+
+
+def test_adc_lut_hof_spelling_exact(spark):
+    """Above the size threshold _adc_lut_cols switches to the
+    transform-over-literal-codebook spelling; every LUT entry must be
+    the exact integer subspace dot product."""
+    import numpy as np
+
+    m, dsub, k = 8, 8, 40  # m·k·dsub = 2560 > 2048 → HOF spelling
+    dim = m * dsub
+    cents = [
+        (c, [(c * 31 + j * 7) % 201 - 100 for j in range(dim)])
+        for c in range(k)
+    ]
+    luts = similarity._adc_lut_cols(cents, m, dsub)
+    assert all("transform(" in t for t in luts)
+    q = [(j * 13) % 157 - 78 for j in range(dim)]
+    row = (
+        spark.createDataFrame([(0, q)], "vec_id long, q array<bigint>")
+        .selectExpr("vec_id", *luts)
+        .collect()[0]
+    )
+    qa = np.array(q, dtype=np.int64)
+    for s in range(m):
+        got = list(row[f"lut_{s}"])
+        want = [
+            int(
+                qa[s * dsub:(s + 1) * dsub]
+                @ np.array(cq[s * dsub:(s + 1) * dsub], dtype=np.int64)
+            )
+            for _, cq in cents
+        ]
+        assert got == want, s
+    # below the threshold the unrolled spelling (pinned oracle text)
+    small = similarity._adc_lut_cols(cents[:4], m, dsub)
+    assert all("transform(" not in t for t in small)
+
+
+def test_ivfadc_k256_geometry_full_probe_identity(spark):
+    """The full-probe ≡ brute-force-over-decode identity must hold at
+    the PRODUCTION codebook geometry (k > threshold → arrow encode +
+    HOF LUT spelling) — the end-to-end pin for the k=256 tier."""
+    prep = similarity.prepare(
+        _clustered(spark, 1200, k=8, dim=32, noise=0.2)
+    ).persist()
+    coarse = similarity.prepare(
+        _clustered(spark, 4, k=4, dim=32, noise=0.0)
+    )
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    queries = prep.filter(F.col("vec_id") < 16)
+    corpus = prep.filter(F.col("vec_id") >= 16)
+    residuals = similarity.residualize(
+        similarity.ivf_assign_arrow(corpus, coarse_rows, 1), coarse_rows
+    )
+    # m=8, dsub=4, k=80: m·k·dsub = 2560 > 2048 → the large-k code path
+    cb = similarity.pq_train_codebooks(
+        residuals, k=80, m=8, dim=32, iters=1, encode="arrow"
+    )
+    index = similarity.ivf_pq_index(
+        corpus, None, cb, m=8, dim=32, residual=True,
+        assign="arrow", coarse_rows=coarse_rows, encode="arrow",
+    ).persist()
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_adc"])
+        for r in similarity.ivfadc_topk(
+            queries, index, coarse, cb, k=5, nprobe=4, m=8, dim=32
+        ).collect()
+    }
+    decoded = similarity.ivfadc_decode(index, coarse_rows, cb, m=8, dim=32)
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.brute_force_topk(
+            queries, decoded, k=5
+        ).collect()
+    }
+    index.unpersist()
+    prep.unpersist()
+    assert got == want  # bit-identical scores, same ranks
