@@ -28,7 +28,9 @@ streaming/sketches.py extends the sketch stack.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..errors import is_missing_path
 from ..extensions import similarity
 
 
@@ -41,6 +43,7 @@ def ivfadc_index_stream(
     m: int = 4,
     dim: int = 64,
     available_now: bool = True,
+    admit_once: bool = False,
 ):
     """Maintain a persistent IVFADC index over a streaming frame of
     ``(vec_id, embedding)`` rows.  Each micro-batch encodes scan-locally
@@ -49,17 +52,44 @@ def ivfadc_index_stream(
     (structural idempotence, see module docstring).
 
     Duplicate ``vec_id``s ACROSS batches are the caller's ingest
-    contract, exactly like the observation store's: the stream encodes
-    what arrives.  For an at-most-once vec_id admission, anti-join the
-    landing frame against :func:`read_ivfadc_index` upstream (the
-    ``land_document_stream`` strategy) — not built in here because the
-    scan grows with the store and most embedding pipelines already
-    assign unique ids.
+    contract by default, exactly like the observation store's: the
+    stream encodes what arrives (most embedding pipelines assign unique
+    ids upstream).  ``admit_once=True`` switches to at-most-once
+    vec_id admission — each batch anti-joins its ids against the
+    already-indexed store first (the ``land_document_stream`` strategy:
+    the store IS the seen-set, outliving every checkpoint).  The
+    anti-join reads ONLY the ``vec_id`` column of the index (a
+    column-pruned scan of 8-byte codes metadata), and same-batch
+    replays stay idempotent either way (the replayed batch overwrites
+    its own path; under ``admit_once`` its rows are not yet visible to
+    its own anti-join — batch N reads only batches < N).
 
     Returns the started ``StreamingQuery``."""
 
     def _encode(batch_df: DataFrame, batch_id: int) -> None:
-        prep = similarity.prepare(batch_df)
+        out = batch_df
+        if admit_once:
+            sess = batch_df.sparkSession
+            # existence probed by ATTEMPTING the read (an os.path probe
+            # is always False on non-local stores — errors.py rule);
+            # missing/empty store = first batch, everything admits
+            try:
+                # STRICTLY batches < N: a replayed batch must not
+                # anti-join against its own previously-written rows —
+                # that would overwrite its path with an EMPTY frame
+                # (data loss), the exact opposite of idempotence.  The
+                # batch_id partition filter prunes directories, so the
+                # seen-scan never even lists the current batch path.
+                seen = (
+                    sess.read.parquet(index_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("vec_id")
+                )
+                out = out.join(seen, "vec_id", "left_anti")
+            except Exception as ex:  # noqa: BLE001 — filtered below
+                if not is_missing_path(ex):
+                    raise
+        prep = similarity.prepare(out)
         (
             similarity.ivf_pq_index(
                 prep, None, centroid_rows, m=m, dim=dim,

@@ -1321,3 +1321,68 @@ def test_ivfadc_index_stream_matches_batch_and_replays_safe(spark, tmp_path):
         assert from_store == from_batch
     finally:
         batch_ix.unpersist()
+
+
+def test_ivfadc_index_stream_admit_once(spark, tmp_path):
+    """admit_once=True anti-joins each batch's vec_ids against the
+    already-indexed store (batches < N only), so an id arriving twice
+    across batches is encoded exactly once — and a full replay under a
+    fresh checkpoint (same batch numbering) reproduces the identical
+    store instead of losing rows to its own anti-join."""
+    import json as _json
+
+    from nr_rfc_dischargeobs_spark.streaming import (
+        ivfadc_index_stream,
+        read_ivfadc_index,
+    )
+
+    coarse_rows = [(7, [0, 0, 0, 0])]
+    cb = [(0, [0, 0, 0, 0]), (1, [100_000] * 4)]
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+
+    def put(name, ids):
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"vec_id": i, "embedding": [0.1 * i] * 4}
+                )
+                for i in ids
+            )
+            + "\n"
+        )
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+        q = ivfadc_index_stream(
+            stream, str(tmp_path / "index"), str(tmp_path / ckpt),
+            coarse_rows, cb, m=2, dim=4, admit_once=True,
+        )
+        q.awaitTermination(120)
+
+    put("s1.jsonl", [1, 2])
+    drain("ckpt")
+    put("s2.jsonl", [2, 3])
+    drain("ckpt")  # same checkpoint: only s2 is new (batch 1)
+
+    stored = read_ivfadc_index(spark, str(tmp_path / "index"))
+    rows = {
+        int(r["vec_id"]): int(r["batch_id"])
+        for r in stored.select("vec_id", "batch_id").collect()
+    }
+    # id 2 admitted once (batch 0); id 3 is batch 1's only survivor
+    assert rows == {1: 0, 2: 0, 3: 1}
+    before = sorted(map(tuple, stored.collect()))
+
+    # replay: fresh checkpoint renumbers the SAME files to the same
+    # batches — every batch N anti-joins only batches < N, so the
+    # store round-trips identically (no self-anti-join data loss)
+    drain("ckpt_replay")
+    after = sorted(map(tuple, read_ivfadc_index(
+        spark, str(tmp_path / "index")
+    ).collect()))
+    assert after == before

@@ -253,11 +253,26 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                     c_side.orderBy("vec_id").limit(8).collect()
                 )
             ]
+            # k=256 production geometry (Jégou §II: one byte per
+            # subspace) — the r9 clustered plateau (0.5648 flat across
+            # nprobe) was PQ distortion, which more codes per subspace
+            # fixes; the arrow encode is REQUIRED here (the unrolled
+            # literal tree heap-OOMs janino at this k)
+            t0 = time.time()
+            cb256 = similarity.pq_train_codebooks(
+                residual_sample, k=256, m=16, dim=64, iters=4,
+                encode="arrow",
+            )
+            t[f"ivfadc_train_m16_k256_sample_{fixture}"] = {
+                "sec": round(time.time() - t0, 1), "rows": 256 * 64,
+            }
             variants = [
                 ("untrained", untrained_cb, 4, False, coarse_df,
-                 [1, 4, 16, 64]),
+                 [1, 4, 16, 64], {}),
                 ("trained", trained_cb, 32, True, coarse_df,
-                 [1, 4, 16, 64]),
+                 [1, 4, 16, 64], {}),
+                ("trained256", cb256, 16, True, coarse_df,
+                 [1, 4, 16, 64], {"assign": "arrow", "encode": "arrow"}),
             ]
             if fixture == "clustered":
                 # the fully-TRAINED pipeline — no true-centers stand-in:
@@ -296,12 +311,56 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                     "sec": round(time.time() - t0, 1), "rows": 16 * 64,
                 }
                 variants.append(
-                    ("fullytrained", cb2, 32, True, km_coarse, [1, 4])
+                    ("fullytrained", cb2, 32, True, km_coarse, [1, 4], {})
                 )
-            for cb_lbl, cb, m_, residual, coarse_v, probes in variants:
+            # production list counts (n_lists ≈ √n — Jégou §V): the
+            # r9 random-fixture recall still climbed at nprobe=64 of 64
+            # lists, i.e. the coarse tier was the ceiling.  Train the
+            # coarse quantizer at 256 and 1024 lists with the scalable
+            # path (k-means|| seeding + Lloyd on the BLAS assignment —
+            # the per-seed Gonzalez loop would be 1024 sequential jobs)
+            # and record recall vs nprobe: the story is equal-or-better
+            # recall at a far smaller scanned corpus fraction
+            # (nprobe/n_lists), which IS the production win.
+            for n_lists in (256, 1024):
+                t0 = time.time()
+                seeds = similarity.kmeans_parallel_seeds(
+                    sample, n_lists, rounds=5
+                )
+                kmc = similarity.kmeans_lite(
+                    sample, k=n_lists, iters=3, seeds=seeds,
+                    assign="arrow",
+                ).persist()
+                held.append(kmc)
+                nl = kmc.count()  # Lloyd dropout can leave < n_lists
+                t[f"ivf_coarse_train_k{n_lists}_{fixture}"] = {
+                    "sec": round(time.time() - t0, 1), "rows": nl,
+                }
+                km_rows = [
+                    (int(r["vec_id"]), [int(v) for v in r["q"]])
+                    for r in kmc.select("vec_id", "q").collect()
+                ]
+                resn = similarity.residualize(
+                    similarity.ivf_assign_arrow(sample, km_rows, 1),
+                    km_rows,
+                )
+                t0 = time.time()
+                cbn = similarity.pq_train_codebooks(
+                    resn, k=256, m=16, dim=64, iters=4, encode="arrow"
+                )
+                t[f"ivfadc_train_m16_k256_lists{n_lists}_{fixture}"] = {
+                    "sec": round(time.time() - t0, 1), "rows": 256 * 64,
+                }
+                variants.append((
+                    f"trained256_lists{n_lists}", cbn, 16, True, kmc,
+                    [1, 4, 16, 64],
+                    {"assign": "arrow", "encode": "arrow"},
+                ))
+            for cb_lbl, cb, m_, residual, coarse_v, probes, bkw in variants:
                 t0 = time.time()
                 ix = similarity.ivf_pq_index(
-                    c_side, coarse_v, cb, m=m_, dim=64, residual=residual
+                    c_side, coarse_v, cb, m=m_, dim=64, residual=residual,
+                    **bkw,
                 ).persist()
                 held.append(ix)
                 n_ix = ix.count()
