@@ -182,8 +182,12 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
     UNTRAINED (8 raw seed rows, raw coding — the r8 configuration,
     recall@10 0.0004 at nprobe=4) vs TRAINED (m=32/k=16 per-subspace
     k-means over residuals, 4 Lloyd iterations on a 50k sample —
-    IVFADC).  nprobe ∈ {1,4,16,64}; 64 = every list probed, isolating
-    pure codebook quality from coarse recall.  Exact ground truth via
+    IVFADC) vs TRAINED256 (round 10: the PRODUCTION m=32/k=256
+    geometry — 8-bit codes, arrow encode).  nprobe ∈ {1,4,16,64}; 64 =
+    every list probed, isolating pure codebook quality from coarse
+    recall.  Round 10 adds the production COARSE axis too: n_lists ∈
+    {256, 1024} (≈ √n at 1M) trained by k-means|| seeding + BLAS-
+    assignment Lloyd — the recall-vs-scanned-fraction story.  Exact ground truth via
     the Arrow kernel (one corpus pass per fixture); every search
     audited with ann_recall.  A refined row (R=30 slate, exact
     re-rank) per fixture at nprobe=4 keeps the r8 ceiling story
@@ -254,16 +258,19 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                 )
             ]
             # k=256 production geometry (Jégou §II: one byte per
-            # subspace) — the r9 clustered plateau (0.5648 flat across
-            # nprobe) was PQ distortion, which more codes per subspace
-            # fixes; the arrow encode is REQUIRED here (the unrolled
-            # literal tree heap-OOMs janino at this k)
+            # subspace) at m=32 — the r9 clustered plateau (0.5648 flat
+            # across nprobe) was PQ distortion; k=256 at m=16 (same 128
+            # bits as m=32/k=16) measured a near-noop 0.6691 vs 0.6484
+            # at 100k, while doubling the BITRATE (m=32 × 8 bits = 256)
+            # reads 0.9070 — distortion follows bits, not k alone.  The
+            # arrow encode is REQUIRED here (the unrolled literal tree
+            # heap-OOMs janino at this k).
             t0 = time.time()
             cb256 = similarity.pq_train_codebooks(
-                residual_sample, k=256, m=16, dim=64, iters=4,
+                residual_sample, k=256, m=32, dim=64, iters=4,
                 encode="arrow",
             )
-            t[f"ivfadc_train_m16_k256_sample_{fixture}"] = {
+            t[f"ivfadc_train_m32_k256_sample_{fixture}"] = {
                 "sec": round(time.time() - t0, 1), "rows": 256 * 64,
             }
             variants = [
@@ -271,7 +278,7 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                  [1, 4, 16, 64], {}),
                 ("trained", trained_cb, 32, True, coarse_df,
                  [1, 4, 16, 64], {}),
-                ("trained256", cb256, 16, True, coarse_df,
+                ("trained256", cb256, 32, True, coarse_df,
                  [1, 4, 16, 64], {"assign": "arrow", "encode": "arrow"}),
             ]
             if fixture == "clustered":
@@ -346,13 +353,13 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
                 )
                 t0 = time.time()
                 cbn = similarity.pq_train_codebooks(
-                    resn, k=256, m=16, dim=64, iters=4, encode="arrow"
+                    resn, k=256, m=32, dim=64, iters=4, encode="arrow"
                 )
-                t[f"ivfadc_train_m16_k256_lists{n_lists}_{fixture}"] = {
+                t[f"ivfadc_train_m32_k256_lists{n_lists}_{fixture}"] = {
                     "sec": round(time.time() - t0, 1), "rows": 256 * 64,
                 }
                 variants.append((
-                    f"trained256_lists{n_lists}", cbn, 16, True, kmc,
+                    f"trained256_lists{n_lists}", cbn, 32, True, kmc,
                     [1, 4, 16, 64],
                     {"assign": "arrow", "encode": "arrow"},
                 ))
