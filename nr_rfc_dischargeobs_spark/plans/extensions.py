@@ -2645,26 +2645,28 @@ def sim_ivfadc_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stated plan-build exception, on top of ``_ivfadc_parts``'s: the
     index WRITE job runs at construction — the offline-build half of
     the train-once/store/search-many production split (the round-9
-    streaming test's intent, done right)."""
+    streaming test's intent, done right).  The artifact is written and
+    searched through :mod:`~..extensions.ann_store` (table partitioned
+    by ``list_id`` + model sidecar), so this row also pins the
+    self-describing-artifact path a fresh session would use."""
     import hashlib
     import os
     import tempfile
 
-    coarse, queries, corpus, _, cb = _ivfadc_parts(spark, sf_dir, iters=1)
+    from ..extensions import ann_store
+
+    coarse, queries, corpus, coarse_rows, cb = _ivfadc_parts(
+        spark, sf_dir, iters=1
+    )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"nr_rfc_spark_ivfadc_store_{tag}"
     )
-    (
-        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64, residual=True)
-        .write.partitionBy("list_id")
-        .mode("overwrite")
-        .parquet(path)
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64, residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
     )
-    stored = spark.read.parquet(path)
-    return similarity.ivfadc_topk(
-        queries, stored, coarse, cb, k=3, nprobe=2, m=4, dim=64
-    )
+    return ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
 
 
 # shared CTE chain for the IVFADC plans: coarse assignment → residuals →
