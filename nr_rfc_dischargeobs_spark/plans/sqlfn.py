@@ -370,3 +370,128 @@ def register_ivf_pq_search_tvf(spark: SparkSession, index_path: str) -> str:
     )
     spark.sql(IVF_PQ_SEARCH_TVF)
     return "tvf_ivf_pq_search"
+
+
+# extensions.similarity.ivfadc_topk over a SAVED self-describing artifact
+# (extensions/ann_store.py) — the TRAINED twin of tvf_ivf_pq_search.  Two
+# structural differences, both inherited from the residual layout:
+# (1) the model (trained codebook + coarse centroids) is NOT derivable
+#     from `embeddings` by slicing — it comes from the artifact's JSON
+#     sidecar, materialized as long-form temp views at registration
+#     (`ivfadc_model_codebook`: (cid, s, i, ce); `ivfadc_model_coarse`:
+#     (lid, i, le));
+# (2) the reconstruction is coarse(list) + decode(code) and the
+#     reconstruction norm `rn` is READ from the stored table (the FAISS
+#     norms-table discipline the operator uses), never recomputed.
+# The ADC score Σ q_i·(coarse_i + decode_i) sums the same exact integers
+# as the operator's qdot_coarse + Σ LUT decomposition, then applies the
+# same IEEE division — hence row-identical parity (tests/test_sqlfn.py).
+# Hardwired to the registered m=4 code layout like its sibling (a SQL
+# body is analyzed at CREATE time; register_ivfadc_search_tvf refuses
+# other geometries loudly).
+IVFADC_SEARCH_TVF = """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_search(
+    query_lo BIGINT, query_hi BIGINT, k INT, nprobe INT)
+RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,
+               cosine_adc DOUBLE)
+RETURN
+WITH p AS (
+  SELECT vec_id,
+         transform(embedding,
+                   x -> cast(round(cast(x AS DOUBLE) * 100000, 0)
+                             AS BIGINT)) AS q
+  FROM embeddings
+), u AS (
+  SELECT vec_id, pos AS i, e FROM p LATERAL VIEW posexplode(q) x AS pos, e
+), uq AS (
+  SELECT vec_id, e, i FROM u
+  WHERE vec_id >= query_lo AND vec_id < query_hi
+), nq AS (SELECT vec_id, sum(e * e) AS n FROM uq GROUP BY vec_id),
+co AS (SELECT lid, i, le FROM ivfadc_model_coarse),
+nco AS (SELECT lid, sum(le * le) AS ln FROM co GROUP BY lid),
+qa AS (
+  SELECT uq.vec_id, co.lid, nq.n + nco.ln - 2 * sum(uq.e * co.le) AS d
+  FROM uq JOIN co ON uq.i = co.i
+  JOIN nq ON uq.vec_id = nq.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY uq.vec_id, co.lid, nq.n, nco.ln
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
+    FROM qa)
+  WHERE rn <= nprobe
+), code AS (
+  SELECT vec_id, list_id, s, cid FROM ivfadc_index_store
+  LATERAL VIEW posexplode(array(code_0, code_1, code_2, code_3)) x AS s, cid
+), recon AS (
+  SELECT code.vec_id, code.list_id, c.i, c.ce + co.le AS e
+  FROM code
+  JOIN ivfadc_model_codebook c ON c.s = code.s AND c.cid = code.cid
+  JOIN co ON co.lid = code.list_id AND co.i = c.i
+), rn_ AS (SELECT vec_id, rn FROM ivfadc_index_store),
+adc AS (
+  SELECT qp.query_id, r.vec_id AS neighbor_id, sum(uq.e * r.e) AS adot
+  FROM query_probe qp
+  JOIN recon r ON r.list_id = qp.lid
+  JOIN uq ON uq.vec_id = qp.query_id AND uq.i = r.i
+  GROUP BY qp.query_id, r.vec_id
+), scored AS (
+  SELECT adc.query_id, adc.neighbor_id,
+         cast(adc.adot AS DOUBLE)
+           / (sqrt(cast(nq.n AS DOUBLE)) * sqrt(cast(rn_.rn AS DOUBLE)))
+           AS cosine_adc
+  FROM adc
+  JOIN nq ON adc.query_id = nq.vec_id
+  JOIN rn_ ON adc.neighbor_id = rn_.vec_id
+  WHERE nq.n > 0 AND rn_.rn > 0
+)
+SELECT query_id, neighbor_id, rank, cosine_adc FROM (
+  SELECT query_id, neighbor_id, cosine_adc,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_adc DESC,
+                                          neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= k
+"""
+
+
+def register_ivfadc_search_tvf(spark: SparkSession, index_path: str) -> str:
+    """Register ``tvf_ivfadc_search`` over a :func:`~..extensions.
+    ann_store.save_ivfadc` artifact: loads the MODEL SIDECAR (the
+    trained codebook and coarse centroids are model parameters — they
+    do not exist in any corpus view), materializes it as long-form temp
+    views, points ``ivfadc_index_store`` at the code table, then
+    creates the TVF.  The artifact manager feeding the SQL surface IS
+    the point: a fresh session needs only the artifact path to search
+    from pure SQL."""
+    from ..extensions import ann_store
+
+    model = ann_store.load_ivfadc(index_path)
+    if model.m != 4:
+        raise ValueError(
+            f"tvf_ivfadc_search is analyzed against the registered m=4"
+            f" code layout (code_0..code_3); this artifact has m={model.m}"
+        )
+    dsub = model.dim // model.m
+    spark.createDataFrame(
+        [
+            (int(cid), i // dsub, i, int(v))
+            for cid, cq in model.centroid_rows
+            for i, v in enumerate(cq)
+        ],
+        "cid int, s int, i int, ce long",
+    ).createOrReplaceTempView("ivfadc_model_codebook")
+    spark.createDataFrame(
+        [
+            (int(lid), i, int(v))
+            for lid, cq in model.coarse_rows
+            for i, v in enumerate(cq)
+        ],
+        "lid long, i int, le long",
+    ).createOrReplaceTempView("ivfadc_model_coarse")
+    spark.read.parquet(index_path).createOrReplaceTempView(
+        "ivfadc_index_store"
+    )
+    spark.sql(IVFADC_SEARCH_TVF)
+    return "tvf_ivfadc_search"

@@ -213,3 +213,57 @@ def test_tvf_ivf_pq_search_matches_operator_on_stored_index(spark, tmp_path):
     # LUT decomposition sum the same exact integers, then apply the
     # same IEEE division
     assert rows(got) == rows(want)
+
+
+def test_tvf_ivfadc_search_matches_operator_on_saved_artifact(
+    spark, tmp_path
+):
+    """The TRAINED stored-artifact TVF: train + save with ann_store,
+    register from the artifact path alone (model views come from the
+    sidecar — no Python training state), and the SQL search must return
+    exactly the operator's rows on the same artifact."""
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivfadc_search_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    prep = similarity.prepare(emb_raw)
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    residuals = similarity.residualize(
+        similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(residuals, k=8, m=4, dim=64, iters=1)
+    path = str(tmp_path / "ivfadc_artifact")
+    handle = ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    want = handle.search(queries, k=3, nprobe=2)
+    assert register_ivfadc_search_tvf(spark, path) == "tvf_ivfadc_search"
+    got = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 2)")
+    # bitwise parity: the TVF's reconstruction dot sums the same exact
+    # integers as the operator's qdot_coarse + LUT decomposition, and
+    # rn comes from the same stored column in both
+    assert rows(got) == rows(want)
+
+    # the geometry contract refuses loudly instead of mis-decoding
+    import pytest as _pytest
+
+    cb2 = similarity.pq_train_codebooks(residuals, k=4, m=2, dim=64, iters=0)
+    path2 = str(tmp_path / "ivfadc_m2")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(
+            corpus, coarse, cb2, m=2, dim=64, residual=True
+        ),
+        path2, coarse_rows, cb2, m=2, dim=64,
+    )
+    with _pytest.raises(ValueError, match="m=4"):
+        register_ivfadc_search_tvf(spark, path2)
