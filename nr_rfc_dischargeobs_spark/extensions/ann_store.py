@@ -129,12 +129,41 @@ def save_ivfadc(
             "save_ivfadc stores the residual (IVFADC) layout — build the"
             " index with ivf_pq_index(..., residual=True)"
         )
-    local = _local_path(path)
+    _local_path(path)  # refuse remote schemes BEFORE the table write
     (
         index.write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(path)
     )
+    write_ivfadc_model(path, coarse_rows, centroid_rows, m=m, dim=dim)
+    return IvfadcIndex(
+        path=path, m=int(m), dim=int(dim),
+        coarse_rows=[(int(c), [int(v) for v in q]) for c, q in coarse_rows],
+        centroid_rows=[
+            (int(c), [int(v) for v in q]) for c, q in centroid_rows
+        ],
+    )
+
+
+def write_ivfadc_model(
+    path: str,
+    coarse_rows: list[tuple[int, list[int]]],
+    centroid_rows: list[tuple[int, list[int]]],
+    m: int = 4,
+    dim: int = 64,
+) -> None:
+    """Write ONLY the model sidecar into an existing index directory —
+    the streamed-index completion: :func:`~..streaming.ann.
+    ivfadc_index_stream` maintains the code table under
+    ``batch_id=N/list_id=K/`` but holds the model as plain Python; one
+    ``write_ivfadc_model(index_dir, …)`` at deploy time makes the
+    streamed store a :func:`load_ivfadc`-loadable artifact (the
+    ``batch_id`` partition column rides through search harmlessly —
+    ``ivfadc_topk`` selects only the columns it needs).  Same tmp +
+    rename commit as :func:`save_ivfadc`, so a concurrent loader never
+    reads a half-written JSON."""
+    similarity._pq_check(centroid_rows, m, dim)
+    local = _local_path(path)
     model = {
         "format_version": _FORMAT_VERSION,
         "layout": "ivfadc_residual",
@@ -148,19 +177,10 @@ def save_ivfadc(
         ],
         "quant": similarity.QUANT,
     }
-    # sidecar last (see module docstring), via tmp + rename so a
-    # concurrent loader never reads a half-written JSON
     tmp = os.path.join(local, MODEL_FILE + ".part")
     with open(tmp, "w") as fh:
         json.dump(model, fh)
     os.replace(tmp, os.path.join(local, MODEL_FILE))
-    return IvfadcIndex(
-        path=path, m=int(m), dim=int(dim),
-        coarse_rows=[(int(c), [int(v) for v in q]) for c, q in coarse_rows],
-        centroid_rows=[
-            (int(c), [int(v) for v in q]) for c, q in centroid_rows
-        ],
-    )
 
 
 def load_ivfadc(path: str) -> IvfadcIndex:

@@ -111,3 +111,56 @@ def test_load_validation_failures(spark, tmp_path):
     # remote-scheme paths are a stated non-goal for the sidecar IO
     with pytest.raises(ValueError, match="local file"):
         ann_store.load_ivfadc("s3://bucket/ix")
+
+
+def test_streamed_index_becomes_loadable_artifact(spark, tmp_path):
+    """write_ivfadc_model turns an ivfadc_index_stream store into a
+    load_ivfadc artifact: cold-load + search over the streamed
+    batch_id=N/list_id=K layout equals ivfadc_topk over the same store
+    with the in-session model."""
+    import json as _json
+
+    from nr_rfc_dischargeobs_spark.streaming import (
+        ivfadc_index_stream,
+        read_ivfadc_index,
+    )
+
+    coarse_rows = [(7, [0, 0, 0, 0])]
+    cb = [(0, [0, 0, 0, 0]), (1, [100_000] * 4)]
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": i, "embedding": [0.1 * i] * 4})
+            for i in range(1, 7)
+        )
+        + "\n"
+    )
+    index_dir = str(tmp_path / "index")
+    stream = spark.readStream.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).json(str(landing))
+    q = ivfadc_index_stream(
+        stream, index_dir, str(tmp_path / "ckpt"), coarse_rows, cb,
+        m=2, dim=4,
+    )
+    q.awaitTermination(120)
+
+    ann_store.write_ivfadc_model(index_dir, coarse_rows, cb, m=2, dim=4)
+    loaded = ann_store.load_ivfadc(index_dir)
+    assert loaded.m == 2 and loaded.coarse_rows == coarse_rows
+
+    queries = similarity.prepare(
+        spark.createDataFrame(
+            [(100, [0.35] * 4), (101, [0.05] * 4)],
+            ["vec_id", "embedding"],
+        )
+    )
+    got = sorted(map(tuple, loaded.search(queries, k=2, nprobe=1)
+                     .collect()))
+    want = sorted(map(tuple, similarity.ivfadc_topk(
+        queries, read_ivfadc_index(spark, index_dir),
+        loaded.coarse_frame(spark), cb, k=2, nprobe=1, m=2, dim=4,
+    ).collect()))
+    assert got == want
+    assert len({t[0] for t in got}) == 2  # both queries answered
