@@ -1092,6 +1092,241 @@ def quantize_int8_stats(prepared: DataFrame) -> DataFrame:
     )
 
 
+def gram_stats(
+    emb: DataFrame,
+    dim: int,
+    quant: int = 1024,
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Covariance sufficient statistics in ONE corpus pass — the training
+    aggregate for :func:`pca_rotation` (the PCA / OPQ-style decorrelating
+    rotation in front of PQ: Jégou et al. §V.A use a PCA-rotated variant;
+    OPQ, Ge et al. CVPR 2013, learns the rotation PQ distortion drops
+    under — PCA is its spectral initialization).
+
+    Output: one row per dimension pair ``0 ≤ i ≤ j < dim``::
+
+        (i, j, n_vecs, s_i, s_j, s_ij)
+
+    with ``s_i = Σ qᵢ``, ``s_ij = Σ qᵢ·qⱼ`` over the corpus, where ``q``
+    is the embedding quantized onto an integer grid (×``quant``).  Every
+    statistic is an exact BIGINT — bit-identical under any partitioning,
+    engine, or merge order — and the set is MERGEABLE across shards/runs
+    by plain addition, so incremental corpora fold in without rescanning
+    (the HLL/CMS sketch discipline applied to second moments).
+
+    Scale shape: the pair explode multiplies rows by d(d+1)/2 (2080 at
+    d=64) but feeds a map-side-combined groupBy on 2080 keys — partials,
+    not exploded rows, cross the wire; the shuffle is O(partitions·d²)
+    regardless of corpus size.  The O(n·d²) multiply cost is inherent to
+    a covariance; :func:`gram_stats_arrow` runs the same statistics as
+    per-batch BLAS ``XᵀX`` partials when d² expression arithmetic is the
+    bottleneck.  Overflow budget: |q| ≤ quant·max|v| (~592 at the 1024
+    default on unit-norm vectors), so Σ qᵢqⱼ stays in int64 past 10¹³
+    vectors.
+    """
+    q = quantized(F.col(embedding), quant)
+    rows = (
+        emb.select(q.alias("__q"))
+        .select(F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("i"), "__q")
+        .select(
+            "i",
+            F.expr(f"explode(sequence(i, {dim - 1}))").alias("j"),
+            F.expr("get(__q, i)").alias("qi"),
+            F.expr("get(__q, j)").alias("qj"),
+        )
+    )
+    return rows.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qi").alias("s_i"),
+        F.sum("qj").alias("s_j"),
+        F.sum(F.col("qi") * F.col("qj")).alias("s_ij"),
+    )
+
+
+def gram_stats_arrow(
+    emb: DataFrame,
+    dim: int,
+    quant: int = 1024,
+    embedding: str = "embedding",
+) -> DataFrame:
+    """BLAS twin of :func:`gram_stats` — bit-identical by construction
+    (same integer grid, int64 matmul partials, exact addition in the
+    final groupBy).  Each Arrow batch contributes ONE d(d+1)/2-row
+    partial (its local ``XᵀX``/column sums), so the Python-side output
+    is model-sized per batch, never corpus-sized; the justified-kernel
+    case is d² per-row expression arithmetic dominating the scan (same
+    rationale as :func:`pq_codes_arrow`)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    iu = [(i, j) for i in range(dim) for j in range(i, dim)]
+
+    def partials(batches):
+        import numpy as np  # noqa: PLC0415
+
+        ii = np.array([p[0] for p in iu])
+        jj = np.array([p[1] for p in iu])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[embedding].to_numpy())
+            qm = np.rint(x.astype("float64") * quant).astype("int64")
+            g = qm.T @ qm  # exact: |q| small enough that int64 never wraps
+            s = qm.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "j": jj,
+                    "n_vecs": np.int64(len(qm)),
+                    "s_i": s[ii],
+                    "s_j": s[jj],
+                    "s_ij": g[ii, jj],
+                }
+            )
+
+    part = emb.select(embedding).mapInPandas(
+        partials,
+        schema="i int, j int, n_vecs long, s_i long, s_j long, s_ij long",
+    )
+    return part.groupBy("i", "j").agg(
+        F.sum("n_vecs").alias("n_vecs"),
+        F.sum("s_i").alias("s_i"),
+        F.sum("s_j").alias("s_j"),
+        F.sum("s_ij").alias("s_ij"),
+    )
+
+
+def pca_rotation(
+    gram: DataFrame,
+    dim: int,
+    k: int | None = None,
+    quant: int = 1024,
+) -> dict:
+    """Eigendecompose collected :func:`gram_stats` output into a PCA
+    model — driver-side numpy on d(d+1)/2 BOUNDED rows (2080 at d=64,
+    a model parameter like every codebook here, never corpus-scale).
+
+    Returns ``{"mean": [d floats], "components": [k][d] floats,
+    "eigenvalues": [k floats, descending], "n_vecs": n}`` in ORIGINAL
+    embedding units (the quant grid divides out).  Sign convention:
+    each component is flipped so its largest-|coordinate| entry is
+    positive — eigenvectors are sign-ambiguous and an unpinned sign
+    makes stored rotations differ between otherwise-identical training
+    runs.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    rows = gram.collect() if isinstance(gram, DataFrame) else gram
+    n = rows[0]["n_vecs"]
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in rows:
+        i, j = r["i"], r["j"]
+        g[i, j] = g[j, i] = float(r["s_ij"])
+        s[i], s[j] = float(r["s_i"]), float(r["s_j"])
+    mean_q = s / n
+    cov = g / n - np.outer(mean_q, mean_q)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    k = dim if k is None else k
+    comps = evecs[:, order[:k]].T.copy()
+    for c in comps:
+        m = np.argmax(np.abs(c))
+        if c[m] < 0:
+            c *= -1.0
+    return {
+        "mean": (mean_q / quant).tolist(),
+        "components": comps.tolist(),
+        "eigenvalues": (evals[order[:k]] / quant / quant).tolist(),
+        "n_vecs": int(n),
+    }
+
+
+def opq_allocate(model: dict, m: int) -> dict:
+    """Eigenvalue-balanced subspace allocation — the parametric OPQ step
+    (Ge et al., CVPR 2013, §4 "OPQ-P"): reorder a :func:`pca_rotation`
+    basis so the m contiguous ``dim/m`` blocks :func:`pq_codes` splits
+    on carry BALANCED variance products.
+
+    Why this, and not the raw PCA order: PQ distortion is the SUM of
+    per-subspace quantizer distortions, and a k-centroid quantizer's
+    distortion scales with the subspace's variance at a rate set by its
+    intrinsic dimension.  Descending PCA order stacks every dominant
+    component into subspace 0 — one overloaded quantizer and m−1 idle
+    ones.  Greedy balanced allocation (assign each component, largest
+    eigenvalue first, to the non-full subspace with the smallest
+    eigenvalue log-product) gives each subspace one slice of the heavy
+    spectrum — on low-rank corpora each subspace degenerates to a
+    near-1-D quantization problem, the regime where k centroids are
+    worth k levels, not k^(1/d).  Pure rotation WITHOUT reallocation is
+    measurably a wash (tests pin both facts).
+
+    Allocation runs in ROUNDS of m (one component per bucket per round,
+    largest remaining eigenvalue to the lightest bucket): comparing
+    Σ log λ loads is only scale-invariant between EQUAL-SIZED buckets —
+    the naive "smallest running product" greedy inverts into
+    descending-order stacking whenever eigenvalues are < 1, because
+    every assignment then *lowers* the product and the fullest bucket
+    keeps winning.
+
+    Returns a new model dict with ``components`` / ``eigenvalues``
+    reordered; feed it to :func:`pca_project` and PQ-encode the result.
+    """
+    evs = model["eigenvalues"]
+    dim = len(model["components"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    import math  # noqa: PLC0415
+
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    loads = [0.0] * m
+    eps = max(evs) * 1e-12 if evs and max(evs) > 0 else 1e-30
+    ranked = sorted(range(dim), key=lambda i: -evs[i])
+    for r in range(dim // m):
+        by_load = sorted(range(m), key=lambda b: (loads[b], b))
+        for b, idx in zip(by_load, ranked[r * m : (r + 1) * m]):
+            buckets[b].append(idx)
+            loads[b] += math.log(evs[idx] + eps)
+    order = [i for b in buckets for i in b]
+    return {
+        **model,
+        "components": [model["components"][i] for i in order],
+        "eigenvalues": [evs[i] for i in order],
+    }
+
+
+def pca_project(
+    emb: DataFrame,
+    model: dict,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto a trained PCA basis — scan-local, the
+    rotation folded in as literal arrays exactly like a PQ codebook:
+    ``out[c] = Σᵢ vᵢ·R[c][i] − ⟨mean, R[c]⟩`` is one ``zip_with``
+    fold per output component, zero joins, zero shuffles.  Output
+    ``(vec_id, pvec)`` with ``pvec`` an array<double> of the k rotated
+    (centered) coordinates — feed it to :func:`prepare` / the PQ tier
+    for rotation-then-quantize pipelines."""
+    comps = model["components"]
+    mean = model["mean"]
+    outs = []
+    for c, row in enumerate(comps):
+        lit = F.array(*[F.lit(float(x)) for x in row])
+        const = float(sum(m * x for m, x in zip(mean, row)))
+        outs.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(embedding), lit, lambda v, r: v.cast("double") * r
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(const)
+        )
+    return emb.select(F.col(vec_id), F.array(*outs).alias("pvec"))
+
+
 def pq_codes(
     prepared: DataFrame,
     centroid_rows: list[tuple[int, list[int]]],

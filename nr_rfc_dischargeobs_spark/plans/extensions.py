@@ -201,6 +201,96 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus admission screen: every 5th document plays the
+    incoming crawl batch, the rest the landed corpus; each incoming doc
+    is admitted iff it has no exact (fingerprint) and no near (any
+    shared MinHash band over 3-word shingles, b=4/r=2) duplicate among
+    the landed docs — the continuous-ingest posture as a batch plan.
+    r=2, not 1: on this corpus r=1 candidates 69 % of the batch
+    (baseline 3-gram overlap), while the r=2 S-curve suppresses the
+    sub-threshold mass to the 5 genuine near-dup family members."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.incremental_admission(
+        docs.filter(F.col("doc_id") % 5 == 4),
+        docs.filter(F.col("doc_id") % 5 != 4),
+        bands=4,
+        rows_per_band=2,
+        n=3,
+    )
+
+
+_INC_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])))) AS shingle
+  FROM {side}
+""".strip()
+
+_INC_SIG = """
+  SELECT doc_id,
+         md5(concat_ws('|', h0, h1)) AS mh0, md5(concat_ws('|', h2, h3)) AS mh1,
+         md5(concat_ws('|', h4, h5)) AS mh2, md5(concat_ws('|', h6, h7)) AS mh3
+  FROM (
+    SELECT doc_id,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 1, 8)) AS h0,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 9, 8)) AS h1,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 17, 8)) AS h2,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 25, 8)) AS h3,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 33, 8)) AS h4,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 41, 8)) AS h5,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 49, 8)) AS h6,
+           MIN(substr(md5(shingle) || md5('x' || shingle), 57, 8)) AS h7
+    FROM {sh} GROUP BY doc_id
+  )
+""".strip()
+
+_INC_LONG = """
+  SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM {sig}
+  UNION ALL SELECT doc_id, 'mh1', mh1 FROM {sig}
+  UNION ALL SELECT doc_id, 'mh2', mh2 FROM {sig}
+  UNION ALL SELECT doc_id, 'mh3', mh3 FROM {sig}
+""".strip()
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH newd AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 4
+), corp AS (
+  SELECT * FROM documents WHERE doc_id % 5 <> 4
+), fp_c AS (
+  SELECT md5(text) AS fingerprint, MIN(doc_id) AS exact_dup_of
+  FROM corp GROUP BY 1
+), exact AS (
+  SELECT nd.doc_id, fp_c.exact_dup_of
+  FROM (SELECT doc_id, md5(text) AS fingerprint FROM newd) nd
+  LEFT JOIN fp_c USING (fingerprint)
+), sh_n AS (
+{_INC_SHINGLES.format(side="newd")}
+), sh_c AS (
+{_INC_SHINGLES.format(side="corp")}
+), sig_n AS (
+{_INC_SIG.format(sh="sh_n")}
+), sig_c AS (
+{_INC_SIG.format(sh="sh_c")}
+), long_n AS (
+{_INC_LONG.format(sig="sig_n")}
+), long_c AS (
+{_INC_LONG.format(sig="sig_c")}
+), near AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS near_dup_of
+  FROM long_n n JOIN long_c c ON n.band = c.band AND n.sig = c.sig
+  GROUP BY 1
+)
+SELECT d.doc_id, e.exact_dup_of, nr.near_dup_of,
+       (e.exact_dup_of IS NULL AND nr.near_dup_of IS NULL) AS admit
+FROM newd d
+JOIN exact e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (16-bit birthday-collides at ~300 docs)."""
     return dedup.simhash64(load(spark, sf_dir, "documents"))
@@ -312,6 +402,22 @@ WITH RECURSIVE pairs AS (
 SELECT src AS doc_id, MIN(node) AS component_id
 FROM reach GROUP BY src
 """
+
+
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SAME Jaccard ≥ 0.6 pair graph via
+    alternating large-star/small-star (Kiveris et al. SoCC 2014) — the
+    O(log n)-rounds scale path for adversarial diameters, pinned to the
+    identical labeling (and the identical recursive-CTE oracle) as the
+    min-label plan above."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    edges = dedup.jaccard_pairs(docs, threshold=0.6, n=1)
+    return dedup.connected_components_star(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+DEDUP_CC_STAR_SQL = DEDUP_CC_CLUSTERS_SQL
 
 
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1847,38 @@ SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
        CAST(SUM(c * c) AS BIGINT) AS int8_sq_norm,
        CAST(MAX(abs(c)) AS BIGINT) AS max_abs_code
 FROM err GROUP BY vec_id
+"""
+
+
+def sim_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA / OPQ-rotation training aggregate: exact integer covariance
+    sufficient statistics (n, Σqᵢ, Σqᵢqⱼ per dimension pair i ≤ j) over
+    the full embedding corpus in ONE pass — the d(d+1)/2-row model input
+    ``similarity.pca_rotation`` eigendecomposes into the decorrelating
+    rotation applied in front of PQ.  Statistics are add-mergeable
+    across shards/runs, so incremental corpora fold in without
+    rescanning history."""
+    return similarity.gram_stats(
+        load(spark, sf_dir, "embeddings"), dim=64, quant=1024
+    )
+
+
+SIM_PCA_GRAM_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+  FROM embeddings
+), pairs AS (
+  SELECT ii.i, jj.j, q[CAST(ii.i AS INT) + 1] AS qi, q[CAST(jj.j AS INT) + 1] AS qj
+  FROM q
+  CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+  CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+  WHERE jj.j >= ii.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, COUNT(*) AS n_vecs,
+       CAST(SUM(qi) AS BIGINT) AS s_i, CAST(SUM(qj) AS BIGINT) AS s_j,
+       CAST(SUM(qi * qj) AS BIGINT) AS s_ij
+FROM pairs GROUP BY 1, 2
 """
 
 

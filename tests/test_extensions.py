@@ -149,6 +149,74 @@ def test_lsh_hot_bucket_gate_drops_boilerplate_keeps_neardups(spark):
     assert len(ungated) == 30 * 29 // 2 + 1
 
 
+def test_incremental_admission_screens_and_evidence(spark):
+    """Cross-corpus admission: an exact copy is rejected with exact AND
+    near evidence, a near-dup with near evidence only, a clean doc is
+    admitted with both evidence columns NULL — and evidence points at
+    the SMALLEST landed collider."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog"),  # dup in corpus
+            (12, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact
+            (101, "the quick brown fox jumps over the lazy dog tonight"),  # near
+            (102, "entirely novel words never seen before anywhere"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["exact_dup_of"], r["near_dup_of"], r["admit"])
+        for r in dedup.incremental_admission(
+            incoming, corpus, bands=4, rows_per_band=1, n=3
+        ).collect()
+    }
+    assert got[100] == (10, 10, False)  # min collider, not 11
+    assert got[101][0] is None and got[101][1] == 10 and not got[101][2]
+    assert got[102] == (None, None, True)
+
+
+def test_incremental_admission_hot_bucket_gate(spark):
+    """max_bucket gates CORPUS-side boilerplate buckets: an incoming doc
+    whose only collisions are with a 30-doc viral bucket is admitted
+    once the gate drops that bucket, while a true near-dup of a normal
+    landed doc is still rejected."""
+    boiler = [(i, "subscribe to our newsletter for updates") for i in range(30)]
+    corpus = spark.createDataFrame(
+        boiler + [(50, "rare unique analytical content about rivers flowing north")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "subscribe to our newsletter for updates"),
+            (101, "rare unique analytical content about rivers flowing south"),
+        ],
+        ["doc_id", "text"],
+    )
+    gated = {
+        r["doc_id"]: (r["exact_dup_of"], r["near_dup_of"], r["admit"])
+        for r in dedup.incremental_admission(
+            incoming, corpus, bands=4, rows_per_band=1, n=1, max_bucket=10
+        ).collect()
+    }
+    # the exact screen still catches the boilerplate copy (fingerprints
+    # are never gated) but its near evidence is gone with the bucket
+    assert gated[100] == (0, None, False)
+    assert gated[101][1] == 50 and not gated[101][2]
+    ungated = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in dedup.incremental_admission(
+            incoming, corpus, bands=4, rows_per_band=1, n=1
+        ).collect()
+    }
+    assert ungated[100] == 0  # gate off: boilerplate bucket collides again
+
+
 def test_jaccard_scores_ordering(corpus):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -637,6 +705,50 @@ def test_connected_components_transitive_chain(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Large-star/small-star returns the SAME labeling as min-label
+    propagation on every graph shape that distinguishes the algorithms:
+    chains (diameter stress), stars, merged components, and a mixed
+    forest."""
+    from nr_rfc_dischargeobs_spark.extensions import dedup
+
+    cases = [
+        [(2, 1), (2, 3), (10, 11)],  # chain + separate pair
+        [(5, 1), (5, 2), (5, 3)],  # star rooted off-min
+        [(1, 2), (3, 4), (2, 3)],  # two pairs merged by a bridge
+        [(i, i + 1) for i in range(1, 20)],  # 20-node path
+        [(7, 3), (3, 9), (9, 1), (20, 21), (22, 21), (40, 41)],
+    ]
+    for edges_rows in cases:
+        edges = spark.createDataFrame(edges_rows, ["doc_a", "doc_b"])
+        want = {
+            r["node"]: r["label"]
+            for r in dedup.connected_components(edges).collect()
+        }
+        got = {
+            r["node"]: r["label"]
+            for r in dedup.connected_components_star(edges).collect()
+        }
+        assert got == want, edges_rows
+
+
+def test_connected_components_star_long_path_converges_fast(spark):
+    """The reason the variant exists: a 64-node path needs 63 min-label
+    hops but must star-converge within the O(log n) bound — run it with
+    max_iter=8 (2·log₂ 64 would be 12; the observed count is 5) and
+    check the single component."""
+    from nr_rfc_dischargeobs_spark.extensions import dedup
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components_star(edges, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
 
 
 def test_kmeans_lite_finds_planted_centroids(spark):
