@@ -94,6 +94,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_incremental": extensions.dedup_incremental,
         "ext_sim_pca_gram": extensions.sim_pca_gram,
         "ext_dedup_cc_star": extensions.dedup_cc_star,
+        "ext_text_bm25_topk": extensions.text_bm25_topk,
         # --- changed this round (r10) ---
         # the structural index-materialization barrier touches every
         # ivf_pq/ivfadc search; the encode/assign dials touch the PQ
@@ -334,6 +335,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_dedup_incremental": extensions.DEDUP_INCREMENTAL_SQL,
         "ext_sim_pca_gram": extensions.SIM_PCA_GRAM_SQL,
         "ext_dedup_cc_star": extensions.DEDUP_CC_STAR_SQL,
+        "ext_text_bm25_topk": extensions.TEXT_BM25_TOPK_SQL,
         "ext_dedup_minhash_wide": extensions.DEDUP_MINHASH_WIDE_SQL,
         "ext_dedup_lsh_pairs_capped": extensions.DEDUP_LSH_PAIRS_CAPPED_SQL,
         "ext_text_bigram_lm": extensions.TEXT_BIGRAM_LM_SQL,

@@ -475,6 +475,95 @@ def chunk_windows(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """BM25 document retrieval for a literal query — Robertson/Spärck
+    Jones Okapi weighting with the Lucene non-negative idf, at standard
+    k1 = 1.2, b = 0.75.  The retrieval primitive the text tier lacked
+    next to :func:`top_terms` (which ranks TERMS within a doc, not DOCS
+    for a query) — seed-set mining, quality-by-query audits, and
+    dedup-slice pulls are all "give me the top-k docs for these words".
+
+    Plan shape (the :func:`quantize_int8_stats` two-phase discipline):
+    ONE corpus aggregate computes the global stats row (N, ΣT, per-term
+    document frequencies — term tf's are scan-local ``filter(toks, ·)``
+    counts against literal terms, no explode, no per-term shuffle); the
+    one-row stats broadcast back, and scoring is row-local arithmetic at
+    scan bandwidth.  Zero joins other than the broadcast; top-k is a
+    distributed TakeOrdered with a doc_id tie-break.
+
+    Exactness: idf₂ = log₂((2N+2)/(2df+1)) enters as a DIFFERENCE OF TWO
+    integer-grid log terms (``round(log₂(int)·2²⁰)`` — the
+    :func:`token_entropy` discipline; the Lucene +0.5/+1 shift makes the
+    ratio > 1, so idf is always positive), and the tf saturation weight
+    is one double division of two exact integers (num = 22·T·tf, den =
+    10·T·tf + 3·T + 9·dl·N — the k1/b rationals cleared against
+    avgdl = T/N; exact as doubles below 2⁵³, i.e. past 10¹² corpus
+    tokens).  Per-term contributions round back onto the 2²⁰ grid and
+    SUM as BIGINTs, so ``score_g`` is partition- and engine-order-proof.
+
+    Output: top-k ``(doc_id, dl, score_g, score)`` by (score_g desc,
+    doc_id) over docs matching ≥ 1 term; ``score = score_g / 2²⁰``.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    SCALE = 1 << 20
+    grid = lambda c: F.round(  # noqa: E731
+        F.log2(c.cast("double")) * SCALE, 0
+    ).cast("long")
+    base = docs.select(
+        F.col(doc_id),
+        F.filter(
+            _tokens(F.coalesce(F.col(text), F.lit(""))), lambda t: t != ""
+        ).alias("__toks"),
+    ).select(
+        F.col(doc_id),
+        F.size("__toks").cast("long").alias("dl"),
+        *[
+            F.size(
+                F.filter(F.col("__toks"), lambda x: x == F.lit(t))
+            ).cast("long").alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.groupBy().agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("dl").alias("__total"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    n, t_ = F.col("__n_docs"), F.col("__total")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        idf = grid(2 * n + 2) - grid(2 * F.col(f"__df{i}") + 1)
+        w = (22.0 * t_ * tf) / (10.0 * t_ * tf + 3.0 * t_ + 9.0 * F.col("dl") * n)
+        contribs.append(
+            F.when(tf > 0, F.round(idf * w, 0).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(F.col(doc_id), F.col("dl"), total.alias("score_g"))
+        .filter(F.col("score_g") > 0)
+        .orderBy(F.col("score_g").desc(), F.col(doc_id))
+        .limit(k)
+        .withColumn("score", F.col("score_g").cast("double") / SCALE)
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 3,

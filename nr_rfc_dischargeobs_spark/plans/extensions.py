@@ -1759,6 +1759,72 @@ SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df, score
 FROM scored WHERE rank <= 3
 """
 
+_BM25_TERMS = ("merge", "vector", "window")
+_BM25_K = 10
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the literal query {merge, vector,
+    window} — one corpus aggregate for (N, ΣT, per-term df), stats
+    broadcast back, scan-local Okapi scoring on the integer-grid idf,
+    distributed TakeOrdered."""
+    return textops.bm25_topk(
+        load(spark, sf_dir, "documents"), list(_BM25_TERMS), k=_BM25_K
+    )
+
+
+def _bm25_sql() -> str:
+    """DuckDB twin, generated from the same term list so the registered
+    query and its oracle can never disagree on the query."""
+    tf_cols = ",\n         ".join(
+        "CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}".format(
+            t=t, i=i
+        )
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN CAST(ROUND(
+           (CAST(ROUND(log2(2 * n_docs + 2) * 1048576, 0) AS BIGINT)
+            - CAST(ROUND(log2(2 * df{i} + 1) * 1048576, 0) AS BIGINT))
+           * ((22.0 * total * tf{i})
+              / (10.0 * total * tf{i} + 3.0 * total + 9.0 * dl * n_docs)),
+           0) AS BIGINT) ELSE 0 END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total,
+         {df_cols}
+  FROM base
+), scored AS (
+  SELECT doc_id, dl,
+         ({contribs}) AS score_g
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, dl, score_g, CAST(score_g AS DOUBLE) / 1048576 AS score
+FROM scored WHERE score_g > 0
+ORDER BY score_g DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+TEXT_BM25_TOPK_SQL = _bm25_sql()
+
+
 # -------------------------------------------------- round-4 additions:
 # semantic dedup, int8 quantization audit, shard layout, domain caps,
 # hashed linear classifier

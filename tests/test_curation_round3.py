@@ -495,3 +495,67 @@ def test_top_terms_score_is_exact_ratio(spark):
     r = rows[(2, "y")]
     assert (r.tf, r.df) == (3, 2)
     assert r.score == 3.0 * 2.0 / 2.0
+
+
+def _bm25_replica(tf, df, dl, n, t):
+    """Scalar replica of the exact bm25_topk arithmetic (HALF_UP rounds,
+    grid idf, cleared-rational saturation weight)."""
+    import math
+
+    if tf == 0:
+        return 0
+    half_up = lambda x: math.floor(x + 0.5)  # noqa: E731
+    idf = half_up(math.log2(2 * n + 2) * (1 << 20)) - half_up(
+        math.log2(2 * df + 1) * (1 << 20)
+    )
+    w = (22.0 * t * tf) / (10.0 * t * tf + 3.0 * t + 9.0 * dl * n)
+    return half_up(idf * w)
+
+
+def test_bm25_scores_match_replica_and_rank_sanely(spark):
+    """BM25 end to end on a hand-sized corpus: every emitted score_g
+    equals the scalar replica; the both-terms doc ranks first; the
+    rarer term outscores the commoner at equal tf/dl; a shorter doc
+    outscores a longer one at equal tf (b-normalization); non-matching
+    docs are absent."""
+    docs = _docs(
+        spark,
+        [
+            (1, "merge common common common"),
+            (2, "rare common common common"),
+            (3, "merge rare common common"),
+            (4, "common common common common"),
+            (5, "merge common"),
+        ],
+    )
+    n, t = 5, 18
+    tfs = {1: {"merge": 1}, 2: {"rare": 1}, 3: {"merge": 1, "rare": 1}, 5: {"merge": 1}}
+    dls = {1: 4, 2: 4, 3: 4, 5: 2}
+    dfs = {"merge": 3, "rare": 2}
+    rows = {
+        r.doc_id: r
+        for r in text.bm25_topk(docs, ["merge", "rare"], k=10).collect()
+    }
+    assert set(rows) == {1, 2, 3, 5}  # doc 4 never matches
+    for d, r in rows.items():
+        want = sum(
+            _bm25_replica(tf, dfs[term], dls[d], n, t)
+            for term, tf in tfs[d].items()
+        )
+        assert r.score_g == want, (d, r.score_g, want)
+        assert r.score == r.score_g / (1 << 20)
+    assert max(rows.values(), key=lambda r: r.score_g).doc_id == 3
+    assert rows[2].score_g > rows[1].score_g  # rarer term, same tf/dl
+    assert rows[5].score_g > rows[1].score_g  # shorter doc, same tf
+
+
+def test_bm25_k_limit_and_tie_break(spark):
+    """k truncates after the (score desc, doc_id asc) sort — equal-score
+    docs keep the smaller ids."""
+    docs = _docs(spark, [(i, "hit filler") for i in range(6)])
+    got = [r.doc_id for r in text.bm25_topk(docs, ["hit"], k=3).collect()]
+    assert sorted(got) == [0, 1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        text.bm25_topk(docs, [])
