@@ -439,6 +439,61 @@ def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
             df.unpersist()
 
 
+def r10_extras_tier(spark, t: dict, docs_n: int, vecs_n: int) -> None:
+    """Volume probes for the round-10 late additions: the PCA/OPQ Gram
+    aggregate (BLAS vs native-expression spelling), star connected
+    components on an ADVERSARIAL-diameter chain (the input min-label
+    propagation structurally cannot finish: a 100k-node path needs 100k
+    one-hop rounds, vs the star bound of ~log² n rewiring rounds),
+    cross-corpus incremental admission at a production-shaped 2% batch
+    ratio, and BM25 over the 1M-doc corpus (cost probe: the per-term tf
+    filters and the stats aggregate scan every doc; the synthetic
+    vocabulary is doc-unique so matches are sparse)."""
+    from nr_rfc_dischargeobs_spark.extensions import dedup, similarity
+    from nr_rfc_dischargeobs_spark.extensions import text as textops
+
+    print("r10-extras tier:", file=sys.stderr)
+    timed(t, "pca_gram_arrow_1m_d64",
+          similarity.gram_stats_arrow(synth_random_embs(spark, vecs_n), dim=64))
+    timed(t, "pca_gram_native_200k_d64",
+          similarity.gram_stats(synth_random_embs(spark, 200_000), dim=64))
+
+    # star CC builds its result eagerly (the rewiring loop runs jobs at
+    # call time), so the wall clock wraps the CALL, not just the force
+    t0 = time.time()
+    try:
+        chain = spark.range(100_000).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        n = force(dedup.connected_components_star(chain, max_iter=40))
+        t["cc_star_chain_100k"] = {"sec": round(time.time() - t0, 1), "rows": n}
+        print(f"  {t['cc_star_chain_100k']['sec']:7.1f} s  {n:>12,} rows  "
+              "cc_star_chain_100k", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001 — same contract as timed()
+        t["cc_star_chain_100k"] = {
+            "sec": round(time.time() - t0, 1),
+            "error": str(ex).splitlines()[0][:200],
+        }
+        print(f"  FAILED  cc_star_chain_100k: "
+              f"{t['cc_star_chain_100k']['error'][:120]}", file=sys.stderr)
+
+    nd = synth_neardup_docs(spark, docs_n).localCheckpoint()
+    timed(t, "incremental_admission_2pct_batch_1m",
+          dedup.incremental_admission(
+              nd.filter(F.col("doc_id") % 50 == 0),
+              nd.filter(F.col("doc_id") % 50 != 0),
+              bands=4, rows_per_band=2, n=3,
+          ))
+    import hashlib
+
+    terms = [
+        hashlib.md5(f"{d}_{i}".encode()).hexdigest()[:5]
+        for d, i in ((0, 0), (1, 3), (2, 7))
+    ]
+    timed(t, "bm25_topk_1m_docs",
+          textops.bm25_topk(synth_docs(spark, docs_n), terms, k=10))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -452,6 +507,9 @@ def main() -> int:
                     help="run ONLY the ann-recall matrix tier (fast "
                          "re-measure of the recall story without the "
                          "events/docs/curation tiers)")
+    ap.add_argument("--only-r10x", action="store_true",
+                    help="run ONLY the round-10 extras tier (PCA gram, "
+                         "star CC, incremental admission, BM25)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -476,6 +534,14 @@ def main() -> int:
 
     if args.only_ann:
         ann_recall_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r10x:
+        r10_extras_tier(spark, t, args.docs, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
