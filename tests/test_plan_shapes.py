@@ -251,3 +251,59 @@ def test_source_caps_two_stage_has_no_unbucketed_domain_sort(spark):
 
     first_part = _re.search(r"hashpartitioning\(([^)]*)\)", plan)
     assert first_part and "__b" in first_part.group(1)
+
+
+def test_bm25_no_explode_no_smj_bounded_scans(spark):
+    """BM25's whole plan promise: per-term tf's are scan-local filter()
+    counts (no Generate/explode of the token stream), the stats row
+    joins by broadcast (never sort-merge), and the corpus is scanned at
+    most twice (base + stats)."""
+    from nr_rfc_dischargeobs_spark.extensions import text as tx
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    plan = _formatted(
+        tx.bm25_topk(load(spark, SF, "documents"), ["merge", "vector"], k=5)
+    )
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row stats cross join
+    # explain text lists each node twice (tree + detail): 4 == two scans
+    assert plan.count("Scan parquet") <= 4
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+
+
+def test_pca_gram_single_scan_no_joins(spark):
+    """The Gram aggregate is one scan + one map-side-combined groupBy:
+    no joins of any kind, one shuffle (the 2080-key aggregate)."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    plan = _formatted(
+        similarity.gram_stats(load(spark, SF, "embeddings"), dim=64)
+    )
+    # explain text lists each node twice (tree + detail): 2 == one node
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+
+
+def test_incremental_admission_never_cross_products(spark):
+    """Both admission joins key on equality columns (fingerprint /
+    (band, sig)) — a cross product anywhere would be the n x corpus
+    explosion the bucketed design exists to avoid."""
+    from nr_rfc_dischargeobs_spark.extensions import dedup
+    from nr_rfc_dischargeobs_spark.plans import load
+
+    docs = load(spark, SF, "documents")
+    plan = _formatted(
+        dedup.incremental_admission(
+            docs.filter(F.col("doc_id") % 5 == 4),
+            docs.filter(F.col("doc_id") % 5 != 4),
+            bands=4,
+            rows_per_band=2,
+            n=3,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
