@@ -259,7 +259,75 @@ RETURN SELECT doc_id,
 FROM documents
 WHERE size(split(lower(text), ' ')) BETWEEN min_words AND max_words
 """,
+    # extensions.text.bm25_topk — ad-hoc BM25 retrieval from pure SQL.
+    # Fixed 3-term arity (a SQL UDF cannot take an array parameter
+    # portably — the hist_quantiles precedent); pass NULL for unused
+    # slots (a NULL term matches nothing: the filter lambda yields NULL,
+    # the element drops, tf = 0) and DISTINCT terms (the operator
+    # dedupes; a repeated term here would double-count).  Arithmetic is
+    # the operator's exactly: integer-grid log2 idf, cleared-rational
+    # saturation weight, grid-snapped BIGINT contributions.  The weight
+    # constants carry the D suffix: in SQL TEXT a bare 22.0 parses as
+    # DECIMAL and decimal division truncates at scale 6 — an off-by-one
+    # in the rounded contribution vs the DataFrame operator's doubles
+    # (caught by the parity test; DuckDB promotes the same division to
+    # DOUBLE, so the oracle never had the trap).
+    "tvf_text_bm25": """
+CREATE OR REPLACE TEMPORARY FUNCTION tvf_text_bm25(
+    t1 STRING, t2 STRING, t3 STRING, k INT)
+RETURNS TABLE (doc_id BIGINT, dl BIGINT, score_g BIGINT, score DOUBLE)
+RETURN
+WITH base AS (
+  SELECT doc_id,
+         cast(size(__toks) AS BIGINT) AS dl,
+         cast(size(filter(__toks, x -> x = t1)) AS BIGINT) AS tf1,
+         cast(size(filter(__toks, x -> x = t2)) AS BIGINT) AS tf2,
+         cast(size(filter(__toks, x -> x = t3)) AS BIGINT) AS tf3
+  FROM (SELECT doc_id,
+               filter(split(lower(coalesce(text, '')), ' '),
+                      x -> x != '') AS __toks
+        FROM documents)
+), stats AS (
+  SELECT cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(dl) AS BIGINT) AS total,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM base
+), scored AS (
+  SELECT doc_id, dl,
+         (CASE WHEN tf1 > 0 THEN cast(round(
+            (cast(round(log2(2 * n_docs + 2) * 1048576, 0) AS BIGINT)
+             - cast(round(log2(2 * df1 + 1) * 1048576, 0) AS BIGINT))
+            * ((22.0D * total * tf1)
+               / (10.0D * total * tf1 + 3.0D * total + 9.0D * dl * n_docs)),
+            0) AS BIGINT) ELSE 0 END
+          + CASE WHEN tf2 > 0 THEN cast(round(
+            (cast(round(log2(2 * n_docs + 2) * 1048576, 0) AS BIGINT)
+             - cast(round(log2(2 * df2 + 1) * 1048576, 0) AS BIGINT))
+            * ((22.0D * total * tf2)
+               / (10.0D * total * tf2 + 3.0D * total + 9.0D * dl * n_docs)),
+            0) AS BIGINT) ELSE 0 END
+          + CASE WHEN tf3 > 0 THEN cast(round(
+            (cast(round(log2(2 * n_docs + 2) * 1048576, 0) AS BIGINT)
+             - cast(round(log2(2 * df3 + 1) * 1048576, 0) AS BIGINT))
+            * ((22.0D * total * tf3)
+               / (10.0D * total * tf3 + 3.0D * total + 9.0D * dl * n_docs)),
+            0) AS BIGINT) ELSE 0 END) AS score_g
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, dl, score_g, cast(score_g AS DOUBLE) / 1048576 AS score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score_g DESC, doc_id) AS __rn
+  FROM scored WHERE score_g > 0
+) WHERE __rn <= k
+""",
 }
+# ^ bm25 top-k: LIMIT must be a CONSTANT in a SQL UDF body
+# (INVALID_LIMIT_LIKE_EXPRESSION on a parameter reference), so the cut
+# is a ranked window over the score_g > 0 matches — same rows and order
+# contract as the operator's TakeOrdered; the window sorts only docs
+# that matched at least one term.
 
 
 def register_sql_tvfs(spark: SparkSession) -> list[str]:

@@ -110,6 +110,19 @@ def test_tvf_word_count_gate_matches_gopher_formula(spark, docs_view):
     assert n1 == 10
 
 
+def test_tvf_bm25_matches_operator(spark, docs_view):
+    """3-term BM25 parity, plus the NULL-slot contract (a NULL term
+    matches nothing, so the 2-term call equals the operator on the same
+    2 terms)."""
+    got = spark.sql("SELECT * FROM tvf_text_bm25('quick', 'words', 'short', 5)")
+    want = textops.bm25_topk(docs_view, ["quick", "words", "short"], k=5)
+    assert rows(got) == rows(want)
+    assert len(rows(got)) > 0
+    got2 = spark.sql("SELECT * FROM tvf_text_bm25('quick', 'words', NULL, 5)")
+    want2 = textops.bm25_topk(docs_view, ["quick", "words"], k=5)
+    assert rows(got2) == rows(want2)
+
+
 def test_tvf_hist_quantiles_matches_operator(spark, docs_view):
     from nr_rfc_dischargeobs_spark.extensions import sketches
 
