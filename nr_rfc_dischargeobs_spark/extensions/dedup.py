@@ -216,7 +216,7 @@ def lsh_candidate_pairs(
 
 def incremental_admission(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     *,
     bands: int = 4,
     rows_per_band: int = 1,
@@ -224,6 +224,8 @@ def incremental_admission(
     text: str = "text",
     doc_id: str = "doc_id",
     max_bucket: int | None = None,
+    corpus_fingerprints: DataFrame | None = None,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Admission screen for an INCOMING batch against a LANDED corpus —
     the continuous-ingest posture (each crawl snapshot deduplicated
@@ -250,23 +252,38 @@ def incremental_admission(
       |bucket_new|·|bucket_corpus|, and the incoming batch is typically
       orders of magnitude smaller than the corpus — the dominant cost is
       one scan of the corpus side, not a quadratic pair explosion;
-    - in production the corpus side of both joins is a STORED artifact
-      (the fingerprint column and the ``minhash_signatures`` output are
-      plain tables this function recomputes here for self-containment;
-      persist them once and pass them in — the signature of the landed
-      corpus never changes, only appends);
+    - in production the corpus side of both joins is a STORED artifact:
+      pass ``corpus_fingerprints`` (``(fingerprint, doc_id)`` rows — raw,
+      this function groups them) and/or ``corpus_signatures`` (a
+      ``minhash_signatures`` output table with matching (bands,
+      rows_per_band)) instead of ``corpus``, and neither derivation
+      rescans the landed text — the artifacts only ever APPEND, so the
+      maintenance cost per ingest is one batch-sized write (the sweep
+      engine heals them if a partial write ever loses rows).  Passing
+      ``corpus`` recomputes both in-query (self-contained / test form);
+      artifact-form output is pinned identical to corpus-form in tests;
     - ``max_bucket`` gates HOT corpus buckets (viral boilerplate) before
       the join, exactly like :func:`lsh_candidate_pairs` — the corpus
       side is where the degenerate mass lives;
     - admission is deterministic and order-free: a replayed batch
       returns the identical admit set (no state beyond the corpus).
     """
-    fp_corpus = (
-        corpus.select(
+    if corpus is None and (
+        corpus_fingerprints is None or corpus_signatures is None
+    ):
+        raise ValueError(
+            "pass corpus, or BOTH corpus_fingerprints and"
+            " corpus_signatures (the stored-artifact form)"
+        )
+    fp_raw = (
+        corpus_fingerprints
+        if corpus_fingerprints is not None
+        else corpus.select(
             F.md5(F.col(text)).alias("fingerprint"), F.col(doc_id)
         )
-        .groupBy("fingerprint")
-        .agg(F.min(doc_id).alias("exact_dup_of"))
+    )
+    fp_corpus = fp_raw.groupBy("fingerprint").agg(
+        F.min(doc_id).alias("exact_dup_of")
     )
     fp_new = new_docs.select(
         F.col(doc_id), F.md5(F.col(text)).alias("fingerprint")
@@ -282,11 +299,15 @@ def incremental_admission(
         rows_per_band=rows_per_band,
         doc_id=doc_id,
     ).unpivot([doc_id], band_cols, "band", "sig")
-    sig_corpus = minhash_signatures(
-        shingle_rows(corpus, text, doc_id, n),
-        bands=bands,
-        rows_per_band=rows_per_band,
-        doc_id=doc_id,
+    sig_corpus = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(
+            shingle_rows(corpus, text, doc_id, n),
+            bands=bands,
+            rows_per_band=rows_per_band,
+            doc_id=doc_id,
+        )
     ).unpivot([doc_id], band_cols, "band", "sig")
     if max_bucket is not None:
         keep = (

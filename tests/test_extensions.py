@@ -181,6 +181,55 @@ def test_incremental_admission_screens_and_evidence(spark):
     assert got[102] == (None, None, True)
 
 
+def test_incremental_admission_stored_artifact_form(spark):
+    """The production form: precomputed corpus fingerprints + signature
+    table instead of the raw corpus — identical output (the artifacts
+    only ever append, so ingest never rescans landed text), and the
+    half-specified call refuses loudly."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (12, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (102, "entirely novel words never seen before anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = corpus.select(F.md5("text").alias("fingerprint"), "doc_id")
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_rows(corpus, n=3), bands=4, rows_per_band=1
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.incremental_admission(
+                incoming, corpus, bands=4, rows_per_band=1, n=3
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup.incremental_admission(
+                incoming,
+                bands=4,
+                rows_per_band=1,
+                n=3,
+                corpus_fingerprints=fps,
+                corpus_signatures=sigs,
+            ).collect(),
+        )
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="BOTH"):
+        dedup.incremental_admission(incoming, corpus_fingerprints=fps)
+
+
 def test_incremental_admission_hot_bucket_gate(spark):
     """max_bucket gates CORPUS-side boilerplate buckets: an incoming doc
     whose only collisions are with a 30-doc viral bucket is admitted
