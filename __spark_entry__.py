@@ -83,8 +83,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kmeans/semantic-dedup pair (kmeans_lite assign parameter) — then
     # rotate in the queries whose latest driver check is OLDEST: the
     # whole r7-witnessed set (TPC-H, ts_*, winnowing, diagnostics).
-    # The last three of r10's original 50 (a1/a2/a3, r8-witnessed) slip
-    # below the window to make room; their latest green witness stands.
+    # Four of r10's original 50 slip below the window to make room for
+    # the four new heads: a1/a2/a3 (r8-witnessed) and ts_zscore_anomaly
+    # (r7-witnessed — refresh deferred to r11); every displaced query's
+    # latest green witness stands, and all four are re-verified in this
+    # session's local 140/140 sweep.
     # Invariant preserved (since r5): the union of CORRECTNESS_r01..r0N
     # rows covers every registered query with its latest check green.
     # Everything displaced is re-verified locally via
