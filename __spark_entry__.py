@@ -83,11 +83,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kmeans/semantic-dedup pair (kmeans_lite assign parameter) — then
     # rotate in the queries whose latest driver check is OLDEST: the
     # whole r7-witnessed set (TPC-H, ts_*, winnowing, diagnostics).
-    # Four of r10's original 50 slip below the window to make room for
-    # the four new heads: a1/a2/a3 (r8-witnessed) and ts_zscore_anomaly
-    # (r7-witnessed — refresh deferred to r11); every displaced query's
-    # latest green witness stands, and all four are re-verified in this
-    # session's local 140/140 sweep.
+    # Five of r10's original 50 slip below the window to make room for
+    # the five new heads: a1/a2/a3 (r8-witnessed) and ts_zscore_anomaly
+    # + ts_value_histogram (r7-witnessed — refresh deferred to r11);
+    # every displaced query's latest green witness stands, and all five
+    # are re-verified in this session's local full sweep.
     # Invariant preserved (since r5): the union of CORRECTNESS_r01..r0N
     # rows covers every registered query with its latest check green.
     # Everything displaced is re-verified locally via
@@ -98,6 +98,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sim_pca_gram": extensions.sim_pca_gram,
         "ext_dedup_cc_star": extensions.dedup_cc_star,
         "ext_text_bm25_topk": extensions.text_bm25_topk,
+        "ext_sample_cluster_balanced": extensions.sample_cluster_balanced,
         # --- changed this round (r10) ---
         # the structural index-materialization barrier touches every
         # ivf_pq/ivfadc search; the encode/assign dials touch the PQ
@@ -339,6 +340,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_pca_gram": extensions.SIM_PCA_GRAM_SQL,
         "ext_dedup_cc_star": extensions.DEDUP_CC_STAR_SQL,
         "ext_text_bm25_topk": extensions.TEXT_BM25_TOPK_SQL,
+        "ext_sample_cluster_balanced": extensions.SAMPLE_CLUSTER_BALANCED_SQL,
         "ext_dedup_minhash_wide": extensions.DEDUP_MINHASH_WIDE_SQL,
         "ext_dedup_lsh_pairs_capped": extensions.DEDUP_LSH_PAIRS_CAPPED_SQL,
         "ext_text_bigram_lm": extensions.TEXT_BIGRAM_LM_SQL,

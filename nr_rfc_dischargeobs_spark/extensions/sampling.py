@@ -350,6 +350,50 @@ def source_caps(
     )
 
 
+def cluster_balanced_sample(
+    prepared: DataFrame,
+    coarse_rows: list[tuple[int, list[int]]],
+    cap: int = 100,
+    salt: str = "cbal",
+    prerank_buckets: int = 16,
+) -> DataFrame:
+    """Cluster-balanced subsampling — :func:`source_caps`' quota rule
+    applied to LEARNED embedding clusters instead of a metadata column
+    (the MetaCLIP / DataComp balancing posture: cap each semantic
+    cluster so dense head regions — boilerplate-adjacent, template-
+    heavy — stop dominating the mix, while tail clusters keep
+    everything they have).
+
+    Pure composition of two audited pieces, inheriting both scale
+    shapes: :func:`~.similarity.ivf_assign_local` assigns every vector
+    to its nearest trained centroid with ZERO exchanges (centroids are
+    literal expressions, the corpus never leaves its scan), and
+    :func:`source_caps` enforces the per-cluster cap with the two-stage
+    hash-ranked plan (no cluster ever sorts on one task).  Selection is
+    deterministic and append-stable: membership of an already-kept
+    vector can change only if new arrivals hash-rank ahead of it.
+
+    ``coarse_rows`` is the trained coarse quantizer as plain Python
+    data (``(list_id, quantized_vector)``) — train it with
+    :func:`~.similarity.kmeans_lite` / ``kmeans_parallel_seeds``.
+
+    Output: (vec_id, list_id, kept, rank) — rank only for kept rows.
+    """
+    from .similarity import ivf_assign_local
+
+    assigned = ivf_assign_local(prepared, coarse_rows).select(
+        "vec_id", "list_id"
+    )
+    return source_caps(
+        assigned,
+        key="vec_id",
+        stratum="list_id",
+        cap=cap,
+        salt=salt,
+        prerank_buckets=prerank_buckets,
+    )
+
+
 def dsir_log_ratio(
     docs: DataFrame,
     target_docs: DataFrame,

@@ -2149,6 +2149,50 @@ FROM ranked
 """
 
 
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling over the embedding corpus: assign
+    every vector to its nearest seed centroid (vec_id < 8, the
+    semantic-dedup coarse tier) with the zero-exchange literal-centroid
+    plan, then cap each cluster at 40 by hash rank — every cluster here
+    exceeds the cap and truncates (320 kept / 180 dropped at sf0.01);
+    the tail-cluster keep-everything branch is unit-tested."""
+    prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
+    coarse = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in prep.filter(F.col("vec_id") < 8).collect()
+    ]
+    return sampling.cluster_balanced_sample(prep, coarse, cap=40)
+
+
+SAMPLE_CLUSTER_BALANCED_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), nv AS (SELECT vec_id, SUM(e * e) AS n FROM u GROUP BY 1),
+c0 AS (SELECT vec_id AS cid, e, i FROM u WHERE vec_id < 8),
+cn0 AS (SELECT cid, SUM(e * e) AS cn FROM c0 GROUP BY 1),
+d1 AS (
+  SELECT u.vec_id, c0.cid, nv.n + cn0.cn - 2 * SUM(u.e * c0.e) AS d
+  FROM u JOIN c0 ON u.i = c0.i
+  JOIN nv ON u.vec_id = nv.vec_id
+  JOIN cn0 ON c0.cid = cn0.cid
+  GROUP BY 1, 2, nv.n, cn0.cn
+), a1 AS (
+  SELECT vec_id, cid AS list_id FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), ranked AS (
+  SELECT vec_id, list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY list_id
+           ORDER BY md5('cbal' || '|' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS r
+  FROM a1
+)
+SELECT vec_id, list_id, r <= 40 AS kept,
+       CASE WHEN r <= 40 THEN CAST(r AS INT) END AS rank
+FROM ranked
+"""
+
+
 def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier at scan bandwidth: token→weight
     bucket via md5, exact integer weight sum, mean-score threshold."""

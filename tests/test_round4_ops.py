@@ -267,6 +267,32 @@ def test_source_caps_small_domain_kept_whole(spark):
     assert out.filter(~F.col("kept")).count() == 0
 
 
+def test_cluster_balanced_sample_caps_head_keeps_tail(spark):
+    """Cluster-balanced subsampling: the dense planted cluster truncates
+    to the cap, the sparse one keeps everything — and assignment agrees
+    with the literal-centroid plan (every vector lands with its planted
+    centroid)."""
+    from nr_rfc_dischargeobs_spark.extensions import sampling as smp
+
+    # two planted centroids; 20 vectors near (100, 0), 3 near (0, 100)
+    vecs = [(i, [100 + (i % 5), int(i % 3)]) for i in range(20)]
+    vecs += [(100 + i, [int(i % 2), 100 + i]) for i in range(3)]
+    prepared = spark.createDataFrame(
+        [(i, q, sum(e * e for e in q)) for i, q in vecs],
+        ["vec_id", "q", "n"],
+    )
+    coarse = [(0, [100, 0]), (1, [0, 100])]
+    out = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in smp.cluster_balanced_sample(
+            prepared, coarse, cap=8
+        ).collect()
+    }
+    assert all(out[i][0] == 0 for i in range(20))
+    assert all(out[100 + i] == (1, True) for i in range(3))  # tail whole
+    assert sum(1 for lid, kept in out.values() if lid == 0 and kept) == 8
+
+
 # ---------------------------------------------------------------- classifier
 
 
