@@ -600,9 +600,17 @@ def connected_components_star(
     convergence is an exact distributed set-equality check (count +
     anti-join ``limit(1)``), nothing collects to the driver.
     """
-    e = _canon_edges(
-        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
-    ).localCheckpoint(eager=True)
+    raw = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    # node universe BEFORE self-loop removal: a node whose only edge is
+    # a self-loop must still appear in the output (as its own singleton
+    # component), exactly as the min-label variant labels it
+    nodes = (
+        raw.select(F.col("x").alias("node"))
+        .unionByName(raw.select(F.col("y").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _canon_edges(raw).localCheckpoint(eager=True)
     n_edges = e.count()
     for _ in range(max_iter):
         # --- large-star: v > u attaches to min(Γ(u) ∪ {u}) ---
@@ -645,11 +653,18 @@ def connected_components_star(
             " rounds — O(log n) is the proven bound, so this is a bug or"
             " a pathological input, not a tuning problem"
         )
-    # star forest: a = component root (min), b = member
+    # star forest: a = component root (min), b = member.  Union the
+    # star labels with a self-label per node from the PRE-canon node
+    # universe and take the min: roots and self-loop-only singletons
+    # label themselves (root label a ≤ node always, so min picks the
+    # star label whenever one exists) — one map-side-combinable
+    # aggregation, no anti-join.
     return (
         e.select(F.col("b").alias("node"), F.col("a").alias("label"))
         .unionByName(
             e.select(F.col("a").alias("node"), F.col("a").alias("label"))
         )
-        .distinct()
+        .unionByName(nodes.withColumn("label", F.col("node")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
     )

@@ -1170,7 +1170,14 @@ def gram_stats_arrow(
             if not len(pdf):
                 continue
             x = np.stack(pdf[embedding].to_numpy())
-            qm = np.rint(x.astype("float64") * quant).astype("int64")
+            # HALF-AWAY-FROM-ZERO, matching F.round()/quantized() — NOT
+            # np.rint, whose banker's rounding diverges on exact .5 grid
+            # points (0.5/quant is representable in float32, and
+            # rint(0.5)=0 while Spark round(0.5)=1)
+            scaled = x.astype("float64") * quant
+            qm = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                "int64"
+            )
             g = qm.T @ qm  # exact: |q| small enough that int64 never wraps
             s = qm.sum(axis=0)
             yield pd.DataFrame(
@@ -1217,6 +1224,12 @@ def pca_rotation(
     import numpy as np  # noqa: PLC0415
 
     rows = gram.collect() if isinstance(gram, DataFrame) else gram
+    if not rows:
+        raise ValueError(
+            "pca_rotation received an empty Gram aggregate — gram_stats"
+            " over an empty corpus produces no rows; train on a"
+            " non-empty embeddings table"
+        )
     n = rows[0]["n_vecs"]
     s = np.zeros(dim)
     g = np.zeros((dim, dim))
@@ -1286,7 +1299,12 @@ def opq_allocate(model: dict, m: int) -> dict:
         by_load = sorted(range(m), key=lambda b: (loads[b], b))
         for b, idx in zip(by_load, ranked[r * m : (r + 1) * m]):
             buckets[b].append(idx)
-            loads[b] += math.log(evs[idx] + eps)
+            # clamp at 0 before the log: eigh of a floating-point
+            # covariance can return tiny NEGATIVE eigenvalues (a PSD
+            # matrix computed as g/n − mean⊗mean), and on an all-
+            # degenerate spectrum (max ≤ 0) the eps fallback alone
+            # would feed log a negative argument
+            loads[b] += math.log(max(evs[idx], 0.0) + eps)
     order = [i for b in buckets for i in b]
     return {
         **model,

@@ -220,32 +220,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the empty-shingle filter mirrors shingle_rows' trim(shingle) != '' —
+# without it a degenerate (empty/whitespace) doc manufactures one ''
+# shingle in the oracle only and falsely near-dup-collides with every
+# other degenerate doc (the exact hazard shingle_rows' docstring fixed
+# on the operator side)
 _INC_SHINGLES = """
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
-           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
-                               string_split(lower(text), ' ')[i+1],
-                               string_split(lower(text), ' ')[i+2])))) AS shingle
-  FROM {side}
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+             i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                                 string_split(lower(text), ' ')[i+1],
+                                 string_split(lower(text), ' ')[i+2])))) AS shingle
+    FROM {side}
+  ) WHERE trim(shingle) <> ''
 """.strip()
 
-_INC_SIG = """
+
+def _minhash_sig_sql(sh: str, bands: int, rows_per_band: int) -> str:
+    """Banded-signature CTE body over a shingle relation ``sh`` —
+    GENERATED from (bands, rows_per_band) with the same fixed-width-salt
+    md5 family as ``_minhash_wide_sql``, so the hash-family spelling
+    lives in one parametric form instead of drifting across hand
+    copies."""
+    n_hashes = bands * rows_per_band
+    n_calls = max(2, -(-n_hashes // 4))
+    salts = ["", "x"] + [f"x{j:03d}" for j in range(2, n_calls)]
+    cat = " || ".join(
+        f"md5('{s}' || shingle)" if s else "md5(shingle)"
+        for s in salts[:n_calls]
+    )
+    mins = ",\n           ".join(
+        f"MIN(substr(__cat, {8 * h + 1}, 8)) AS h{h}"
+        for h in range(n_hashes)
+    )
+    if rows_per_band == 1:
+        bandsigs = ", ".join(f"h{b} AS mh{b}" for b in range(bands))
+    else:
+        bandsigs = ",\n         ".join(
+            "md5(concat_ws('|', {})) AS mh{}".format(
+                ", ".join(
+                    f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+                ),
+                b,
+            )
+            for b in range(bands)
+        )
+    return f"""
   SELECT doc_id,
-         md5(concat_ws('|', h0, h1)) AS mh0, md5(concat_ws('|', h2, h3)) AS mh1,
-         md5(concat_ws('|', h4, h5)) AS mh2, md5(concat_ws('|', h6, h7)) AS mh3
+         {bandsigs}
   FROM (
     SELECT doc_id,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 1, 8)) AS h0,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 9, 8)) AS h1,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 17, 8)) AS h2,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 25, 8)) AS h3,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 33, 8)) AS h4,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 41, 8)) AS h5,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 49, 8)) AS h6,
-           MIN(substr(md5(shingle) || md5('x' || shingle), 57, 8)) AS h7
-    FROM {sh} GROUP BY doc_id
+           {mins}
+    FROM (SELECT doc_id, {cat} AS __cat FROM {sh}) GROUP BY doc_id
   )
 """.strip()
+
 
 _INC_LONG = """
   SELECT doc_id, 'mh0' AS band, mh0 AS sig FROM {sig}
@@ -271,9 +301,9 @@ WITH newd AS (
 ), sh_c AS (
 {_INC_SHINGLES.format(side="corp")}
 ), sig_n AS (
-{_INC_SIG.format(sh="sh_n")}
+{_minhash_sig_sql("sh_n", bands=4, rows_per_band=2)}
 ), sig_c AS (
-{_INC_SIG.format(sh="sh_c")}
+{_minhash_sig_sql("sh_c", bands=4, rows_per_band=2)}
 ), long_n AS (
 {_INC_LONG.format(sig="sig_n")}
 ), long_c AS (

@@ -769,6 +769,8 @@ def test_connected_components_star_matches_min_label(spark):
         [(1, 2), (3, 4), (2, 3)],  # two pairs merged by a bridge
         [(i, i + 1) for i in range(1, 20)],  # 20-node path
         [(7, 3), (3, 9), (9, 1), (20, 21), (22, 21), (40, 41)],
+        [(7, 7), (1, 2)],  # self-loop-only node must survive as singleton
+        [(5, 5)],  # pure self-loop graph
     ]
     for edges_rows in cases:
         edges = spark.createDataFrame(edges_rows, ["doc_a", "doc_b"])

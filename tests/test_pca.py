@@ -34,8 +34,14 @@ def emb_df(spark, vectors):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def _half_away(x):
+    """HALF-AWAY-FROM-ZERO — Spark F.round()'s semantics; np.rint's
+    banker's rounding diverges on exact .5 grid points."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+
+
 def _numpy_gram(vectors):
-    q = np.rint(vectors.astype("float64") * QUANT).astype("int64")
+    q = _half_away(vectors.astype("float64") * QUANT)
     out = {}
     for i in range(DIM):
         for j in range(i, DIM):
@@ -66,6 +72,26 @@ def test_gram_stats_arrow_bit_identical(emb_df):
         similarity.gram_stats_arrow(emb_df, dim=DIM, quant=QUANT)
     )
     assert native == arrow
+
+
+def test_gram_stats_arrow_half_rounding_on_exact_grid_points(spark):
+    """Values landing EXACTLY on .5 grid points (0.5/quant and -2.5/quant
+    are float32-representable) must quantize half-AWAY-FROM-ZERO on both
+    paths — np.rint in the Arrow kernel would read 0 and -2 where Spark's
+    round reads 1 and -3."""
+    half = 0.5 / QUANT
+    rows = [
+        (0, [half, -5 * half, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [3 * half, -half, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    native = _collect_gram(similarity.gram_stats(df, dim=DIM, quant=QUANT))
+    arrow = _collect_gram(similarity.gram_stats_arrow(df, dim=DIM, quant=QUANT))
+    assert native == arrow
+    # and the values really are the away-from-zero ones: Σq over dim 0
+    # is 1 + 2 = 3 (banker's would read 0 + 2 = 2), dim 1 is -3 + -1 = -4
+    assert native[(0, 0)][1] == 3
+    assert native[(1, 1)][1] == -4
 
 
 def test_gram_stats_merge_across_shards(spark, emb_df, vectors):
@@ -161,6 +187,28 @@ def test_opq_allocate_balances_heavy_components():
         assert comp == model["components"][i]
     with pytest.raises(ValueError, match="divisible"):
         similarity.opq_allocate(model, m=3)
+
+
+def test_opq_allocate_degenerate_spectrum_does_not_crash():
+    """eigh of a floating-point covariance can return tiny NEGATIVE
+    eigenvalues on a (near-)constant corpus; allocation must clamp, not
+    crash in math.log."""
+    model = {
+        "mean": [0.0] * 4,
+        "components": [[float(i == j) for j in range(4)] for i in range(4)],
+        "eigenvalues": [-3e-19, -1e-20, 0.0, -5e-21],
+        "n_vecs": 3,
+    }
+    out = similarity.opq_allocate(model, m=2)
+    assert sorted(out["eigenvalues"]) == sorted(model["eigenvalues"])
+
+
+def test_pca_rotation_empty_corpus_raises_loudly(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.pca_rotation(
+            similarity.gram_stats(empty, dim=DIM, quant=QUANT), dim=DIM
+        )
 
 
 def _pq_total_err(spark, mat, m, k):
