@@ -484,6 +484,22 @@ def r10_extras_tier(spark, t: dict, docs_n: int, vecs_n: int) -> None:
               nd.filter(F.col("doc_id") % 50 != 0),
               bands=4, rows_per_band=2, n=3,
           ))
+    # the production form: corpus fingerprints + signatures are STORED
+    # artifacts (computed once here, stand-ins for the landed tables) —
+    # the admission join itself is what remains per ingest
+    corpus_side = nd.filter(F.col("doc_id") % 50 != 0)
+    fps = corpus_side.select(
+        F.md5("text").alias("fingerprint"), "doc_id"
+    ).localCheckpoint()
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_rows(corpus_side, n=3), bands=4, rows_per_band=2
+    ).localCheckpoint()
+    timed(t, "incremental_admission_stored_artifacts_1m",
+          dedup.incremental_admission(
+              nd.filter(F.col("doc_id") % 50 == 0),
+              bands=4, rows_per_band=2, n=3,
+              corpus_fingerprints=fps, corpus_signatures=sigs,
+          ))
     import hashlib
 
     terms = [
