@@ -171,6 +171,125 @@ def synth_clustered_embs(
     )
 
 
+def synth_aniso_embs(spark, n: int, dim: int = 64, rank: int = 6,
+                     noise: float = 0.02) -> DataFrame:
+    """n vectors on a rank-``rank`` manifold MIXED across all ``dim``
+    raw dimensions (a seeded orthonormal 64×rank mixing matrix folded
+    in as literals, decaying factor scales 1.5/(1+f)) plus small
+    independent noise — the ANISOTROPIC shape real embedding corpora
+    have and the only shape a decorrelating rotation can help:
+    :func:`synth_random_embs` is isotropic (rotation is a provable
+    noop) and :func:`synth_clustered_embs`' energy is cluster-centered,
+    so neither can measure the OPQ tier."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    w, _ = np.linalg.qr(rng.randn(dim, rank))
+    t_cols = []
+    for f in range(rank):
+        a, b = 12.9898 + 3.77 * f, 7.13 * f
+        h = f"sin(id * {a:.4f} + {b:.2f}) * 43758.5453"
+        t_cols.append(
+            f"(({h}) - floor({h}) - 0.5) * {1.5 / (1 + f):.6f} AS t{f}"
+        )
+    dims = []
+    for i in range(dim):
+        terms = " + ".join(
+            f"({w[i, f]:.8f}) * t{f}" for f in range(rank)
+        )
+        nz = f"sin(id * 7.1234 + {i} * 3.456) * 9871.123"
+        dims.append(
+            f"cast({terms} + {noise} * (({nz}) - floor({nz}) - 0.5)"
+            " as float)"
+        )
+    return (
+        spark.range(n)
+        .selectExpr("id AS vec_id", "id", *t_cols)
+        .selectExpr("vec_id", f"array({', '.join(dims)}) AS embedding")
+    )
+
+
+def rotation_recall_tier(spark, t: dict, n: int) -> None:
+    """Rotated-vs-raw PQ recall at volume — the at-scale evidence for
+    the PCA/OPQ tier: plain-PQ (m=16, k=16; trained by the SAME
+    sampler/trainer in both bases) over the anisotropic fixture, ADC
+    top-10 audited against one exact ground truth (rotation is
+    orthogonal, so exact neighbors are basis-invariant).  The rotated
+    basis comes from the full production path: `gram_stats_arrow` one
+    pass over the corpus → `pca_rotation` → `opq_allocate(m)` →
+    scan-local `pca_project`."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    m_, k_ = 16, 16
+    held = []
+    try:
+        aniso = synth_aniso_embs(spark, n)
+        prep = similarity.prepare(aniso).persist()
+        held.append(prep)
+        prep.count()
+        exact10 = similarity.brute_force_topk_arrow(
+            prep.filter(F.col("vec_id") < 256),
+            prep.filter(F.col("vec_id") >= 256),
+            k=10,
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+
+        t0 = time.time()
+        model = similarity.opq_allocate(
+            similarity.pca_rotation(
+                similarity.gram_stats_arrow(aniso, dim=64), dim=64
+            ),
+            m=m_,
+        )
+        t["rotation_train_gram_1m"] = {
+            "sec": round(time.time() - t0, 1), "rows": 64 * 65 // 2,
+        }
+        rotated = similarity.pca_project(aniso, model).selectExpr(
+            "vec_id", "pvec AS embedding"
+        )
+        prep_rot = similarity.prepare(rotated).persist()
+        held.append(prep_rot)
+        prep_rot.count()
+
+        for label, p in (("raw", prep), ("rotated", prep_rot)):
+            q_side = p.filter(F.col("vec_id") < 256)
+            c_side = p.filter(F.col("vec_id") >= 256)
+            sample = c_side.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0
+            )
+            t0 = time.time()
+            cb = similarity.pq_train_codebooks(
+                sample.select("vec_id", "q"), k=k_, m=m_, dim=64, iters=4
+            )
+            codes = similarity.pq_codes(c_side, cb, m=m_, dim=64).persist()
+            held.append(codes)
+            codes.count()
+            row = similarity.ann_recall(
+                similarity.pq_adc_topk(
+                    q_side, codes, cb, k=10, m=m_, dim=64
+                ),
+                exact10,
+            ).agg(
+                F.avg("recall").alias("r"), F.count(F.lit(1)).alias("nq")
+            ).collect()[0]
+            key = f"ann_recall10_{n // 1_000_000}m_aniso_pq_{label}"
+            t[key] = {
+                "sec": round(time.time() - t0, 1),
+                "rows": row.nq,
+                "mean_recall_at_10": round(row.r, 4),
+            }
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+            codes.unpersist()
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["rotation_tier_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  rotation tier: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def ann_recall_tier(spark, t: dict, adc_n: int) -> None:
     """recall@10 vs the exact baseline — the FULL round-9 matrix:
     fixture × codebook × nprobe.  Fixtures: CLUSTERED (64 true
@@ -526,6 +645,9 @@ def main() -> int:
     ap.add_argument("--only-r10x", action="store_true",
                     help="run ONLY the round-10 extras tier (PCA gram, "
                          "star CC, incremental admission, BM25)")
+    ap.add_argument("--only-rot", action="store_true",
+                    help="run ONLY the rotated-vs-raw PQ recall tier "
+                         "over the anisotropic fixture")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -558,6 +680,14 @@ def main() -> int:
 
     if args.only_r10x:
         r10_extras_tier(spark, t, args.docs, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_rot:
+        rotation_recall_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
