@@ -73,90 +73,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the correctness gate
-    # checks the FIRST 50 entries.  Round-10 window: lead with every plan
-    # this round's code touched — the THREE new queries (cross-corpus
-    # incremental admission, the PCA/OPQ Gram aggregate, star connected
-    # components), the NEW stored-artifact IVFADC query, every
-    # ivf_pq/ivfadc search (the structural index-materialization
-    # barrier sits on their path), the PQ trainer/encoder pair and the
-    # ADC searches (encode dial + LUT-spelling threshold), and the
-    # kmeans/semantic-dedup pair (kmeans_lite assign parameter) — then
-    # rotate in the queries whose latest driver check is OLDEST: the
-    # whole r7-witnessed set (TPC-H, ts_*, winnowing, diagnostics).
-    # Five of r10's original 50 slip below the window to make room for
-    # the five new heads: a1/a2/a3 (r8-witnessed) and ts_zscore_anomaly
-    # + ts_value_histogram (r7-witnessed — refresh deferred to r11);
-    # every displaced query's latest green witness stands, and all five
-    # are re-verified in this session's local full sweep.
+    # checks the FIRST 50 entries.  Round-11 window: the TWO new queries
+    # (rotated IVFADC store, filtered IVFADC search), then the five
+    # queries whose latest driver witness was oldest (a1/a2/a3
+    # r8-witnessed, ts_zscore_anomaly + ts_value_histogram r7-witnessed
+    # — the refresh VERDICT r10 asked for), then every plan r11's code
+    # touched (the session-scoped store build, the where= dial on
+    # ivfadc_topk, cc_star's light mode, BM25's plan-cache persist, the
+    # farthest-first seeding fix under kmeans/semantic-dedup), then the
+    # oldest remaining witnesses (the r8/r9-witnessed block: wide-dedup,
+    # w/fn/an families, text stats, curation).  TPC-H, ts_* and the
+    # r10 heads were all refreshed in CORRECTNESS_r10 and slip below.
     # Invariant preserved (since r5): the union of CORRECTNESS_r01..r0N
     # rows covers every registered query with its latest check green.
     # Everything displaced is re-verified locally via
     # tools/check_oracle.py each round.
     return {
-        # --- new this round (r10): driver verifies first ---
-        "ext_dedup_incremental": extensions.dedup_incremental,
-        "ext_sim_pca_gram": extensions.sim_pca_gram,
-        "ext_dedup_cc_star": extensions.dedup_cc_star,
-        "ext_text_bm25_topk": extensions.text_bm25_topk,
-        "ext_sample_cluster_balanced": extensions.sample_cluster_balanced,
-        # --- changed this round (r10) ---
-        # the structural index-materialization barrier touches every
-        # ivf_pq/ivfadc search; the encode/assign dials touch the PQ
-        # trainer, encoder and kmeans; the store query is new
-        "ext_sim_ivfadc_store_topk": extensions.sim_ivfadc_store_topk,
-        "ext_sim_ivfadc_topk": extensions.sim_ivfadc_topk,
-        "ext_sim_ivf_pq_topk": extensions.sim_ivf_pq_topk,
-        "ext_sim_ivf_pq_refined": extensions.sim_ivf_pq_refined,
-        "ext_sim_pq_train_codebook": extensions.sim_pq_train_codebook,
-        "ext_sim_pq_adc_topk": extensions.sim_pq_adc_topk,
-        "ext_sim_pq_codes": extensions.sim_pq_codes,
-        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
-        "ext_sim_semantic_dedup": extensions.sim_semantic_dedup,
-        # --- oldest driver witnesses (r7): rotate back into the window ---
-        "ext_diag_psi_drift": extensions.diag_psi_drift,
-        "ext_diag_skew_profile": extensions.diag_skew_profile,
-        "ext_text_bpe_segment": extensions.text_bpe_segment,
-        "ext_text_collocations": extensions.text_collocations,
-        "ext_text_winnow_fps": extensions.text_winnow_fps,
-        "ext_text_winnow_pairs": extensions.text_winnow_pairs,
-        "fn_formula_estimate": events.formula_estimate,
-        "tpch_q10_returned_item_report": tpch.returned_item_report,
-        "tpch_q11_important_stock": tpch.important_stock,
-        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
-        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
-        "tpch_q14_promo_revenue": tpch.promo_revenue,
-        "tpch_q15_top_supplier": tpch.top_supplier,
-        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
-        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
-        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
-        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
-        "tpch_q1_pricing_summary": tpch.pricing_summary,
-        "tpch_q20_excess_shippers": tpch.excess_shippers,
-        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
-        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
-        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
-        "tpch_q3_shipping_priority": tpch.shipping_priority,
-        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
-        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
-        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
-        "tpch_q7_volume_shipping": tpch.volume_shipping,
-        "tpch_q8_market_share": tpch.market_share,
-        "tpch_q9_product_type_profit": tpch.product_type_profit,
-        "ts_completeness_daily": timeseries.completeness_daily,
-        "ts_dow_hour_profile": timeseries.dow_hour_profile,
-        "ts_interpolate_hourly": timeseries.interpolate_hourly,
-        "ts_moving_avg_1h": timeseries.moving_avg_1h,
-        "ts_percentile_summary": timeseries.percentile_summary,
-        "ts_spike_flags": timeseries.spike_flags,
-        "ts_trapezoid_volume": timeseries.trapezoid_volume,
-        "ts_value_histogram": timeseries.value_histogram,
-        "ts_zscore_anomaly": timeseries.zscore_anomaly,
-        # --- window tail: head of the r8-witnessed set ---
+        # --- new this round (r11): driver verifies first ---
+        "ext_sim_ivfadc_rotated": extensions.sim_ivfadc_rotated,
+        "ext_sim_ivfadc_filtered": extensions.sim_ivfadc_filtered,
+        # --- stalest witnesses, refreshed per VERDICT r10 task 4 ---
         "a1_hourly_rollup_last_override": events.hourly_rollup_last_override,
         "a2_rising_falling_recurrence": events.rising_falling_hourly,
         "a3_daily_rollup_chain": events.daily_rollup_chain,
-        # --- below the 50-query window: latest witness r8/r9 green;
-        # re-verified locally via tools/check_oracle.py each round ---
+        "ts_zscore_anomaly": timeseries.zscore_anomaly,
+        "ts_value_histogram": timeseries.value_histogram,
+        # --- r11-touched plans ---
+        "ext_sim_ivfadc_store_topk": extensions.sim_ivfadc_store_topk,
+        "ext_sim_ivfadc_topk": extensions.sim_ivfadc_topk,
+        "ext_dedup_cc_star": extensions.dedup_cc_star,
+        "ext_text_bm25_topk": extensions.text_bm25_topk,
+        "ext_sim_kmeans_clusters": extensions.sim_kmeans_clusters,
+        "ext_sim_semantic_dedup": extensions.sim_semantic_dedup,
+        # --- oldest remaining witnesses (r8/r9): rotate into the window ---
         "ext_dedup_minhash_wide": extensions.dedup_minhash_wide,
         "ext_dedup_lsh_pairs_capped": extensions.dedup_lsh_pairs_capped,
         "ext_dedup_minhash_signatures": extensions.dedup_minhash_signatures,
@@ -195,8 +144,54 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sample_dsir_select": extensions.sample_dsir_select,
         "ext_pack_sequence_rows": extensions.pack_sequence_rows_plan,
         "ext_sample_unimax": extensions.sample_unimax,
+        # --- below the 50-query window: latest witness r9/r10 green;
+        # re-verified locally via tools/check_oracle.py each round ---
         "ext_sim_ann_recall": extensions.sim_ann_recall,
         "ext_decontam_bloom": extensions.decontam_bloom,
+        "ext_dedup_incremental": extensions.dedup_incremental,
+        "ext_sim_pca_gram": extensions.sim_pca_gram,
+        "ext_sample_cluster_balanced": extensions.sample_cluster_balanced,
+        "ext_sim_ivf_pq_topk": extensions.sim_ivf_pq_topk,
+        "ext_sim_ivf_pq_refined": extensions.sim_ivf_pq_refined,
+        "ext_sim_pq_train_codebook": extensions.sim_pq_train_codebook,
+        "ext_sim_pq_adc_topk": extensions.sim_pq_adc_topk,
+        "ext_sim_pq_codes": extensions.sim_pq_codes,
+        "ext_diag_psi_drift": extensions.diag_psi_drift,
+        "ext_diag_skew_profile": extensions.diag_skew_profile,
+        "ext_text_bpe_segment": extensions.text_bpe_segment,
+        "ext_text_collocations": extensions.text_collocations,
+        "ext_text_winnow_fps": extensions.text_winnow_fps,
+        "ext_text_winnow_pairs": extensions.text_winnow_pairs,
+        "fn_formula_estimate": events.formula_estimate,
+        "tpch_q10_returned_item_report": tpch.returned_item_report,
+        "tpch_q11_important_stock": tpch.important_stock,
+        "tpch_q12_line_priority_counts": tpch.line_priority_counts,
+        "tpch_q13_customer_order_distribution": tpch.customer_order_distribution,
+        "tpch_q14_promo_revenue": tpch.promo_revenue,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q16_parts_supplier_relationship": tpch.parts_supplier_relationship,
+        "tpch_q17_small_quantity_revenue": tpch.small_quantity_revenue,
+        "tpch_q18_large_volume_customer": tpch.large_volume_customer,
+        "tpch_q19_disjunctive_revenue": tpch.disjunctive_revenue,
+        "tpch_q1_pricing_summary": tpch.pricing_summary,
+        "tpch_q20_excess_shippers": tpch.excess_shippers,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q22_idle_rich_customers": tpch.idle_rich_customers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "tpch_q3_shipping_priority": tpch.shipping_priority,
+        "tpch_q4_order_priority_exists": tpch.order_priority_exists,
+        "tpch_q5_local_supplier_volume": tpch.local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.forecast_revenue,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q9_product_type_profit": tpch.product_type_profit,
+        "ts_completeness_daily": timeseries.completeness_daily,
+        "ts_dow_hour_profile": timeseries.dow_hour_profile,
+        "ts_interpolate_hourly": timeseries.interpolate_hourly,
+        "ts_moving_avg_1h": timeseries.moving_avg_1h,
+        "ts_percentile_summary": timeseries.percentile_summary,
+        "ts_spike_flags": timeseries.spike_flags,
+        "ts_trapezoid_volume": timeseries.trapezoid_volume,
         "ext_sketch_hll_vocab": extensions.sketch_hll_vocab,
         "ext_sketch_cms_heavy": extensions.sketch_cms_heavy,
         "ext_sketch_hist_quantiles": extensions.sketch_hist_quantiles,
@@ -335,6 +330,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_ivf_pq_refined": extensions.SIM_IVF_PQ_REFINED_SQL,
         "ext_sim_ivfadc_topk": extensions.SIM_IVFADC_TOPK_SQL,
         "ext_sim_ivfadc_store_topk": extensions.SIM_IVFADC_STORE_TOPK_SQL,
+        "ext_sim_ivfadc_rotated": extensions.SIM_IVFADC_ROTATED_SQL,
+        "ext_sim_ivfadc_filtered": extensions.SIM_IVFADC_FILTERED_SQL,
         "ext_sim_pq_train_codebook": extensions.SIM_PQ_TRAIN_CODEBOOK_SQL,
         "ext_dedup_incremental": extensions.DEDUP_INCREMENTAL_SQL,
         "ext_sim_pca_gram": extensions.SIM_PCA_GRAM_SQL,

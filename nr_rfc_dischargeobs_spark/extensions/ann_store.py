@@ -32,12 +32,52 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import similarity
 
 MODEL_FILE = "_ivfadc_model.json"
+# version 1: table + coarse/codebook model.  Version 2 adds the optional
+# query-side ROTATION (the FAISS OPQ pre-transform carried with the
+# artifact): a v1 reader would search a rotated index with unrotated
+# queries — silently wrong — so rotated artifacts version-bump and an
+# old loader refuses them loudly; unrotated artifacts keep writing v1,
+# and this loader reads both.
 _FORMAT_VERSION = 1
+_ROTATED_VERSION = 2
+
+
+def _check_rotation(rotation: dict | None) -> dict | None:
+    """Validate a rotation spec: ``mode`` is ``"pre"`` (a trained float
+    model — :func:`~.similarity.pca_rotation` / ``opq_train`` output,
+    applied to raw embeddings via ``pca_project`` BEFORE quantization)
+    or ``"post_int"`` (an all-integer matrix — e.g.
+    :func:`~.similarity.hadamard_rows` — applied to the quantized
+    vectors via ``rotate_quantized``; exact, hence oracle-checkable).
+    Returns a plain-JSON-normalized copy."""
+    if rotation is None:
+        return None
+    mode = rotation.get("mode")
+    comps = rotation.get("components")
+    if mode not in ("pre", "post_int") or not comps:
+        raise ValueError(
+            'rotation must carry mode "pre" or "post_int" and a non-empty'
+            " components matrix"
+        )
+    if mode == "post_int":
+        if any(int(v) != v for row in comps for v in row):
+            raise ValueError(
+                "post_int rotation components must be integers — a float"
+                " matrix belongs in a mode='pre' spec"
+            )
+        return {"mode": mode,
+                "components": [[int(v) for v in row] for row in comps]}
+    mean = rotation.get("mean") or [0.0] * len(comps[0])
+    return {
+        "mode": mode,
+        "components": [[float(v) for v in row] for row in comps],
+        "mean": [float(v) for v in mean],
+    }
 
 
 def _local_path(path: str) -> str:
@@ -70,6 +110,7 @@ class IvfadcIndex:
     dim: int
     coarse_rows: list[tuple[int, list[int]]]
     centroid_rows: list[tuple[int, list[int]]]
+    rotation: dict | None = None
 
     def frame(self, spark: SparkSession) -> DataFrame:
         """The stored code table (vec_id, list_id, code_*, sq_err, rn)."""
@@ -86,15 +127,49 @@ class IvfadcIndex:
             "vec_id long, q array<bigint>, n long",
         )
 
+    def prepare_queries(self, emb: DataFrame) -> DataFrame:
+        """Raw (vec_id, embedding) queries → the INDEX'S basis: the
+        sidecar rotation (if any) applied exactly as it was at build
+        time, then quantized.  This is why the rotation rides with the
+        artifact — a fresh session cannot search a rotated index
+        correctly without it."""
+        if self.rotation is None:
+            return similarity.prepare(emb)
+        if self.rotation["mode"] == "post_int":
+            return similarity.rotate_quantized(
+                similarity.prepare(emb), self.rotation["components"]
+            )
+        return similarity.rotate_prepare(emb, self.rotation)
+
+    def search_embeddings(
+        self,
+        emb: DataFrame,
+        k: int = 3,
+        nprobe: int = 2,
+        where=None,
+    ) -> DataFrame:
+        """Search from RAW embeddings — :meth:`prepare_queries` then
+        :meth:`search`.  The safe entry point for rotated artifacts:
+        it cannot be called with queries in the wrong basis."""
+        return self.search(
+            self.prepare_queries(emb), k=k, nprobe=nprobe, where=where
+        )
+
     def search(
         self,
         queries: DataFrame,
         k: int = 3,
         nprobe: int = 2,
+        where=None,
     ) -> DataFrame:
         """Residual-ADC top-k over the stored index.  ``queries`` is a
-        :func:`~.similarity.prepare` frame; output is ivfadc_topk's
-        (query_id, neighbor_id, rank, cosine_adc)."""
+        :func:`~.similarity.prepare` frame ALREADY IN THE INDEX'S BASIS
+        (for a rotated artifact, use :meth:`search_embeddings` or
+        :meth:`prepare_queries` — raw-basis queries against a rotated
+        index score garbage); output is ivfadc_topk's (query_id,
+        neighbor_id, rank, cosine_adc).  ``where`` pre-filters the
+        probed-list scan (hybrid search) — see
+        :func:`~.similarity.ivfadc_topk`."""
         spark = queries.sparkSession
         return similarity.ivfadc_topk(
             queries,
@@ -105,6 +180,7 @@ class IvfadcIndex:
             nprobe=nprobe,
             m=self.m,
             dim=self.dim,
+            where=where,
         )
 
 
@@ -115,6 +191,7 @@ def save_ivfadc(
     centroid_rows: list[tuple[int, list[int]]],
     m: int = 4,
     dim: int = 64,
+    rotation: dict | None = None,
 ) -> IvfadcIndex:
     """Write an :func:`~.similarity.ivf_pq_index(residual=True)` frame
     as a complete self-describing artifact: the code table partitioned
@@ -122,8 +199,17 @@ def save_ivfadc(
     append) followed by the model sidecar.  Validates the model shape
     (:func:`~.similarity._pq_check`) and the residual layout (the
     stored ``rn`` column) BEFORE writing — a raw-coded index saved here
-    would search wrong, the same guard as ``ivfadc_topk``."""
+    would search wrong, the same guard as ``ivfadc_topk``.
+
+    ``rotation`` (see :func:`_check_rotation`) records the pre-transform
+    the corpus went through before indexing — the FAISS
+    ``OPQxx,IVFyy,PQzz`` chain's OPQ matrix, carried WITH the artifact
+    so any fresh session rotates queries identically
+    (:meth:`IvfadcIndex.search_embeddings`).  Rotated artifacts write
+    format version 2; version-1 readers refuse them instead of
+    silently searching with unrotated queries."""
     similarity._pq_check(centroid_rows, m, dim)
+    rotation = _check_rotation(rotation)
     if "rn" not in index.columns:
         raise ValueError(
             "save_ivfadc stores the residual (IVFADC) layout — build the"
@@ -135,13 +221,16 @@ def save_ivfadc(
         .mode("overwrite")
         .parquet(path)
     )
-    write_ivfadc_model(path, coarse_rows, centroid_rows, m=m, dim=dim)
+    write_ivfadc_model(
+        path, coarse_rows, centroid_rows, m=m, dim=dim, rotation=rotation
+    )
     return IvfadcIndex(
         path=path, m=int(m), dim=int(dim),
         coarse_rows=[(int(c), [int(v) for v in q]) for c, q in coarse_rows],
         centroid_rows=[
             (int(c), [int(v) for v in q]) for c, q in centroid_rows
         ],
+        rotation=rotation,
     )
 
 
@@ -151,6 +240,7 @@ def write_ivfadc_model(
     centroid_rows: list[tuple[int, list[int]]],
     m: int = 4,
     dim: int = 64,
+    rotation: dict | None = None,
 ) -> None:
     """Write ONLY the model sidecar into an existing index directory —
     the streamed-index completion: :func:`~..streaming.ann.
@@ -163,9 +253,12 @@ def write_ivfadc_model(
     rename commit as :func:`save_ivfadc`, so a concurrent loader never
     reads a half-written JSON."""
     similarity._pq_check(centroid_rows, m, dim)
+    rotation = _check_rotation(rotation)
     local = _local_path(path)
     model = {
-        "format_version": _FORMAT_VERSION,
+        "format_version": (
+            _ROTATED_VERSION if rotation is not None else _FORMAT_VERSION
+        ),
         "layout": "ivfadc_residual",
         "m": int(m),
         "dim": int(dim),
@@ -177,6 +270,8 @@ def write_ivfadc_model(
         ],
         "quant": similarity.QUANT,
     }
+    if rotation is not None:
+        model["rotation"] = rotation
     tmp = os.path.join(local, MODEL_FILE + ".part")
     with open(tmp, "w") as fh:
         json.dump(model, fh)
@@ -197,10 +292,15 @@ def load_ivfadc(path: str) -> IvfadcIndex:
         )
     with open(sidecar) as fh:
         model = json.load(fh)
-    if model.get("format_version") != _FORMAT_VERSION:
+    version = model.get("format_version")
+    if version not in (_FORMAT_VERSION, _ROTATED_VERSION):
         raise ValueError(
-            f"unknown ivfadc artifact version {model.get('format_version')!r}"
-            f" (this engine reads {_FORMAT_VERSION})"
+            f"unknown ivfadc artifact version {version!r} (this engine"
+            f" reads {_FORMAT_VERSION} and {_ROTATED_VERSION})"
+        )
+    if version == _ROTATED_VERSION and "rotation" not in model:
+        raise ValueError(
+            "version-2 artifact without a rotation spec — corrupt sidecar"
         )
     if model.get("layout") != "ivfadc_residual":
         raise ValueError(f"unknown index layout {model.get('layout')!r}")
@@ -222,4 +322,119 @@ def load_ivfadc(path: str) -> IvfadcIndex:
             (int(cid), [int(v) for v in cq])
             for cid, cq in model["centroid_rows"]
         ],
+        rotation=_check_rotation(model.get("rotation")),
     )
+
+
+def rebalance_ivfadc(
+    spark: SparkSession,
+    path: str,
+    corpus_prepared: DataFrame,
+    threshold: float = 4.0,
+    sample_mod: int = 20,
+    lloyd_iters: int = 3,
+    assign: str = "window",
+) -> dict:
+    """Index MAINTENANCE under corpus drift: streamed admission
+    (:func:`~..streaming.ann.ivfadc_index_stream`) assigns new vectors
+    to a coarse quantizer trained on yesterday's distribution, so a
+    drifting corpus piles into a few hot lists — probe cost grows
+    toward a scan of the hot list and recall-per-scanned-byte decays.
+    This sweep watches exactly that and repairs it only when warranted:
+
+    1. **Trigger** — one combine-friendly aggregate over the stored
+       code table (``skew_profile`` discipline): max list occupancy
+       over MEAN occupancy across all ``n_lists`` trained lists (empty
+       lists count — a quantizer whose lists drifted empty is
+       imbalanced even if the occupied ones look even).  At or below
+       ``threshold`` the sweep is a cheap NO-OP: one aggregation, the
+       artifact untouched, ``rebalanced: False``.
+    2. **Re-train** — coarse centroids re-learned on a bounded hash
+       sample of the CURRENT corpus (:func:`~.similarity.
+       farthest_first_seeds` + :func:`~.similarity.kmeans_lite`, the
+       settled production recipe; ``assign="arrow"`` for n_lists ≈ √n).
+    3. **Rewrite** — the full index rebuilt from ``corpus_prepared``
+       against the new coarse (same PQ codebook: it was trained on
+       residual GEOMETRY, which survives a coarse refresh to second
+       order — retraining it too is a separate, dearer decision the
+       caller can take with :func:`~.similarity.pq_train_codebooks` +
+       :func:`save_ivfadc`), staged and swapped through the
+       crash-recoverable compaction engine (:func:`~..streaming.
+       documents.compact_corpus` — snapshot guard, ``.precompact``
+       recovery), with the refreshed model sidecar written INTO the
+       stage so table and model can never be swapped separately.
+
+    ``corpus_prepared`` is the current corpus in the INDEX'S BASIS
+    (for a rotated artifact: ``load_ivfadc(path).prepare_queries(raw)``)
+    — codes cannot be reassigned from the stored table alone, since
+    re-encoding decoded reconstructions would compound quantization
+    error into the scores.
+
+    Returns a report dict: ``{rebalanced, n_lists, n_codes,
+    skew_before[, skew_after, n_lists_after, kept]}``.
+    """
+    from ..streaming.documents import compact_corpus
+    from .diagnostics import skew_profile
+
+    loaded = load_ivfadc(path)
+    n_lists = len(loaded.coarse_rows)
+
+    def _skew(frame: DataFrame, lists: int) -> tuple[float, int]:
+        prof = skew_profile(frame, "list_id", top=1).collect()[0]
+        n = int(prof["n_rows"])
+        return (float(prof["cnt"]) * lists / n if n else 0.0), n
+
+    skew, n_codes = _skew(loaded.frame(spark), n_lists)
+    report = {
+        "rebalanced": False,
+        "n_lists": n_lists,
+        "n_codes": n_codes,
+        "skew_before": round(skew, 3),
+    }
+    if skew <= threshold:
+        return report
+
+    sample = corpus_prepared.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+    )
+    new_coarse = similarity.kmeans_lite(
+        sample,
+        k=n_lists,
+        iters=lloyd_iters,
+        seeds=similarity.farthest_first_seeds(sample, n_lists),
+        assign=assign,
+    )
+    new_rows = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in new_coarse.select("vec_id", "q").collect()
+    )
+
+    def transform(_old_codes: DataFrame) -> DataFrame:
+        return similarity.ivf_pq_index(
+            corpus_prepared,
+            None,
+            loaded.centroid_rows,
+            m=loaded.m,
+            dim=loaded.dim,
+            assign="local" if assign == "window" else assign,
+            residual=True,
+            coarse_rows=new_rows,
+        )
+
+    def finalize(staged: str) -> None:
+        write_ivfadc_model(
+            staged, new_rows, loaded.centroid_rows,
+            m=loaded.m, dim=loaded.dim, rotation=loaded.rotation,
+        )
+
+    kept, _ = compact_corpus(
+        spark, path, transform, partition_by=("list_id",), finalize=finalize
+    )
+    skew_after, _ = _skew(load_ivfadc(path).frame(spark), len(new_rows))
+    report.update(
+        rebalanced=True,
+        kept=int(kept),
+        n_lists_after=len(new_rows),
+        skew_after=round(skew_after, 3),
+    )
+    return report

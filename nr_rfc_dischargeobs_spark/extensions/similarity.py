@@ -475,6 +475,18 @@ def farthest_first_seeds(
             prev.unpersist()
         prev = work
         seeds.append((int(far["vec_id"]), [int(v) for v in far["q"]]))
+        # …but cache substitution is ADVISORY: when the planner misses it
+        # (observed flakily at k=64), the analyzed plan is the FULL
+        # k-round nested least()/HOF chain, and its serialized expression
+        # tree overflows the task deserializer's stack.  Every 16 rounds,
+        # hard-truncate to a LogicalRDD — a structural bound the planner
+        # cannot decline.  Cost: ≤ k/16 pinned sample-scale block sets
+        # (freed with the chain on driver GC), against the probe tiers'
+        # storage budget a bounded, documented exception.
+        if len(seeds) % 16 == 0:
+            ck = work.localCheckpoint(eager=True)
+            work.unpersist()
+            work, prev = ck, None
     if prev is not None:
         prev.unpersist()
     return seeds
@@ -1353,11 +1365,18 @@ def opq_train(
     n_total = emb.count()
     if n_total == 0:
         raise ValueError("opq_train received an empty embeddings frame")
-    frac_mod = max(1, n_total // sample_limit)
+    # deterministic cut, partition-order-proof: the hash prefilter
+    # bounds the sort input to ~sample_limit rows (ceil keeps the
+    # expected survivor count AT OR BELOW the limit), then the
+    # hash-ordered TakeOrdered picks the same rows under any
+    # partitioning — an unordered .limit() here trained a rotation
+    # that could differ between runs of the same corpus
+    frac_mod = -(-n_total // sample_limit)  # ceil
     rows = (
         emb.filter(F.pmod(F.xxhash64(vec_id), F.lit(frac_mod)) == 0)
-        .select(embedding)
+        .orderBy(F.xxhash64(vec_id), F.col(vec_id))
         .limit(sample_limit)
+        .select(embedding)
         .collect()
     )
     x = np.array([r[0] for r in rows], dtype="float64")
@@ -1435,6 +1454,78 @@ def pca_project(
             - F.lit(const)
         )
     return emb.select(F.col(vec_id), F.array(*outs).alias("pvec"))
+
+
+def rotate_prepare(
+    emb: DataFrame,
+    model: dict,
+    vec_id: str = "vec_id",
+    embedding: str = "embedding",
+) -> DataFrame:
+    """The FAISS ``OPQxx,IVFyy,PQzz`` pre-transform entry point: project
+    raw embeddings through a trained rotation (:func:`pca_rotation` /
+    :func:`opq_allocate` / :func:`opq_train` output) and quantize the
+    result — a :func:`prepare`-shaped (vec_id, q, n) frame in the
+    ROTATED basis, ready for the whole IVF/PQ stack unchanged.  The
+    rotation composes BEFORE quantization, not inside the index build:
+    coarse assignment, residuals, codebook training and ADC search all
+    operate on rotated integers, so every downstream operator (and its
+    exactness story) is reused verbatim.  Scan-local like
+    :func:`pca_project` — the rotation rides as literal arrays."""
+    return prepare(
+        pca_project(emb, model, vec_id=vec_id, embedding=embedding),
+        vec_id=vec_id,
+        embedding="pvec",
+    )
+
+
+def hadamard_rows(dim: int) -> list[list[int]]:
+    """The ±1 Sylvester–Hadamard matrix H(dim) as row lists —
+    ``h[c][i] = (−1)^popcount(c AND i)``, dim a power of two.  H·Hᵀ =
+    dim·I, so H is an ORTHOGONAL rotation up to the uniform scale
+    √dim — and cosine is scale-invariant, so rotating every vector by H
+    preserves all cosine rankings EXACTLY while mixing every input
+    coordinate into every output coordinate.  Two uses: the
+    deterministic, engine-exact rotation instance the registered
+    rotated-IVFADC query pins (every entry is ±1, so the rotation of a
+    quantized vector is exact BIGINT arithmetic any engine reproduces —
+    a trained float rotation could not be oracle-checked bit-exactly),
+    and the classic structured-rotation trick itself (random-rotation
+    LSH preconditioning uses exactly this matrix)."""
+    if dim < 1 or dim & (dim - 1):
+        raise ValueError(f"Hadamard dimension must be a power of 2, got {dim}")
+    return [
+        [1 if bin(c & i).count("1") % 2 == 0 else -1 for i in range(dim)]
+        for c in range(dim)
+    ]
+
+
+def rotate_quantized(
+    prepared: DataFrame, rows: list[list[int]]
+) -> DataFrame:
+    """Apply an INTEGER rotation matrix to a :func:`prepare` frame —
+    ``q'[c] = Σᵢ rows[c][i]·q[i]``, exact BIGINTs end to end (the
+    :func:`hadamard_rows` companion; any all-integer matrix works).
+    Output is again (vec_id, q, n): the rotated frame drops into the
+    IVF/PQ stack exactly like an unrotated one.
+
+    Scan-local and exchange-free: the matrix is a model parameter
+    (dim² small ints) folded in as literal arrays — one ``zip_with``
+    fold per output coordinate, the :func:`pca_project` plan shape on
+    the integer grid.  Order-independence is unconditional (BIGINT
+    addition is associative), which is what makes a rotated index
+    DuckDB-oracle-checkable where a float rotation is only
+    fold-order-reproducible."""
+    dim = len(rows)
+    folds = ", ".join(
+        "aggregate(zip_with(q, {r}, (v, s) -> v * s),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)".format(r=_vec_sql(row))
+        for row in rows
+    )
+    if any(len(row) != dim for row in rows):
+        raise ValueError("rotation matrix must be square")
+    out = prepared.selectExpr("vec_id", f"array({folds}) AS q")
+    return out.withColumn("n", sq_norm(F.col("q")))
 
 
 def pq_codes(
@@ -2167,6 +2258,7 @@ def ivfadc_topk(
     nprobe: int = 2,
     m: int = 4,
     dim: int = 64,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """IVFADC search — :func:`ivf_pq_topk` for a RESIDUAL-encoded index
     (``ivf_pq_index(residual=True)`` + :func:`pq_train_codebooks`): the
@@ -2197,6 +2289,19 @@ def ivfadc_topk(
     in-plan build is persisted here first so its staged encode can never
     inline under the search join (the round-9 codegen detonation).
 
+    ``where`` is the FILTERED (hybrid) search dial — "top-k WHERE facet
+    = X", the question every production vector store answers.  The
+    predicate (a Column or SQL string over the index's columns —
+    ``vec_id``, ``list_id``, any metadata column the caller joined or
+    carried into the index frame before saving) is applied to the
+    probed-list scan BEFORE ADC scoring, so a stored-artifact search
+    pushes it into the parquet scan (pre-filtering): the result is the
+    TRUE top-k among matching vectors — post-filtering an unfiltered
+    top-k slate would return fewer than k under any selective
+    predicate.  Recall under filtering degrades with selectivity (the
+    survivors concentrate in fewer probed lists); SCALE_PROBE.json
+    records the recall-vs-selectivity curve at 1M codes.
+
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
     cents, dsub = _pq_check(centroid_rows, m, dim)
@@ -2206,6 +2311,12 @@ def ivfadc_topk(
             " column — build it with ivf_pq_index(..., residual=True)"
         )
     index = _index_barrier(index, "ivfadc_topk")
+    if where is not None:
+        # pre-filter: BEFORE the column prune and the probe join, so the
+        # predicate may reference metadata columns that the search
+        # itself does not read, and a parquet-backed index scans only
+        # matching row groups (PushedFilters)
+        index = index.filter(where)
     coarse_rows = sorted(
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in coarse_centroids.select("vec_id", "q").collect()

@@ -481,6 +481,7 @@ def bm25_topk(
     k: int = 10,
     text: str = "text",
     doc_id: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """BM25 document retrieval for a literal query — Robertson/Spärck
     Jones Okapi weighting with the Lucene non-negative idf, at standard
@@ -495,7 +496,13 @@ def bm25_topk(
     counts against literal terms, no explode, no per-term shuffle); the
     one-row stats broadcast back, and scoring is row-local arithmetic at
     scan bandwidth.  Zero joins other than the broadcast; top-k is a
-    distributed TakeOrdered with a doc_id tie-break.
+    distributed TakeOrdered with a doc_id tie-break.  The tokenized
+    per-doc tf frame feeds BOTH the stats aggregate and the scoring
+    pass, so it persists when a ``cache_registry`` is supplied (the
+    :func:`collocations` plan-cache discipline) — ONE corpus
+    tokenization instead of two; at 100 TB the second tokenization pass
+    is the whole bill.  Without a registry the operator stays fully
+    lazy (recompute-safe) and scans twice.
 
     Exactness: idf₂ = log₂((2N+2)/(2df+1)) enters as a DIFFERENCE OF TWO
     integer-grid log terms (``round(log₂(int)·2²⁰)`` — the
@@ -532,6 +539,9 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    if cache_registry is not None:
+        base = base.persist()
+        cache_registry.append(base)
     stats = base.groupBy().agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum("dl").alias("__total"),

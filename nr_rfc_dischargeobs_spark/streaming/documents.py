@@ -229,6 +229,7 @@ def compact_corpus(
     landed_dir: str,
     transform,
     partition_by: tuple[str, ...] = (),
+    finalize=None,
 ) -> tuple[int, int]:
     """The periodic BATCH compaction engine this module's header
     promises: corpus-wide curation (near-dup candidate generation,
@@ -267,6 +268,13 @@ def compact_corpus(
     Returns (staged_rows, input_rows − staged_rows) — for doc-dropping
     transforms that is (kept, dropped); for text rewrites the second
     element is 0 unless the transform also drops rows.
+
+    ``finalize`` (optional, ``staged_path → None``) runs after the
+    staged table write and before the swap guards — the hook for
+    directories that carry NON-table companions (the ANN index's model
+    sidecar): whatever it writes into the stage travels through the
+    swap (and every crash-recovery path, which moves directories
+    wholesale) atomically with the table.
     """
     import os
     import shutil
@@ -337,6 +345,8 @@ def compact_corpus(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staged)
+        if finalize is not None:
+            finalize(staged)
         # count the STAGED rows (the files that will become the corpus)
         # — deriving kept from a distinct-id drop count miscounts when
         # the landed dir carries duplicate doc_ids (same id, new text)

@@ -164,3 +164,142 @@ def test_streamed_index_becomes_loadable_artifact(spark, tmp_path):
     ).collect()))
     assert got == want
     assert len({t[0] for t in got}) == 2  # both queries answered
+
+
+def test_store_topk_builds_once_per_fingerprint(spark, monkeypatch):
+    """The registered store query trains+writes on the FIRST call per
+    input fingerprint and runs only load+search afterwards (the bench
+    heavy-tail fix): a second call must not touch save_ivfadc, and a
+    fingerprint change must force a rebuild."""
+    import nr_rfc_dischargeobs_spark.plans.extensions as plx
+    from nr_rfc_dischargeobs_spark.extensions import ann_store
+
+    sf = "/root/testdata/sf0.001"
+    first = sorted(map(tuple, plx.sim_ivfadc_store_topk(spark, sf).collect()))
+    assert first  # the artifact exists and searches
+
+    def boom(*a, **kw):  # a second call must never rebuild
+        raise AssertionError("save_ivfadc called on a fresh artifact")
+
+    monkeypatch.setattr(ann_store, "save_ivfadc", boom)
+    again = sorted(map(tuple, plx.sim_ivfadc_store_topk(spark, sf).collect()))
+    assert again == first
+
+    # stale fingerprint (input/recipe changed) → rebuild path re-engages
+    monkeypatch.setattr(
+        plx, "_ivfadc_store_fingerprint", lambda d: "different"
+    )
+    try:
+        plx.sim_ivfadc_store_topk(spark, sf).collect()
+        raise AssertionError("expected the rebuild path")
+    except AssertionError as ex:
+        assert "save_ivfadc called" in str(ex)
+
+
+def test_rotated_artifact_round_trip_and_versioning(spark, tmp_path):
+    """A rotated artifact carries its rotation in the v2 sidecar; a
+    fresh load must rotate raw queries itself (search_embeddings ==
+    search over hand-rotated queries), and the validation guards
+    refuse malformed specs and corrupt version-2 sidecars."""
+    import json
+    import os
+
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store
+
+    h = similarity.hadamard_rows(4)
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    rot = similarity.rotate_quantized(similarity.prepare(emb), h)
+    coarse = rot.filter(F.col("vec_id") < 2)
+    corpus = rot.filter(F.col("vec_id") >= 6)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]]) for r in coarse.collect()
+    ]
+    res = similarity.residualize(
+        similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(res, k=4, m=2, dim=4, iters=1)
+    idx = similarity.ivf_pq_index(corpus, coarse, cb, m=2, dim=4, residual=True)
+    path = str(tmp_path / "rotidx")
+    ann_store.save_ivfadc(
+        idx, path, coarse_rows, cb, m=2, dim=4,
+        rotation={"mode": "post_int", "components": h},
+    )
+    sidecar = json.load(open(os.path.join(path, ann_store.MODEL_FILE)))
+    assert sidecar["format_version"] == ann_store._ROTATED_VERSION
+    assert sidecar["rotation"]["mode"] == "post_int"
+
+    loaded = ann_store.load_ivfadc(path)
+    queries_raw = emb.filter(F.col("vec_id").between(2, 5))
+    got = sorted(map(tuple, loaded.search_embeddings(
+        queries_raw, k=2, nprobe=2).collect()))
+    by_hand = similarity.rotate_quantized(similarity.prepare(queries_raw), h)
+    want = sorted(map(tuple, loaded.search(by_hand, k=2, nprobe=2).collect()))
+    assert got == want and got
+
+    # guards: bad mode, float matrix in post_int, corrupt v2 sidecar
+    for bad in (
+        {"mode": "sideways", "components": h},
+        {"mode": "post_int", "components": [[0.5] * 4] * 4},
+        {"mode": "pre", "components": []},
+    ):
+        try:
+            ann_store._check_rotation(bad)
+            raise AssertionError(f"accepted {bad}")
+        except ValueError:
+            pass
+    sidecar.pop("rotation")
+    json.dump(sidecar, open(os.path.join(path, ann_store.MODEL_FILE), "w"))
+    try:
+        ann_store.load_ivfadc(path)
+        raise AssertionError("v2 sidecar without rotation must refuse")
+    except ValueError as ex:
+        assert "rotation" in str(ex)
+
+
+def test_pre_mode_rotation_search_embeddings(spark, tmp_path):
+    """mode='pre' (a float OPQ/PCA model) round-trips through the
+    sidecar too: search_embeddings equals searching hand-projected
+    queries — the trained-rotation production path."""
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    model = {
+        "mode": "pre",
+        "mean": [0.0, 0.0, 0.0, 0.0],
+        "components": [[0.0, 1.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0],
+                       [0.0, 0.0, 0.0, 1.0], [0.0, 0.0, 1.0, 0.0]],
+    }
+    rot = similarity.rotate_prepare(emb, model)
+    coarse = rot.filter(F.col("vec_id") < 2)
+    corpus = rot.filter(F.col("vec_id") >= 6)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]]) for r in coarse.collect()
+    ]
+    res = similarity.residualize(
+        similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(res, k=4, m=2, dim=4, iters=1)
+    idx = similarity.ivf_pq_index(corpus, coarse, cb, m=2, dim=4, residual=True)
+    path = str(tmp_path / "preidx")
+    ann_store.save_ivfadc(idx, path, coarse_rows, cb, m=2, dim=4,
+                          rotation=model)
+    loaded = ann_store.load_ivfadc(path)
+    queries_raw = emb.filter(F.col("vec_id").between(2, 5))
+    got = sorted(map(tuple, loaded.search_embeddings(
+        queries_raw, k=2, nprobe=2).collect()))
+    want = sorted(map(tuple, loaded.search(
+        similarity.rotate_prepare(queries_raw, model), k=2, nprobe=2
+    ).collect()))
+    assert got == want and got

@@ -693,3 +693,81 @@ def test_ivfadc_k256_geometry_full_probe_identity(spark):
     index.unpersist()
     prep.unpersist()
     assert got == want  # bit-identical scores, same ranks
+
+
+# ---------------------------------------------------------------------------
+# round 11: rotation tier + filtered (hybrid) search
+# ---------------------------------------------------------------------------
+
+
+def test_hadamard_rows_orthogonal_scaled():
+    import numpy as np
+
+    for dim in (1, 2, 8, 64):
+        h = np.array(similarity.hadamard_rows(dim))
+        assert (h @ h.T == dim * np.eye(dim)).all()
+    try:
+        similarity.hadamard_rows(12)
+        raise AssertionError("non-power-of-2 must be rejected")
+    except ValueError:
+        pass
+
+
+def test_rotate_quantized_exact_and_cosine_invariant(spark):
+    """q' = H·q exactly (BIGINTs), and since H·Hᵀ = dim·I the cosine of
+    any pair is IDENTICAL before and after rotation — the invariance
+    that makes rotated ANN results comparable to raw ones."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    prep = similarity.prepare(_emb(spark, rows))
+    h = similarity.hadamard_rows(8)
+    rot = similarity.rotate_quantized(prep, h)
+    raw = {r["vec_id"]: np.array(r["q"], dtype=np.int64) for r in prep.collect()}
+    got = {r["vec_id"]: (np.array(r["q"]), r["n"]) for r in rot.collect()}
+    hm = np.array(h)
+    for vid, q in raw.items():
+        expect = hm @ q
+        assert (got[vid][0] == expect).all()
+        assert got[vid][1] == int((expect**2).sum())
+    # cosine invariance: dot(Hq, Hp) = dim·dot(q, p), norms scale by dim
+    q0, q1 = raw[0], raw[1]
+    r0, r1 = got[0][0], got[1][0]
+    assert int(r0 @ r1) == 8 * int(q0 @ q1)
+
+
+def test_ivfadc_filtered_equals_true_topk_over_matching(spark):
+    """where= returns the TRUE top-k among matching vectors — identical
+    to brute-force over the filtered decoded corpus at full probe."""
+    corpus = _clustered(spark, 60, k=4, dim=16).filter(F.col("vec_id") >= 10)
+    queries = _clustered(spark, 6, k=4, dim=16)
+    prep_c, prep_q = similarity.prepare(corpus), similarity.prepare(queries)
+    coarse = prep_c.filter(F.col("vec_id") < 14)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    res = similarity.residualize(
+        similarity.ivf_assign(prep_c, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(res, k=4, m=4, dim=16, iters=1)
+    index = similarity.ivf_pq_index(
+        prep_c, coarse, cb, m=4, dim=16, residual=True
+    ).persist()
+    pred = "vec_id % 2 = 0"
+    got = similarity.ivfadc_topk(
+        queries=prep_q, index=index, coarse_centroids=coarse,
+        centroid_rows=cb, k=3, nprobe=4, m=4, dim=16, where=pred,
+    )
+    decoded = similarity.ivfadc_decode(index, coarse_rows, cb, m=4, dim=16)
+    want = similarity.brute_force_topk(
+        prep_q, decoded.filter(pred), k=3
+    ).withColumnRenamed("cosine", "cosine_adc")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    index.unpersist()
+    # every neighbor satisfies the predicate, and full k is returned
+    assert all(t[1] % 2 == 0 for t in g)
+    assert len(g) == 3 * prep_q.filter("n > 0").count()

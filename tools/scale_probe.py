@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -629,6 +630,250 @@ def r10_extras_tier(spark, t: dict, docs_n: int, vecs_n: int) -> None:
           textops.bm25_topk(synth_docs(spark, docs_n), terms, k=10))
 
 
+def r11_tier(spark, t: dict, n: int) -> None:
+    """Round-11 probes, all at ``n`` (default 1M) codes:
+
+    1. **Rotated vs raw IVFADC at equal nprobe** on the anisotropic
+       fixture — the composition evidence for the rotation tier: the
+       SAME production pipeline (coarse k-means on a hash sample →
+       residual PQ training → IVFADC search) run once in the raw basis
+       and once in the trained-OPQ basis (``gram_stats_arrow →
+       pca_rotation → opq_allocate → rotate_prepare``), recall@10
+       audited against one exact ground truth.
+    2. **Filtered-search recall under selectivity** {0.5, 0.1, 0.01} on
+       the clustered fixture: ``ivfadc_topk(where=…)`` vs exact
+       brute-force over the filtered corpus — the hybrid-search
+       degradation curve (survivors concentrate in fewer probed lists).
+    3. **Rebalance under drift**: an index built with a coarse
+       quantizer trained on HALF the clusters (yesterday's
+       distribution), measured before/after one
+       ``rebalance_ivfadc`` sweep — trigger skew, repaired skew,
+       recall at fixed nprobe, and the no-op sweep's cost.
+    """
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+
+    m_, k_, n_lists, nprobe = 16, 16, 64, 8
+    held = []
+
+    def _ivfadc(prep, tag):
+        """coarse (trained) + residual-PQ index from a prepared frame."""
+        c_side = prep.filter(F.col("vec_id") >= 256)
+        sample = c_side.filter(F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0)
+        t0 = time.time()
+        coarse = similarity.kmeans_lite(
+            sample, k=n_lists, iters=3,
+            seeds=similarity.farthest_first_seeds(sample, n_lists),
+        ).persist()
+        held.append(coarse)
+        lists = coarse.count()
+        coarse_rows = [
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        ]
+        res_sample = similarity.residualize(
+            similarity.ivf_assign(sample, coarse, 1, None), coarse_rows
+        )
+        cb = similarity.pq_train_codebooks(
+            res_sample, k=k_, m=m_, dim=64, iters=4
+        )
+        index = similarity.ivf_pq_index(
+            c_side, coarse, cb, m=m_, dim=64, residual=True,
+            coarse_rows=coarse_rows,
+        ).persist()
+        held.append(index)
+        index.count()
+        t[f"ivfadc_build_{tag}"] = {
+            "sec": round(time.time() - t0, 1), "rows": lists,
+        }
+        return coarse, coarse_rows, cb, index
+
+    # --- 1: rotated vs raw IVFADC on the anisotropic fixture ---------
+    try:
+        aniso = synth_aniso_embs(spark, n)
+        prep_raw = similarity.prepare(aniso).persist()
+        held.append(prep_raw)
+        prep_raw.count()
+        exact10 = similarity.brute_force_topk_arrow(
+            prep_raw.filter(F.col("vec_id") < 256),
+            prep_raw.filter(F.col("vec_id") >= 256),
+            k=10,
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+        model = similarity.opq_allocate(
+            similarity.pca_rotation(
+                similarity.gram_stats_arrow(aniso, dim=64), dim=64
+            ),
+            m=m_,
+        )
+        model["mode"] = "pre"
+        prep_rot = similarity.rotate_prepare(aniso, model).persist()
+        held.append(prep_rot)
+        prep_rot.count()
+        for label, prep in (("raw", prep_raw), ("rotated", prep_rot)):
+            coarse, coarse_rows, cb, index = _ivfadc(prep, f"aniso_{label}")
+            t0 = time.time()
+            row = similarity.ann_recall(
+                similarity.ivfadc_topk(
+                    prep.filter(F.col("vec_id") < 256), index, coarse,
+                    cb, k=10, nprobe=nprobe, m=m_, dim=64,
+                ),
+                exact10,
+            ).agg(
+                F.avg("recall").alias("r"), F.count(F.lit(1)).alias("nq")
+            ).collect()[0]
+            key = f"ivfadc_recall10_{n // 1_000_000}m_aniso_{label}_np{nprobe}"
+            t[key] = {
+                "sec": round(time.time() - t0, 1), "rows": row.nq,
+                "mean_recall_at_10": round(row.r, 4),
+            }
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["r11_rotation_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r11 rotation: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+        held = []
+
+    # --- 2: filtered-search recall vs selectivity ---------------------
+    try:
+        prep = similarity.prepare(synth_clustered_embs(spark, n)).persist()
+        held.append(prep)
+        prep.count()
+        q_side = prep.filter(F.col("vec_id") < 256)
+        coarse, coarse_rows, cb, index = _ivfadc(prep, "clustered_filter")
+        for mod, sel in ((2, "0.5"), (10, "0.1"), (100, "0.01")):
+            pred = f"vec_id % {mod} = 0"
+            exact = similarity.brute_force_topk_arrow(
+                q_side,
+                prep.filter(F.col("vec_id") >= 256).filter(pred),
+                k=10,
+            ).persist()
+            held.append(exact)
+            exact.count()
+            t0 = time.time()
+            row = similarity.ann_recall(
+                similarity.ivfadc_topk(
+                    q_side, index, coarse, cb, k=10, nprobe=nprobe,
+                    m=m_, dim=64, where=pred,
+                ),
+                exact,
+            ).agg(
+                F.avg("recall").alias("r"), F.count(F.lit(1)).alias("nq")
+            ).collect()[0]
+            key = f"ivfadc_filtered_recall10_{n // 1_000_000}m_sel{sel}"
+            t[key] = {
+                "sec": round(time.time() - t0, 1), "rows": row.nq,
+                "mean_recall_at_10": round(row.r, 4),
+            }
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        t["r11_filtered_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r11 filtered: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+        held = []
+
+    # --- 3: rebalance under drift --------------------------------------
+    try:
+        import tempfile
+
+        prep = similarity.prepare(synth_clustered_embs(spark, n)).persist()
+        held.append(prep)
+        prep.count()
+        c_side = prep.filter(F.col("vec_id") >= 256)
+        # drifted coarse: trained on HALF the clusters only (vec_id % 64
+        # < 32 ↔ cluster id % 64 < 32 in this fixture) — yesterday's
+        # distribution; today's corpus covers all 64
+        stale_sample = c_side.filter(
+            (F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0)
+            & (F.col("vec_id") % 64 < 32)
+        )
+        coarse = similarity.kmeans_lite(
+            stale_sample, k=n_lists, iters=3,
+            seeds=similarity.farthest_first_seeds(stale_sample, n_lists),
+        )
+        coarse_rows = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        )
+        res_sample = similarity.residualize(
+            similarity.ivf_assign_local(stale_sample, coarse_rows),
+            coarse_rows,
+        )
+        cb = similarity.pq_train_codebooks(
+            res_sample, k=k_, m=m_, dim=64, iters=4
+        )
+        path = tempfile.mkdtemp(prefix="nr_rfc_probe_rebal_") + "/idx"
+        t0 = time.time()
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                c_side, None, cb, m=m_, dim=64, residual=True,
+                coarse_rows=coarse_rows, assign="arrow",
+            ),
+            path, coarse_rows, cb, m=m_, dim=64,
+        )
+        t["rebalance_store_build_drifted"] = {
+            "sec": round(time.time() - t0, 1), "rows": len(coarse_rows),
+        }
+        exact10 = similarity.brute_force_topk_arrow(
+            prep.filter(F.col("vec_id") < 256), c_side, k=10
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+
+        def _recall(label):
+            loaded = ann_store.load_ivfadc(path)
+            row = similarity.ann_recall(
+                loaded.search(
+                    prep.filter(F.col("vec_id") < 256), k=10, nprobe=nprobe
+                ),
+                exact10,
+            ).agg(F.avg("recall").alias("r")).collect()[0]
+            t[label] = {"mean_recall_at_10": round(row.r, 4)}
+            print(f"  recall@10 {t[label]['mean_recall_at_10']}  {label}",
+                  file=sys.stderr)
+
+        _recall(f"rebalance_recall_before_np{nprobe}")
+        t0 = time.time()
+        noop = ann_store.rebalance_ivfadc(
+            spark, path, c_side, threshold=1e9, assign="arrow"
+        )
+        t["rebalance_noop_sweep"] = {
+            "sec": round(time.time() - t0, 1),
+            "skew": noop["skew_before"],
+        }
+        print(f"  {t['rebalance_noop_sweep']['sec']:7.1f} s  skew "
+              f"{noop['skew_before']}  rebalance_noop_sweep", file=sys.stderr)
+        t0 = time.time()
+        rep = ann_store.rebalance_ivfadc(
+            spark, path, c_side, threshold=2.0, assign="arrow"
+        )
+        t["rebalance_sweep_1m"] = {
+            "sec": round(time.time() - t0, 1),
+            "skew_before": rep.get("skew_before"),
+            "skew_after": rep.get("skew_after"),
+            "rebalanced": rep.get("rebalanced"),
+        }
+        print(f"  {t['rebalance_sweep_1m']['sec']:7.1f} s  skew "
+              f"{rep.get('skew_before')} -> {rep.get('skew_after')}  "
+              "rebalance_sweep_1m", file=sys.stderr)
+        _recall(f"rebalance_recall_after_np{nprobe}")
+        import shutil
+
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    except Exception as ex:  # noqa: BLE001
+        t["r11_rebalance_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r11 rebalance: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -648,6 +893,10 @@ def main() -> int:
     ap.add_argument("--only-rot", action="store_true",
                     help="run ONLY the rotated-vs-raw PQ recall tier "
                          "over the anisotropic fixture")
+    ap.add_argument("--only-r11", action="store_true",
+                    help="run ONLY the round-11 tier (rotated-vs-raw "
+                         "IVFADC, filtered-search selectivity curve, "
+                         "rebalance under drift)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -688,6 +937,14 @@ def main() -> int:
 
     if args.only_rot:
         rotation_recall_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r11:
+        r11_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
