@@ -80,6 +80,22 @@ def _check_rotation(rotation: dict | None) -> dict | None:
     }
 
 
+def apply_rotation(emb: DataFrame, rotation: dict | None) -> DataFrame:
+    """Raw (vec_id, embedding) rows → a :func:`~.similarity.prepare`
+    frame in the basis a ``rotation`` spec describes (or the identity
+    basis for ``None``) — THE one definition of how a spec is applied,
+    shared by index builds, query preparation, and streamed admission
+    so they can never drift."""
+    rotation = _check_rotation(rotation)
+    if rotation is None:
+        return similarity.prepare(emb)
+    if rotation["mode"] == "post_int":
+        return similarity.rotate_quantized(
+            similarity.prepare(emb), rotation["components"]
+        )
+    return similarity.rotate_prepare(emb, rotation)
+
+
 def _local_path(path: str) -> str:
     """The sidecar is written with plain file IO, which only a local
     (or file://) path supports — object stores need the same bytes at
@@ -133,13 +149,7 @@ class IvfadcIndex:
         time, then quantized.  This is why the rotation rides with the
         artifact — a fresh session cannot search a rotated index
         correctly without it."""
-        if self.rotation is None:
-            return similarity.prepare(emb)
-        if self.rotation["mode"] == "post_int":
-            return similarity.rotate_quantized(
-                similarity.prepare(emb), self.rotation["components"]
-            )
-        return similarity.rotate_prepare(emb, self.rotation)
+        return apply_rotation(emb, self.rotation)
 
     def search_embeddings(
         self,

@@ -457,7 +457,34 @@ def register_ivf_pq_search_tvf(spark: SparkSession, index_path: str) -> str:
 # Hardwired to the registered m=4 code layout like its sibling (a SQL
 # body is analyzed at CREATE time; register_ivfadc_search_tvf refuses
 # other geometries loudly).
-IVFADC_SEARCH_TVF = """
+def _ivfadc_search_tvf_sql(rotated: bool) -> str:
+    """The ``tvf_ivfadc_search`` body.  ``rotated=True`` inserts one
+    extra CTE rotating the query stream through the artifact's
+    ``post_int`` matrix (materialized as the ``ivfadc_model_rotation``
+    view — (c, i, w) triples): ``e'(c) = Σᵢ w(c,i)·e(i)``, exact
+    BIGINTs, so TVF-vs-operator parity stays bit-identical.  Float
+    ("pre") rotations are NOT offered in SQL — a GROUP BY sum's
+    addition order is partition-dependent, so the projected doubles
+    could differ from ``pca_project``'s fold in the last ulp and flip
+    a rank; the registrar refuses those artifacts loudly instead."""
+    if rotated:
+        qsrc = """ur AS (
+  SELECT u.vec_id, rot.c AS i, sum(u.e * rot.w) AS e
+  FROM u JOIN ivfadc_model_rotation rot ON rot.i = u.i
+  GROUP BY u.vec_id, rot.c
+), uq AS (
+  SELECT vec_id, e, i FROM ur
+  WHERE vec_id >= query_lo AND vec_id < query_hi
+),"""
+    else:
+        qsrc = """uq AS (
+  SELECT vec_id, e, i FROM u
+  WHERE vec_id >= query_lo AND vec_id < query_hi
+),"""
+    return IVFADC_SEARCH_TVF_TEMPLATE.replace("__QSRC__", qsrc)
+
+
+IVFADC_SEARCH_TVF_TEMPLATE = """
 CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_search(
     query_lo BIGINT, query_hi BIGINT, k INT, nprobe INT)
 RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,
@@ -471,10 +498,7 @@ WITH p AS (
   FROM embeddings
 ), u AS (
   SELECT vec_id, pos AS i, e FROM p LATERAL VIEW posexplode(q) x AS pos, e
-), uq AS (
-  SELECT vec_id, e, i FROM u
-  WHERE vec_id >= query_lo AND vec_id < query_hi
-), nq AS (SELECT vec_id, sum(e * e) AS n FROM uq GROUP BY vec_id),
+), __QSRC__ nq AS (SELECT vec_id, sum(e * e) AS n FROM uq GROUP BY vec_id),
 co AS (SELECT lid, i, le FROM ivfadc_model_coarse),
 nco AS (SELECT lid, sum(le * le) AS ln FROM co GROUP BY lid),
 qa AS (
@@ -523,8 +547,12 @@ SELECT query_id, neighbor_id, rank, cosine_adc FROM (
 WHERE rank <= k
 """
 
+IVFADC_SEARCH_TVF = _ivfadc_search_tvf_sql(rotated=False)
 
-def register_ivfadc_search_tvf(spark: SparkSession, index_path: str) -> str:
+
+def register_ivfadc_search_tvf(
+    spark: SparkSession, index_path: str, where: str | None = None
+) -> str:
     """Register ``tvf_ivfadc_search`` over a :func:`~..extensions.
     ann_store.save_ivfadc` artifact: loads the MODEL SIDECAR (the
     trained codebook and coarse centroids are model parameters — they
@@ -532,7 +560,20 @@ def register_ivfadc_search_tvf(spark: SparkSession, index_path: str) -> str:
     views, points ``ivfadc_index_store`` at the code table, then
     creates the TVF.  The artifact manager feeding the SQL surface IS
     the point: a fresh session needs only the artifact path to search
-    from pure SQL."""
+    from pure SQL.
+
+    ``where`` is the FILTERED-search dial for the SQL surface: a SQL
+    body cannot take an arbitrary predicate as a runtime argument, so
+    the predicate is applied to the store VIEW at registration — it
+    lands in the parquet scan (pre-filter, true top-k among matching),
+    exactly like ``ivfadc_topk(where=…)``; registering the same
+    artifact under different predicates is cheap (views are metadata).
+
+    ROTATED artifacts register transparently when the rotation is
+    ``post_int`` (the exact integer tier — the matrix becomes the
+    ``ivfadc_model_rotation`` view and the TVF rotates query vectors
+    in exact BIGINT arithmetic); ``pre`` (float) rotations refuse
+    loudly — see :func:`_ivfadc_search_tvf_sql`."""
     from ..extensions import ann_store
 
     model = ann_store.load_ivfadc(index_path)
@@ -541,6 +582,25 @@ def register_ivfadc_search_tvf(spark: SparkSession, index_path: str) -> str:
             f"tvf_ivfadc_search is analyzed against the registered m=4"
             f" code layout (code_0..code_3); this artifact has m={model.m}"
         )
+    rotated = model.rotation is not None
+    if rotated and model.rotation["mode"] != "post_int":
+        raise ValueError(
+            "tvf_ivfadc_search supports post_int (exact integer)"
+            " rotations only — a float rotation's SQL-aggregated"
+            " projection is addition-order-dependent and could flip a"
+            " rank vs the operator; search this artifact with"
+            " IvfadcIndex.search_embeddings instead"
+        )
+    if rotated:
+        comps = model.rotation["components"]
+        spark.createDataFrame(
+            [
+                (c, i, int(w))
+                for c, row in enumerate(comps)
+                for i, w in enumerate(row)
+            ],
+            "c int, i int, w long",
+        ).createOrReplaceTempView("ivfadc_model_rotation")
     dsub = model.dim // model.m
     spark.createDataFrame(
         [
@@ -558,8 +618,9 @@ def register_ivfadc_search_tvf(spark: SparkSession, index_path: str) -> str:
         ],
         "lid long, i int, le long",
     ).createOrReplaceTempView("ivfadc_model_coarse")
-    spark.read.parquet(index_path).createOrReplaceTempView(
-        "ivfadc_index_store"
-    )
-    spark.sql(IVFADC_SEARCH_TVF)
+    store = spark.read.parquet(index_path)
+    if where is not None:
+        store = store.filter(where)
+    store.createOrReplaceTempView("ivfadc_index_store")
+    spark.sql(_ivfadc_search_tvf_sql(rotated=rotated))
     return "tvf_ivfadc_search"

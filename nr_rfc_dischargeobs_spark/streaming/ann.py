@@ -44,6 +44,7 @@ def ivfadc_index_stream(
     dim: int = 64,
     available_now: bool = True,
     admit_once: bool = False,
+    rotation: dict | None = None,
 ):
     """Maintain a persistent IVFADC index over a streaming frame of
     ``(vec_id, embedding)`` rows.  Each micro-batch encodes scan-locally
@@ -64,7 +65,21 @@ def ivfadc_index_stream(
     its own path; under ``admit_once`` its rows are not yet visible to
     its own anti-join — batch N reads only batches < N).
 
+    ``rotation`` (an :func:`~..extensions.ann_store._check_rotation`
+    spec) applies the index's pre-transform to every arriving vector
+    BEFORE quantized encoding — the composition hole a rotated store
+    otherwise leaves open: a stream encoding raw-basis vectors into a
+    rotated-basis index would store garbage codes silently.  Pass the
+    SAME spec to :func:`~..extensions.ann_store.write_ivfadc_model` at
+    deploy time so the artifact's sidecar tells searchers the truth.
+    Streamed rotated admission is value-identical to the batch build on
+    the same vectors (pinned in tests) — the transform is scan-local
+    either way, so the micro-batch stays one map-only pass.
+
     Returns the started ``StreamingQuery``."""
+    from ..extensions.ann_store import _check_rotation, apply_rotation
+
+    rotation = _check_rotation(rotation)  # validate BEFORE the stream starts
 
     def _encode(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
@@ -89,7 +104,7 @@ def ivfadc_index_stream(
             except Exception as ex:  # noqa: BLE001 — filtered below
                 if not is_missing_path(ex):
                     raise
-        prep = similarity.prepare(out)
+        prep = apply_rotation(out, rotation)
         (
             similarity.ivf_pq_index(
                 prep, None, centroid_rows, m=m, dim=dim,

@@ -303,3 +303,121 @@ def test_pre_mode_rotation_search_embeddings(spark, tmp_path):
         similarity.rotate_prepare(queries_raw, model), k=2, nprobe=2
     ).collect()))
     assert got == want and got
+
+
+def test_streamed_rotated_admission_matches_batch_build(spark, tmp_path):
+    """ivfadc_index_stream(rotation=…) encodes arriving vectors in the
+    index's basis: the streamed code rows equal the batch
+    ivf_pq_index build over the same (rotated) vectors, and after
+    write_ivfadc_model(rotation=…) the store is a loadable ROTATED
+    artifact whose search_embeddings answers raw-basis queries."""
+    import json as _json
+
+    from nr_rfc_dischargeobs_spark.streaming import (
+        ivfadc_index_stream,
+        read_ivfadc_index,
+    )
+
+    h = similarity.hadamard_rows(4)
+    rot = {"mode": "post_int", "components": h}
+    emb = spark.createDataFrame(
+        [(i, [0.05 * i, -0.02 * i, 0.3, 0.01 * i]) for i in range(1, 9)],
+        "vec_id long, embedding array<float>",
+    )
+    rotated = similarity.rotate_quantized(similarity.prepare(emb), h)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in rotated.filter(F.col("vec_id") <= 2).collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign_local(rotated, coarse_rows), coarse_rows
+        ),
+        k=2, m=2, dim=4, iters=1,
+    )
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    rows = emb.collect()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {"vec_id": r["vec_id"],
+                 "embedding": [float(v) for v in r["embedding"]]}
+            )
+            for r in rows
+        )
+        + "\n"
+    )
+    index_dir = str(tmp_path / "index")
+    stream = spark.readStream.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).json(str(landing))
+    q = ivfadc_index_stream(
+        stream, index_dir, str(tmp_path / "ckpt"), coarse_rows, cb,
+        m=2, dim=4, rotation=rot,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["vec_id"]: (r["list_id"], r["code_0"], r["code_1"], r["rn"])
+        for r in read_ivfadc_index(spark, index_dir).collect()
+    }
+    batch = {
+        r["vec_id"]: (r["list_id"], r["code_0"], r["code_1"], r["rn"])
+        for r in similarity.ivf_pq_index(
+            rotated, None, cb, m=2, dim=4, assign="local",
+            residual=True, coarse_rows=coarse_rows,
+        ).collect()
+    }
+    assert streamed == batch  # value-identical admission
+
+    ann_store.write_ivfadc_model(
+        index_dir, coarse_rows, cb, m=2, dim=4, rotation=rot
+    )
+    loaded = ann_store.load_ivfadc(index_dir)
+    assert loaded.rotation == ann_store._check_rotation(rot)
+    got = loaded.search_embeddings(
+        emb.filter(F.col("vec_id") <= 2), k=2, nprobe=1
+    ).collect()
+    assert got  # raw-basis queries answered through the sidecar rotation
+
+
+def test_rebalance_preserves_rotation(spark, tmp_path):
+    """A rotated artifact's rotation spec survives the rebalance swap —
+    the refreshed sidecar must carry it, or a post-maintenance search
+    would silently un-rotate its queries."""
+    import numpy as np
+
+    h = similarity.hadamard_rows(4)
+    rot = {"mode": "post_int", "components": h}
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    basis = ann_store.apply_rotation(emb, rot)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in basis.filter(F.col("vec_id") < 2).collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign_local(basis, coarse_rows), coarse_rows
+        ),
+        k=2, m=2, dim=4, iters=1,
+    )
+    path = str(tmp_path / "rotidx")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(
+            basis, None, cb, m=2, dim=4, assign="local",
+            residual=True, coarse_rows=coarse_rows,
+        ),
+        path, coarse_rows, cb, m=2, dim=4, rotation=rot,
+    )
+    rep = ann_store.rebalance_ivfadc(spark, path, basis, threshold=0.5,
+                                     sample_mod=1)
+    assert rep["rebalanced"] is True
+    loaded = ann_store.load_ivfadc(path)
+    assert loaded.rotation == ann_store._check_rotation(rot)
+    assert loaded.search_embeddings(emb.limit(3), k=2, nprobe=2).collect()

@@ -280,3 +280,91 @@ def test_tvf_ivfadc_search_matches_operator_on_saved_artifact(
     )
     with _pytest.raises(ValueError, match="m=4"):
         register_ivfadc_search_tvf(spark, path2)
+
+
+def test_tvf_ivfadc_search_filtered_and_rotated(spark, tmp_path):
+    """Round 11 dials on the stored-artifact TVF: (1) where= at
+    registration pre-filters the store view — SQL results equal
+    ivfadc_topk(where=…) exactly; (2) a post_int-rotated artifact
+    registers transparently (the rotation view rotates query vectors in
+    exact BIGINTs) and matches search_embeddings; (3) a float ('pre')
+    rotation refuses loudly."""
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivfadc_search_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    h = similarity.hadamard_rows(64)
+    rot = {"mode": "post_int", "components": h}
+    basis = ann_store.apply_rotation(emb_raw, rot)
+    coarse = basis.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries_raw = emb_raw.filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    corpus = basis.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+        ),
+        k=8, m=4, dim=64, iters=1,
+    )
+    path = str(tmp_path / "rot_artifact")
+    handle = ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, residual=True),
+        path, coarse_rows, cb, m=4, dim=64, rotation=rot,
+    )
+
+    # rotated, unfiltered: TVF == search_embeddings bit-for-bit
+    register_ivfadc_search_tvf(spark, path)
+    got = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 2)")
+    want = handle.search_embeddings(queries_raw, k=3, nprobe=2)
+    assert rows(got) == rows(want)
+
+    # rotated + filtered: predicate in the store view == where= dial
+    register_ivfadc_search_tvf(spark, path, where="vec_id % 3 = 1")
+    got_f = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 2)")
+    want_f = handle.search_embeddings(
+        queries_raw, k=3, nprobe=2, where="vec_id % 3 = 1"
+    )
+    assert rows(got_f) == rows(want_f)
+    assert all(r["neighbor_id"] % 3 == 1 for r in got_f.collect())
+
+    # float rotations refuse loudly (addition-order hazard documented)
+    pre_path = str(tmp_path / "pre_artifact")
+    pre = {
+        "mode": "pre",
+        "mean": [0.0] * 64,
+        "components": [[float(v) / 8.0 for v in row] for row in h],
+    }
+    basis_pre = ann_store.apply_rotation(emb_raw, pre)
+    corpus_pre = basis_pre.filter(F.col("vec_id") >= 28)
+    coarse_pre = basis_pre.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    )
+    coarse_rows_pre = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse_pre.collect()
+    ]
+    cb_pre = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(corpus_pre, coarse_pre, 1, None),
+            coarse_rows_pre,
+        ),
+        k=8, m=4, dim=64, iters=0,
+    )
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(
+            corpus_pre, coarse_pre, cb_pre, residual=True
+        ),
+        pre_path, coarse_rows_pre, cb_pre, m=4, dim=64, rotation=pre,
+    )
+    with _pytest.raises(ValueError, match="post_int"):
+        register_ivfadc_search_tvf(spark, pre_path)
