@@ -744,7 +744,10 @@ def r11_tier(spark, t: dict, n: int) -> None:
         prep.count()
         q_side = prep.filter(F.col("vec_id") < 256)
         coarse, coarse_rows, cb, index = _ivfadc(prep, "clustered_filter")
-        for mod, sel in ((2, "0.5"), (10, "0.1"), (100, "0.01")):
+        # mod=1 is the UNFILTERED anchor (every vector matches): the
+        # same index, probes, and scorer with no predicate — the
+        # baseline that makes the selectivity curve interpretable
+        for mod, sel in ((1, "1.0"), (2, "0.5"), (10, "0.1"), (100, "0.01")):
             pred = f"vec_id % {mod} = 0"
             exact = similarity.brute_force_topk_arrow(
                 q_side,
