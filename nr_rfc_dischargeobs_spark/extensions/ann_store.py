@@ -380,6 +380,20 @@ def rebalance_ivfadc(
     re-encoding decoded reconstructions would compound quantization
     error into the scores.
 
+    STREAMED stores (the ``batch_id=N/list_id=K/`` layout of
+    :func:`~..streaming.ann.ivfadc_index_stream`) rebalance into the
+    canonical flat ``list_id=K/`` layout — the sweep IS the compaction
+    of the batch history, exactly like the document store's sweeps.
+    The quiesced contract therefore extends one step: after the sweep,
+    do not write ANY further ``batch_id=N`` path into the swept tree —
+    neither the old checkpoint's next batch nor a fresh stream's batch
+    0 — because mixing the two partition schemes at one directory
+    level fails Spark's partition discovery outright
+    (CONFLICTING_PARTITION_COLUMN_NAMES; verified, not assumed).
+    Resume admission into a NEW index directory and treat the swept
+    store as its frozen base segment (searches read both and union).
+    Pinned in tests.
+
     Returns a report dict: ``{rebalanced, n_lists, n_codes,
     skew_before[, skew_after, n_lists_after, kept]}``.
     """

@@ -421,3 +421,70 @@ def test_rebalance_preserves_rotation(spark, tmp_path):
     loaded = ann_store.load_ivfadc(path)
     assert loaded.rotation == ann_store._check_rotation(rot)
     assert loaded.search_embeddings(emb.limit(3), k=2, nprobe=2).collect()
+
+
+def test_rebalance_compacts_streamed_layout(spark, tmp_path):
+    """Rebalancing a STREAMED store (batch_id=N/list_id=K) compacts it
+    into the canonical flat list_id layout — loadable, searchable, no
+    batch_id column — and a post-sweep batch write into the same tree
+    is structurally impossible (Spark refuses the mixed partition
+    schemes), which is why the docstring directs new admission to a
+    fresh directory."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.streaming import ivfadc_index_stream
+
+    emb = spark.createDataFrame(
+        [(i, [0.04 * i, -0.03 * i, 0.2, 0.01 * i]) for i in range(1, 13)],
+        "vec_id long, embedding array<float>",
+    )
+    prep = similarity.prepare(emb)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in prep.filter(F.col("vec_id") <= 2).collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign_local(prep, coarse_rows), coarse_rows
+        ),
+        k=2, m=2, dim=4, iters=1,
+    )
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    (landing / "s1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": r["vec_id"],
+                         "embedding": [float(v) for v in r["embedding"]]})
+            for r in emb.collect()
+        )
+        + "\n"
+    )
+    index_dir = str(tmp_path / "index")
+    stream = spark.readStream.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).json(str(landing))
+    ivfadc_index_stream(
+        stream, index_dir, str(tmp_path / "ckpt"), coarse_rows, cb,
+        m=2, dim=4,
+    ).awaitTermination(120)
+    ann_store.write_ivfadc_model(index_dir, coarse_rows, cb, m=2, dim=4)
+
+    assert "batch_id" in spark.read.parquet(index_dir).columns
+    rep = ann_store.rebalance_ivfadc(
+        spark, index_dir, prep, threshold=0.5, sample_mod=1
+    )
+    assert rep["rebalanced"] is True and rep["kept"] == 12
+    swept = spark.read.parquet(index_dir)
+    assert "batch_id" not in swept.columns  # history compacted away
+    loaded = ann_store.load_ivfadc(index_dir)
+    assert loaded.search(prep.limit(2), k=2, nprobe=2).collect()
+
+    # a further batch write into the swept tree breaks discovery — the
+    # documented reason admission must resume in a fresh directory
+    spark.range(1).selectExpr(
+        "id AS vec_id", "CAST(0 AS INT) AS list_id"
+    ).write.partitionBy("list_id").parquet(index_dir + "/batch_id=9")
+    with _pytest.raises(Exception, match="CONFLICTING_PARTITION"):
+        spark.read.parquet(index_dir).collect()
