@@ -746,8 +746,19 @@ def r11_tier(spark, t: dict, n: int) -> None:
         coarse, coarse_rows, cb, index = _ivfadc(prep, "clustered_filter")
         # mod=1 is the UNFILTERED anchor (every vector matches): the
         # same index, probes, and scorer with no predicate — the
-        # baseline that makes the selectivity curve interpretable
-        for mod, sel in ((1, "1.0"), (2, "0.5"), (10, "0.1"), (100, "0.01")):
+        # baseline that makes the selectivity curve interpretable.
+        # "corr" is the ADVERSARIAL case: this fixture clusters by
+        # vec_id % 64, so `vec_id % 64 = 0` selects exactly ONE true
+        # cluster (sel ≈ 1/64) and the survivors concentrate in one or
+        # two coarse lists — a query from any other cluster probes its
+        # own neighborhood and misses them entirely.  The orthogonal
+        # rows measure the production norm; this row measures the
+        # failure mode the ivfadc_topk docstring warns about
+        # (predicate CORRELATED with embedding position).
+        for mod, sel in (
+            (1, "1.0"), (2, "0.5"), (10, "0.1"), (100, "0.01"),
+            (64, "corr0.016"),
+        ):
             pred = f"vec_id % {mod} = 0"
             exact = similarity.brute_force_topk_arrow(
                 q_side,
