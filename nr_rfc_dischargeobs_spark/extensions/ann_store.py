@@ -157,12 +157,14 @@ class IvfadcIndex:
         k: int = 3,
         nprobe: int = 2,
         where=None,
+        probe_matching_only: bool = False,
     ) -> DataFrame:
         """Search from RAW embeddings — :meth:`prepare_queries` then
         :meth:`search`.  The safe entry point for rotated artifacts:
         it cannot be called with queries in the wrong basis."""
         return self.search(
-            self.prepare_queries(emb), k=k, nprobe=nprobe, where=where
+            self.prepare_queries(emb), k=k, nprobe=nprobe, where=where,
+            probe_matching_only=probe_matching_only,
         )
 
     def search(
@@ -171,6 +173,7 @@ class IvfadcIndex:
         k: int = 3,
         nprobe: int = 2,
         where=None,
+        probe_matching_only: bool = False,
     ) -> DataFrame:
         """Residual-ADC top-k over the stored index.  ``queries`` is a
         :func:`~.similarity.prepare` frame ALREADY IN THE INDEX'S BASIS
@@ -191,6 +194,7 @@ class IvfadcIndex:
             m=self.m,
             dim=self.dim,
             where=where,
+            probe_matching_only=probe_matching_only,
         )
 
 

@@ -771,3 +771,71 @@ def test_ivfadc_filtered_equals_true_topk_over_matching(spark):
     # every neighbor satisfies the predicate, and full k is returned
     assert all(t[1] % 2 == 0 for t in g)
     assert len(g) == 3 * prep_q.filter("n > 0").count()
+
+
+def test_probe_matching_only_repairs_correlated_filter(spark):
+    """The correlated-predicate repair: with survivors concentrated in
+    lists the queries would never probe, probe_matching_only spends the
+    nprobe budget on matching lists — recall equals the full-probe
+    filtered search (here the matches fit inside nprobe lists, so the
+    two are EXACTLY equal), while the plain filtered search at the same
+    nprobe misses.  Also: no-op on an all-lists predicate, ValueError
+    without a predicate, empty result on a nothing-matches predicate."""
+    corpus = _clustered(spark, 400, k=8, dim=16).filter(F.col("vec_id") >= 40)
+    queries = _clustered(spark, 6, k=8, dim=16)
+    prep_c, prep_q = similarity.prepare(corpus), similarity.prepare(queries)
+    coarse = prep_c.filter(F.col("vec_id") < 48)  # 8 lists ≈ 8 clusters
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(prep_c, coarse, 1, None), coarse_rows
+        ),
+        k=4, m=4, dim=16, iters=1,
+    )
+    index = similarity.ivf_pq_index(
+        prep_c, coarse, cb, m=4, dim=16, residual=True
+    ).persist()
+    # correlated predicate: this fixture clusters by vec_id % 8, so the
+    # survivors of `% 8 = 5` live in (at most a couple of) lists
+    pred = "vec_id % 8 = 5"
+    args = dict(coarse_centroids=coarse, centroid_rows=cb, k=3, m=4, dim=16)
+    full = similarity.ivfadc_topk(
+        prep_q, index, nprobe=8, where=pred, **args
+    )
+    repaired = similarity.ivfadc_topk(
+        prep_q, index, nprobe=2, where=pred, probe_matching_only=True,
+        **args
+    )
+    assert sorted(map(tuple, repaired.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    plain = similarity.ivfadc_topk(prep_q, index, nprobe=2, where=pred, **args)
+    # the plain filtered search at the same nprobe returns fewer hits
+    # (most queries probe non-matching lists) — the measured collapse
+    assert plain.count() < repaired.count()
+
+    # all-lists predicate: the dial changes nothing
+    every = "vec_id % 1 = 0"
+    a = similarity.ivfadc_topk(prep_q, index, nprobe=2, where=every, **args)
+    b = similarity.ivfadc_topk(
+        prep_q, index, nprobe=2, where=every, probe_matching_only=True,
+        **args
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe_matching_only"):
+        similarity.ivfadc_topk(
+            prep_q, index, nprobe=2, probe_matching_only=True, **args
+        )
+    none = similarity.ivfadc_topk(
+        prep_q, index, nprobe=2, where="vec_id < 0",
+        probe_matching_only=True, **args
+    )
+    assert none.count() == 0
+    index.unpersist()

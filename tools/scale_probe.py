@@ -755,9 +755,11 @@ def r11_tier(spark, t: dict, n: int) -> None:
         # rows measure the production norm; this row measures the
         # failure mode the ivfadc_topk docstring warns about
         # (predicate CORRELATED with embedding position).
-        for mod, sel in (
-            (1, "1.0"), (2, "0.5"), (10, "0.1"), (100, "0.01"),
-            (64, "corr0.016"),
+        for mod, sel, match_only in (
+            (1, "1.0", False), (2, "0.5", False), (10, "0.1", False),
+            (100, "0.01", False),
+            (64, "corr0.016", False),       # the adversarial collapse
+            (64, "corr_matchprobe", True),  # …and its repair
         ):
             pred = f"vec_id % {mod} = 0"
             exact = similarity.brute_force_topk_arrow(
@@ -772,6 +774,7 @@ def r11_tier(spark, t: dict, n: int) -> None:
                 similarity.ivfadc_topk(
                     q_side, index, coarse, cb, k=10, nprobe=nprobe,
                     m=m_, dim=64, where=pred,
+                    probe_matching_only=match_only,
                 ),
                 exact,
             ).agg(
