@@ -64,6 +64,13 @@ def _check_rotation(rotation: dict | None) -> dict | None:
             'rotation must carry mode "pre" or "post_int" and a non-empty'
             " components matrix"
         )
+    width = len(comps[0])
+    if any(len(row) != width for row in comps):
+        raise ValueError(
+            "rotation components rows must all have the same length —"
+            " a ragged matrix would fail (or misproject) deep inside"
+            " the projection instead of at the artifact boundary"
+        )
     if mode == "post_int":
         if any(int(v) != v for row in comps for v in row):
             raise ValueError(
@@ -72,7 +79,13 @@ def _check_rotation(rotation: dict | None) -> dict | None:
             )
         return {"mode": mode,
                 "components": [[int(v) for v in row] for row in comps]}
-    mean = rotation.get("mean") or [0.0] * len(comps[0])
+    mean = rotation.get("mean") or [0.0] * width
+    if len(mean) != width:
+        raise ValueError(
+            f"rotation mean length {len(mean)} != components row length"
+            f" {width} — a malformed trained model, refused at the"
+            " artifact boundary"
+        )
     return {
         "mode": mode,
         "components": [[float(v) for v in row] for row in comps],

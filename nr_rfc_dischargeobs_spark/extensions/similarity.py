@@ -1524,7 +1524,16 @@ def rotate_quantized(
     )
     if any(len(row) != dim for row in rows):
         raise ValueError("rotation matrix must be square")
-    out = prepared.selectExpr("vec_id", f"array({folds}) AS q")
+    # dimension guard at RUN time (no eager plan-build job): zip_with
+    # null-pads a matrix/vector length mismatch, which the downstream
+    # n > 0 filters would silently DROP — assert_true turns that into a
+    # loud per-row error instead.  One size() per row, negligible.
+    out = prepared.selectExpr(
+        "vec_id",
+        f"assert_true(size(q) = {dim}, 'rotate_quantized: rotation dim"
+        f" {dim} != input vector dim') AS __dim_chk",
+        f"array({folds}) AS q",
+    ).drop("__dim_chk")
     return out.withColumn("n", sq_norm(F.col("q")))
 
 

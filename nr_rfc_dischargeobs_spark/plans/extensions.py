@@ -8,6 +8,8 @@ so every score column is bit-identical across engines.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2945,8 +2947,13 @@ def _ivfadc_store_fingerprint(sf_dir: str, variant: str = "base") -> str:
         {
             "sf_dir": sf_dir,
             "files": files,
+            # BOTH format constants ride in the identity: the rotated
+            # variant writes _ROTATED_VERSION, the base writes
+            # _FORMAT_VERSION — fingerprinting both means a bump of
+            # either forces a rebuild of every cached variant instead
+            # of leaving a stale artifact load_ivfadc would refuse
             "recipe": _IVFADC_STORE_RECIPE,
-            "format": ann_store._FORMAT_VERSION,
+            "format": [ann_store._FORMAT_VERSION, ann_store._ROTATED_VERSION],
             "variant": variant,
         },
         sort_keys=True,
@@ -3008,15 +3015,45 @@ def sim_ivfadc_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
 
 
-def _base_store_path(sf_dir: str) -> str:
+def _session_store_path(sf_dir: str, kind: str) -> str:
+    """Session-store location for a (sf_dir, variant) pair.  The path
+    carries the CURRENT USER (per-user cache: on a shared box two users'
+    builds can neither race nor squat each other's directory) plus the
+    md5 of ``sf_dir``."""
+    import getpass
     import hashlib
     import os
     import tempfile
 
+    user = getpass.getuser()
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(), f"nr_rfc_spark_ivfadc_store_{tag}"
+        tempfile.gettempdir(), f"nr_rfc_spark_{user}_ivfadc_{kind}_{tag}"
     )
+
+
+def _base_store_path(sf_dir: str) -> str:
+    return _session_store_path(sf_dir, "store")
+
+
+@_contextlib.contextmanager
+def _build_lock(path: str):
+    """Exclusive advisory lock serializing concurrent session-store
+    builds: two bench/pytest processes that race the same fingerprint
+    would interleave the non-atomic parquet overwrite + fingerprint
+    commit.  flock on a sibling ``.lock`` file (0600 — per-user, like
+    the store path itself); the loser re-checks the fingerprint under
+    the lock and finds the winner's build."""
+    import fcntl
+    import os
+
+    fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _ensure_base_store(spark: SparkSession, sf_dir: str) -> str:
@@ -3028,16 +3065,19 @@ def _ensure_base_store(spark: SparkSession, sf_dir: str) -> str:
     path = _base_store_path(sf_dir)
     fpr = _ivfadc_store_fingerprint(sf_dir)
     if not _session_store_fresh(path, fpr):
-        coarse, _, corpus, coarse_rows, cb = _ivfadc_parts(
-            spark, sf_dir, iters=1
-        )
-        ann_store.save_ivfadc(
-            similarity.ivf_pq_index(
-                corpus, coarse, cb, m=4, dim=64, residual=True
-            ),
-            path, coarse_rows, cb, m=4, dim=64,
-        )
-        _commit_store_fingerprint(path, fpr)
+        with _build_lock(path):
+            if _session_store_fresh(path, fpr):  # a racer built it
+                return path
+            coarse, _, corpus, coarse_rows, cb = _ivfadc_parts(
+                spark, sf_dir, iters=1
+            )
+            ann_store.save_ivfadc(
+                similarity.ivf_pq_index(
+                    corpus, coarse, cb, m=4, dim=64, residual=True
+                ),
+                path, coarse_rows, cb, m=4, dim=64,
+            )
+            _commit_store_fingerprint(path, fpr)
     return path
 
 
@@ -3245,27 +3285,24 @@ def sim_ivfadc_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     must rediscover and apply the rotation itself.  Same session-scoped
     build-once discipline as ``sim_ivfadc_store_topk``: the timed body
     is rotate-queries + load + search, the production marginal cost."""
-    import hashlib
-    import os
-    import tempfile
-
     from ..extensions import ann_store
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nr_rfc_spark_ivfadc_rot_{tag}"
-    )
+    path = _session_store_path(sf_dir, "rot")
     fpr = _ivfadc_store_fingerprint(sf_dir, variant="rotated-hadamard")
     if not _session_store_fresh(path, fpr):
-        _, coarse, corpus, coarse_rows, cb = _ivfadc_rot_parts(spark, sf_dir)
-        ann_store.save_ivfadc(
-            similarity.ivf_pq_index(
-                corpus, coarse, cb, m=4, dim=64, residual=True
-            ),
-            path, coarse_rows, cb, m=4, dim=64,
-            rotation={"mode": "post_int", "components": _had64()},
-        )
-        _commit_store_fingerprint(path, fpr)
+        with _build_lock(path):
+            if not _session_store_fresh(path, fpr):
+                _, coarse, corpus, coarse_rows, cb = _ivfadc_rot_parts(
+                    spark, sf_dir
+                )
+                ann_store.save_ivfadc(
+                    similarity.ivf_pq_index(
+                        corpus, coarse, cb, m=4, dim=64, residual=True
+                    ),
+                    path, coarse_rows, cb, m=4, dim=64,
+                    rotation={"mode": "post_int", "components": _had64()},
+                )
+                _commit_store_fingerprint(path, fpr)
     queries_raw = load(spark, sf_dir, "embeddings").filter(
         (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
     )
