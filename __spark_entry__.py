@@ -89,7 +89,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything displaced is re-verified locally via
     # tools/check_oracle.py each round.
     return {
-        # --- new this round (r11): driver verifies first ---
+        # --- new this round (r12): driver verifies first ---
+        "ext_sim_ivfadc_segments": extensions.sim_ivfadc_segments,
+        "ext_sim_ivfadc_deleted": extensions.sim_ivfadc_deleted,
+        "ext_sim_ivfadc_adaptive": extensions.sim_ivfadc_adaptive,
+        "ext_mm_decode_png": extensions.mm_decode_png,
+        # --- r11 heads (still in-window: the search path they pin
+        # grew the anti-join + segment plumbing this round) ---
         "ext_sim_ivfadc_rotated": extensions.sim_ivfadc_rotated,
         "ext_sim_ivfadc_filtered": extensions.sim_ivfadc_filtered,
         # --- stalest witnesses, refreshed per VERDICT r10 task 4 ---
@@ -332,6 +338,10 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_ivfadc_store_topk": extensions.SIM_IVFADC_STORE_TOPK_SQL,
         "ext_sim_ivfadc_rotated": extensions.SIM_IVFADC_ROTATED_SQL,
         "ext_sim_ivfadc_filtered": extensions.SIM_IVFADC_FILTERED_SQL,
+        "ext_sim_ivfadc_segments": extensions.SIM_IVFADC_SEGMENTS_SQL,
+        "ext_sim_ivfadc_deleted": extensions.SIM_IVFADC_DELETED_SQL,
+        "ext_sim_ivfadc_adaptive": extensions.SIM_IVFADC_ADAPTIVE_SQL,
+        "ext_mm_decode_png": extensions.MM_DECODE_PNG_SQL,
         "ext_sim_pq_train_codebook": extensions.SIM_PQ_TRAIN_CODEBOOK_SQL,
         "ext_dedup_incremental": extensions.DEDUP_INCREMENTAL_SQL,
         "ext_sim_pca_gram": extensions.SIM_PCA_GRAM_SQL,

@@ -31,12 +31,19 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import similarity
 
 MODEL_FILE = "_ivfadc_model.json"
+# tombstone side table: vec_ids deleted from the index SINCE the last
+# rewrite.  Underscore-prefixed, so every parquet reader of the index
+# table ignores it (the _SUCCESS convention, verified) while a direct
+# read of <index>/_deleted sees it.  Deletions are soft until
+# compact_deleted / rebalance_ivfadc physically drops the rows.
+TOMBSTONE_DIR = "_deleted"
 # version 1: table + coarse/codebook model.  Version 2 adds the optional
 # query-side ROTATION (the FAISS OPQ pre-transform carried with the
 # artifact): a v1 reader would search a rotated index with unrotated
@@ -171,6 +178,7 @@ class IvfadcIndex:
         nprobe: int = 2,
         where=None,
         probe_matching_only: bool = False,
+        target_candidates: int | None = None,
     ) -> DataFrame:
         """Search from RAW embeddings — :meth:`prepare_queries` then
         :meth:`search`.  The safe entry point for rotated artifacts:
@@ -178,6 +186,7 @@ class IvfadcIndex:
         return self.search(
             self.prepare_queries(emb), k=k, nprobe=nprobe, where=where,
             probe_matching_only=probe_matching_only,
+            target_candidates=target_candidates,
         )
 
     def search(
@@ -187,6 +196,7 @@ class IvfadcIndex:
         nprobe: int = 2,
         where=None,
         probe_matching_only: bool = False,
+        target_candidates: int | None = None,
     ) -> DataFrame:
         """Residual-ADC top-k over the stored index.  ``queries`` is a
         :func:`~.similarity.prepare` frame ALREADY IN THE INDEX'S BASIS
@@ -195,7 +205,9 @@ class IvfadcIndex:
         index score garbage); output is ivfadc_topk's (query_id,
         neighbor_id, rank, cosine_adc).  ``where`` pre-filters the
         probed-list scan (hybrid search) — see
-        :func:`~.similarity.ivfadc_topk`."""
+        :func:`~.similarity.ivfadc_topk`.  Tombstones
+        (:func:`delete_vectors`) are anti-joined automatically —
+        deleted vectors can neither rank nor displace survivors."""
         spark = queries.sparkSession
         return similarity.ivfadc_topk(
             queries,
@@ -208,6 +220,8 @@ class IvfadcIndex:
             dim=self.dim,
             where=where,
             probe_matching_only=probe_matching_only,
+            anti=deleted_ids(spark, self.path),
+            target_candidates=target_candidates,
         )
 
 
@@ -353,12 +367,171 @@ def load_ivfadc(path: str) -> IvfadcIndex:
     )
 
 
+def deleted_ids(spark: SparkSession, path: str) -> DataFrame | None:
+    """The tombstone set of a stored index — distinct deleted
+    ``vec_id`` rows, or ``None`` when nothing was ever deleted (the
+    common case pays one ``listdir``, no Spark job).  Deduplicated
+    here because :func:`delete_vectors` appends (two deletes of an
+    overlapping predicate write a vec_id twice)."""
+    local = _local_path(path)
+    d = os.path.join(local, TOMBSTONE_DIR)
+    if not os.path.isdir(d) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(d)
+    ):
+        return None
+    return (
+        spark.read.parquet(os.path.join(path, TOMBSTONE_DIR))
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def delete_vectors(spark: SparkSession, path: str, where) -> int:
+    """Soft-delete index rows by predicate — the GDPR tier of the
+    store: ``where`` (a Column or SQL string over the stored table's
+    columns) selects rows whose ``vec_id`` is APPENDED to the
+    ``_deleted`` tombstone side table; every subsequent search
+    (:meth:`IvfadcIndex.search`, hence also :func:`search_segments`
+    and the SQL TVF) anti-joins the tombstones BEFORE top-k selection,
+    so deleted vectors can neither rank nor displace survivors.  The
+    bytes stay on disk until :func:`compact_deleted` (pure purge) or
+    :func:`rebalance_ivfadc` (purge folded into the drift rewrite)
+    physically drops them — deletion latency is one small parquet
+    append, never a corpus rewrite.
+
+    Scale shape: one pruned scan of the code table (the predicate
+    pushes into parquet) for the count + id projection; the tombstone
+    table is one slim bigint column, broadcast at search time —
+    deletions are small relative to the corpus by assumption, and a
+    corpus-scale deletion is exactly when the caller should rewrite
+    via :func:`compact_deleted` instead.  Returns the number of NEWLY
+    matched vec_ids (already-tombstoned ids count again only if the
+    predicate re-matches them; the search-side distinct absorbs
+    duplicates)."""
+    loaded = load_ivfadc(path)  # validates the artifact before mutating
+    ids = loaded.frame(spark).filter(where).select("vec_id").distinct()
+    n = ids.count()
+    if n:
+        ids.write.mode("append").parquet(os.path.join(path, TOMBSTONE_DIR))
+    return int(n)
+
+
+def compact_deleted(spark: SparkSession, path: str) -> dict:
+    """Physically drop tombstoned rows — the purge half of
+    :func:`delete_vectors`, WITHOUT retraining: same coarse, same
+    codebook, same codes, just an anti-join rewrite of the table
+    through the crash-recoverable staged swap
+    (:func:`~..streaming.documents.compact_corpus` — snapshot guard,
+    ``.precompact`` recovery), with the unchanged model sidecar
+    written INTO the stage.  The swap replaces the whole directory,
+    so the ``_deleted`` side table vanishes atomically with the rows
+    it named — a crash at any point leaves either the old table WITH
+    its tombstones or the purged table without them, never a purged
+    table whose tombstones re-delete fresh rows.  Run quiesced, like
+    every sweep.  Returns ``{compacted, purged, kept}``."""
+    from ..streaming.documents import compact_corpus
+
+    loaded = load_ivfadc(path)
+    dele = deleted_ids(spark, path)
+    if dele is None:
+        return {"compacted": False, "purged": 0}
+
+    def transform(old_codes: DataFrame) -> DataFrame:
+        return old_codes.join(F.broadcast(dele), "vec_id", "left_anti")
+
+    def finalize(staged: str) -> None:
+        write_ivfadc_model(
+            staged, loaded.coarse_rows, loaded.centroid_rows,
+            m=loaded.m, dim=loaded.dim, rotation=loaded.rotation,
+        )
+
+    kept, dropped = compact_corpus(
+        spark, path, transform, partition_by=("list_id",), finalize=finalize
+    )
+    return {"compacted": True, "purged": int(dropped), "kept": int(kept)}
+
+
+def search_segments(
+    spark: SparkSession,
+    paths: list[str],
+    emb: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    where=None,
+    probe_matching_only: bool = False,
+    target_candidates: int | None = None,
+) -> DataFrame:
+    """Search SEVERAL stored indexes as one — the FAISS-shards /
+    Lucene-segments posture that :func:`rebalance_ivfadc`'s contract
+    makes the steady state: after a sweep, streamed admission resumes
+    into a NEW directory and the swept store is its frozen base
+    segment, so "the" index is a frozen base plus one or more fresh
+    admission segments and production search must read them all.
+
+    Per segment this is exactly :meth:`IvfadcIndex.search_embeddings`:
+    the segment's OWN coarse quantizer ranks its OWN lists, its OWN
+    sidecar rotation is applied to the raw queries (segments may
+    disagree on basis — a rotated base + an unrotated fresh segment is
+    legal, which is why the input is RAW embeddings, not a prepared
+    frame in any one basis), its OWN tombstones are anti-joined.
+    Segments must agree on ``(m, dim)`` — refused loudly otherwise,
+    because reconstructed-cosine scores across different geometries
+    are not one comparable scale.  The global top-k then merges the
+    per-segment slates: reconstructed cosine approximates the SAME
+    true cosine in every segment, so a max-per-(query, neighbor)
+    dedup (a vector re-admitted into a fresh segment appears twice)
+    followed by one rank window is the whole merge.
+
+    Scale shape: each segment search keeps its own plan — pruned
+    index scan, broadcast probe side, nprobe×m-byte cost — and the
+    merge operates on slates of ≤ k·n_segments rows per query, never
+    on corpus-scale data; the one added exchange is the slate-sized
+    groupBy.  ``where``/``probe_matching_only`` pass through to every
+    segment (each computes its own matched-list set from its own
+    pruned scan).
+
+    Output: (query_id, neighbor_id, rank, cosine_adc) — identical to
+    a single-index search, pinned in tests to be row-identical to
+    searching one merged index when the segments share a model."""
+    if not paths:
+        raise ValueError("search_segments needs at least one segment path")
+    idxs = [load_ivfadc(p) for p in paths]
+    geoms = {(ix.m, ix.dim) for ix in idxs}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"segments disagree on (m, dim): {sorted(geoms)} —"
+            " reconstructed-cosine scores across different PQ"
+            " geometries are not comparable; rebuild to one geometry"
+            " before merging"
+        )
+    slates = [
+        ix.search_embeddings(
+            emb, k=k, nprobe=nprobe, where=where,
+            probe_matching_only=probe_matching_only,
+            target_candidates=target_candidates,
+        )
+        for ix in idxs
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), slates)
+    best = union.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine_adc").alias("cosine_adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_adc")
+    )
+
+
 def rebalance_ivfadc(
     spark: SparkSession,
     path: str,
     corpus_prepared: DataFrame,
     threshold: float = 4.0,
-    sample_mod: int = 20,
+    sample_limit: int = 100_000,
     lloyd_iters: int = 3,
     assign: str = "window",
 ) -> dict:
@@ -376,10 +549,16 @@ def rebalance_ivfadc(
        imbalanced even if the occupied ones look even).  At or below
        ``threshold`` the sweep is a cheap NO-OP: one aggregation, the
        artifact untouched, ``rebalanced: False``.
-    2. **Re-train** — coarse centroids re-learned on a bounded hash
-       sample of the CURRENT corpus (:func:`~.similarity.
+    2. **Re-train** — coarse centroids re-learned on a CAPPED sample
+       of the current corpus (:func:`~.similarity.
        farthest_first_seeds` + :func:`~.similarity.kmeans_lite`, the
        settled production recipe; ``assign="arrow"`` for n_lists ≈ √n).
+       The sample follows the ``opq_train`` bounded-sample discipline:
+       a ceil'd hash-mod prefilter bounds the survivors to
+       ~``sample_limit`` rows under ANY corpus size, then a
+       hash-ordered limit makes the cut exact and deterministic under
+       any partitioning — at 100 TB the Lloyd input is ``sample_limit``
+       rows, not a fixed fraction of the corpus.
     3. **Rewrite** — the full index rebuilt from ``corpus_prepared``
        against the new coarse (same PQ codebook: it was trained on
        residual GEOMETRY, which survives a coarse refresh to second
@@ -419,6 +598,14 @@ def rebalance_ivfadc(
 
     loaded = load_ivfadc(path)
     n_lists = len(loaded.coarse_rows)
+    # the rewrite is also the tombstone purge: deleted vectors must not
+    # re-enter the rebuilt table (and the swap drops the _deleted side
+    # table with the rows it named, atomically)
+    dele = deleted_ids(spark, path)
+    if dele is not None:
+        corpus_prepared = corpus_prepared.join(
+            F.broadcast(dele), "vec_id", "left_anti"
+        )
 
     def _skew(frame: DataFrame, lists: int) -> tuple[float, int]:
         prof = skew_profile(frame, "list_id", top=1).collect()[0]
@@ -435,20 +622,37 @@ def rebalance_ivfadc(
     if skew <= threshold:
         return report
 
-    sample = corpus_prepared.filter(
-        F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+    # opq_train's deterministic bounded cut (similarity.py): the hash
+    # prefilter bounds the sort input to ~sample_limit rows, the
+    # hash-ordered limit makes the cap exact and partition-order-proof;
+    # the repartition restores parallelism for the Lloyd iterations
+    # (limit would otherwise leave one partition).  One count job —
+    # maintenance-op scale, and only on the > threshold path.
+    n_total = corpus_prepared.count()
+    frac_mod = max(1, -(-n_total // sample_limit))  # ceil
+    sample = (
+        corpus_prepared.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(frac_mod)) == 0
+        )
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_limit)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()  # seeding + every Lloyd pass re-reads the sample
     )
-    new_coarse = similarity.kmeans_lite(
-        sample,
-        k=n_lists,
-        iters=lloyd_iters,
-        seeds=similarity.farthest_first_seeds(sample, n_lists),
-        assign=assign,
-    )
-    new_rows = sorted(
-        (int(r["vec_id"]), [int(v) for v in r["q"]])
-        for r in new_coarse.select("vec_id", "q").collect()
-    )
+    try:
+        new_coarse = similarity.kmeans_lite(
+            sample,
+            k=n_lists,
+            iters=lloyd_iters,
+            seeds=similarity.farthest_first_seeds(sample, n_lists),
+            assign=assign,
+        )
+        new_rows = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in new_coarse.select("vec_id", "q").collect()
+        )
+    finally:
+        sample.unpersist()
 
     def transform(_old_codes: DataFrame) -> DataFrame:
         return similarity.ivf_pq_index(

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -313,3 +314,278 @@ def decode_bmp(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(run, schema=BMP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# round 12: a second REAL decoder via the stdlib — PNG (non-interlaced,
+# 8-bit RGB/RGBA).  zlib ships with Python, so inflate + per-scanline
+# filter reversal needs no codec library; JPEG/MP4 stay honestly gated.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("png_ok", LongType()),       # 1 decoded / 0 rejected
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),     # 3 RGB / 4 RGBA
+        StructField("n_pixels", LongType()),
+        # exact-integer features over the decoded raw pixel stream in
+        # row-major RGB(A) order: the positional weighted sum pins byte
+        # ORDER (a channel swap, row flip, or filter slip all change it)
+        StructField("byte_sum", LongType()),
+        StructField("weighted_sum", LongType()),  # Σ (k+1)·byte[k]
+    ]
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_pixels(payload: bytes) -> np.ndarray | None:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG to an (h, w, c) uint8
+    array — stdlib only: chunk walk with CRC verification, IDAT
+    concatenation through ``zlib.decompress``, then per-scanline
+    reversal of all five PNG filters (None/Sub/Up/Average/Paeth).
+    Returns ``None`` for anything outside exactly this profile (bad
+    signature or CRC, interlaced, palette/gray/16-bit, truncated or
+    over-long inflate output) — fail-soft like :func:`bmp_pixels`.
+
+    The filter reversal is sequential by construction (each byte
+    depends on the reconstructed left neighbor), so this is a
+    fixture/edge decoder: honest real decode for small images, while
+    bulk media at 100 TB still belongs behind a native codec at the
+    ``mode="real"`` call site."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 + 25 or payload[:8] != PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        crc = payload[pos + 8 + length:pos + 12 + length]
+        if len(data) < length or len(crc) < 4:
+            return None  # truncated chunk
+        if zlib.crc32(ctype + data) != struct.unpack(">I", crc)[0]:
+            return None  # corrupt chunk
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        return None
+    if w == 0 or h == 0 or w * h > 50_000_000:  # same sanity bound as BMP
+        return None
+    c = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - c] if x >= c else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prior[x]) >> 1
+                else:
+                    upleft = prior[x - c] if x >= c else 0
+                    pred = _paeth(int(left), int(prior[x]), int(upleft))
+                recon[x] = (line[x] + pred) & 0xFF
+        else:
+            return None  # unknown filter type
+        out[y] = recon
+        prior = recon.astype(np.int64)
+    return out.reshape(h, w, c)
+
+
+def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
+    """The inverse path, used by fixtures and the registered decode
+    row's deterministic payload generator: encode an (h, w, 3|4) uint8
+    array as a valid PNG.  ``filters="cycle"`` rotates through all
+    five filter types row by row so a decode of the output exercises
+    every reversal arm; ``"none"`` writes filter 0 only.  Independent
+    arithmetic from :func:`png_pixels` (forward filters here, inverse
+    there), and the unit tests additionally pin the decoder against
+    hand-built arrays — so an encoder bug cannot silently cancel a
+    decoder bug."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    if c not in (3, 4) or pixels.dtype != np.uint8:
+        raise ValueError("encode_png takes (h, w, 3|4) uint8 pixels")
+    stride = w * c
+    flat = pixels.reshape(h, stride).astype(np.int64)
+    lines = []
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = flat[y]
+        ft = (y % 5) if filters == "cycle" else 0
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            enc = (row - left) & 0xFF
+        elif ft == 2:
+            enc = (row - prior) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            enc = (row - ((left + prior) >> 1)) & 0xFF
+        else:
+            enc = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = row[x - c] if x >= c else 0
+                upleft = prior[x - c] if x >= c else 0
+                enc[x] = (
+                    row[x]
+                    - _paeth(int(left), int(prior[x]), int(upleft))
+                ) & 0xFF
+        lines.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blobs: DataFrame) -> DataFrame:
+    """Real PNG decode over binary payloads — the :func:`decode_bmp`
+    posture for the second pure format: Arrow-batched ``mapInPandas``
+    over (doc_id, blob, mime, n_bytes), each payload through
+    :func:`png_pixels`, exact-integer features out (dimensions,
+    channel count, byte sum, positional weighted sum over the decoded
+    row-major stream).  Rejected payloads emit ``png_ok = 0`` with
+    NULL features — fail-soft, one row per input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+                "png_ok": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_pixels": [],
+                "byte_sum": [],
+                "weighted_sum": [],
+            }
+            for b in pdf["blob"]:
+                px = None if b is None else png_pixels(bytes(b))
+                if px is None:
+                    out["png_ok"].append(0)
+                    for k in ("width", "height", "channels", "n_pixels",
+                              "byte_sum", "weighted_sum"):
+                        out[k].append(None)
+                    continue
+                h, w, c = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                out["png_ok"].append(1)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["n_pixels"].append(h * w)
+                out["byte_sum"].append(int(flat.sum()))
+                out["weighted_sum"].append(
+                    int(((np.arange(flat.size, dtype=np.int64) + 1)
+                         * flat).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=PNG_SCHEMA)
+
+
+def png_fixture_blobs(ids: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Deterministic PNG payloads from bare ids — the registered decode
+    row's input generator: doc ``d`` becomes a ``((d % 3) + 2) ×
+    ((d % 5) + 2)`` image, RGBA for odd ids and RGB for even, raw pixel
+    byte ``k = (d·31 + k·7) mod 256``, encoded through
+    :func:`encode_png` with cycling filter types.  Because the pixel
+    stream is pure id arithmetic, a DuckDB twin recomputes the decoded
+    features without touching PNG at all — the oracle checks the whole
+    encode→store→decode round trip against independent arithmetic.
+    Arrow-batched like the decoders; payloads are generated on the
+    executors, never the driver."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, nb = [], []
+            for d in pdf[doc_id]:
+                d = int(d)
+                w, h = d % 5 + 2, d % 3 + 2
+                c = 4 if d % 2 else 3
+                n = w * h * c
+                flat = (
+                    (d * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+                ).astype(np.uint8)
+                b = encode_png(flat.reshape(h, w, c))
+                blobs.append(b)
+                nb.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[doc_id],
+                    "blob": blobs,
+                    "mime": ["image/png"] * len(blobs),
+                    "n_bytes": nb,
+                }
+            )
+
+    return ids.mapInPandas(run, schema=schema)

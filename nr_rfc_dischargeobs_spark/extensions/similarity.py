@@ -1527,13 +1527,15 @@ def rotate_quantized(
     # dimension guard at RUN time (no eager plan-build job): zip_with
     # null-pads a matrix/vector length mismatch, which the downstream
     # n > 0 filters would silently DROP — assert_true turns that into a
-    # loud per-row error instead.  One size() per row, negligible.
+    # loud per-row error instead.  Folded INTO the output expression
+    # (a standalone guard column would be pruned away unevaluated);
+    # one size() per row, negligible.
     out = prepared.selectExpr(
         "vec_id",
-        f"assert_true(size(q) = {dim}, 'rotate_quantized: rotation dim"
-        f" {dim} != input vector dim') AS __dim_chk",
-        f"array({folds}) AS q",
-    ).drop("__dim_chk")
+        f"CASE WHEN assert_true(size(q) = {dim}, 'rotate_quantized:"
+        f" rotation dim {dim} != input vector dim') IS NULL"
+        f" THEN array({folds}) END AS q",
+    )
     return out.withColumn("n", sq_norm(F.col("q")))
 
 
@@ -2258,6 +2260,57 @@ def pq_train_codebooks(
     return codebook
 
 
+def _adaptive_assign(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    target: int,
+    counts: dict[int, int],
+) -> DataFrame:
+    """Probe-side assignment with a CANDIDATE-COUNT budget instead of a
+    fixed list count: each query walks its distance-ranked (matching)
+    lists and keeps probing until the cumulative matching-vector count
+    reaches ``target``, with ``nprobe`` as the floor.  ``counts`` is
+    the per-list matching occupancy (model scale, ≤ n_lists entries —
+    folded in as a literal map).  The whole computation lives on the
+    PROBE side: n_queries × n_matched rows through one window, never
+    the corpus."""
+    c = centroids.select(
+        F.col("vec_id").alias("list_id"),
+        F.col("q").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = queries.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "q",
+        "n",
+        "list_id",
+        (F.col("n") + F.col("cn") - 2 * dot(F.col("q"), F.col("cv"), None))
+        .alias("d"),
+    )
+    cnt_map = F.create_map(
+        *[
+            F.lit(v).cast("bigint")
+            for kv in sorted(counts.items())
+            for v in kv
+        ]
+    )
+    wr = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("list_id").asc()
+    )
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        scored.withColumn("pr", F.row_number().over(wr))
+        .withColumn("cnt", F.element_at(cnt_map, F.col("list_id")))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .filter(
+            (F.col("pr") <= nprobe)
+            | (F.col("cum") - F.col("cnt") < target)
+        )
+        .select("vec_id", "q", "n", "list_id")
+    )
+
+
 def ivfadc_topk(
     queries: DataFrame,
     index: DataFrame,
@@ -2269,6 +2322,8 @@ def ivfadc_topk(
     dim: int = 64,
     where: Column | str | None = None,
     probe_matching_only: bool = False,
+    anti: DataFrame | None = None,
+    target_candidates: int | None = None,
 ) -> DataFrame:
     """IVFADC search — :func:`ivf_pq_topk` for a RESIDUAL-encoded index
     (``ivf_pq_index(residual=True)`` + :func:`pq_train_codebooks`): the
@@ -2331,6 +2386,33 @@ def ivfadc_topk(
     by construction; leave it off when ``where`` is None (it would
     just pay the aggregate to learn that).
 
+    ``target_candidates`` is the other half of the hybrid-search dial:
+    ``probe_matching_only`` fixes WHERE the nprobe budget lands, this
+    fixes HOW MUCH budget there is.  Under a selective predicate a
+    fixed nprobe scans however few matching vectors happen to live in
+    the probed lists — recall degrades exactly when the filter bites
+    hardest.  With a target, each query walks its distance-ranked
+    MATCHING lists until the cumulative matching count reaches the
+    target (``nprobe`` stays the floor), so the scanned-candidate
+    budget is roughly constant across selectivities.  Cost model: one
+    combine-friendly per-list count aggregate over the filtered code
+    table (≤ n_lists rows — the same model-scale plan-build job as
+    ``probe_matching_only``, which this implies), then the probe-side
+    window; the scan cost is ~target·m bytes per query regardless of
+    how selective ``where`` is.  Requires ``where`` — with no filter
+    every list is full and a plain higher nprobe says the same thing
+    cheaper.
+
+    ``anti`` is the EXCLUSION side of hybrid search — a (vec_id)
+    frame of ids that must not appear (the stored-index tombstone
+    table, :func:`~.ann_store.delete_vectors`).  Applied as a
+    broadcast anti-join on the probed-list scan BEFORE scoring and
+    top-k, same position as ``where``: excluded vectors can neither
+    rank nor shorten the slate, and ``probe_matching_only`` sees the
+    post-exclusion table (a list emptied by deletions is skipped).
+    Broadcast because deletions are small relative to the corpus —
+    a corpus-scale exclusion belongs in a rewrite, not a search.
+
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
     cents, dsub = _pq_check(centroid_rows, m, dim)
@@ -2346,7 +2428,40 @@ def ivfadc_topk(
         # itself does not read, and a parquet-backed index scans only
         # matching row groups (PushedFilters)
         index = index.filter(where)
-    if probe_matching_only:
+    if anti is not None:
+        # AFTER the barrier (an anti-join on top of the scan must not
+        # trip the in-plan-build persist) and alongside the where
+        # pre-filter: exclusions are part of the candidate set, so
+        # probe_matching_only's matched-list aggregate sees them too
+        index = index.join(
+            F.broadcast(anti.select("vec_id")), "vec_id", "left_anti"
+        )
+    probe_counts: dict[int, int] | None = None
+    if target_candidates is not None:
+        if where is None:
+            raise ValueError(
+                "target_candidates requires a where predicate — with no"
+                " filter every list is full; raise nprobe instead"
+            )
+        # per-list MATCHING occupancy: the probe_matching_only distinct
+        # upgraded to a count — same pruned scan, same ≤ n_lists output
+        # rows, one model-scale plan-build job that serves both dials
+        probe_counts = {
+            int(r["list_id"]): int(r["cnt"])
+            for r in index.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        if not probe_counts:
+            return queries.sparkSession.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, rank int,"
+                " cosine_adc double",
+            )
+        coarse_centroids = coarse_centroids.filter(
+            F.col("vec_id").isin(list(probe_counts))
+        )
+    elif probe_matching_only:
         if where is None:
             raise ValueError(
                 "probe_matching_only requires a where predicate — with"
@@ -2383,8 +2498,16 @@ def ivfadc_topk(
     cm = _coarse_map_sql(coarse_rows)
     # probe-side assignment: HOF fold for the same BNLJ-stage reason as
     # ivf_pq_topk; qdot_coarse is one fold over the tiny probe side
-    q = (
+    assigned = (
         ivf_assign(queries, coarse_centroids, nprobe, None)
+        if probe_counts is None
+        else _adaptive_assign(
+            queries, coarse_centroids, nprobe, target_candidates,
+            probe_counts,
+        )
+    )
+    q = (
+        assigned
         .filter(F.col("n") > 0)
         .selectExpr(
             "vec_id AS query_id", "n AS qn", "list_id",

@@ -1153,6 +1153,53 @@ FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
 """
 
 
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-hashed end to end (round 12): each
+    doc_id becomes a deterministic RGB/RGBA image
+    (``multimodal.png_fixture_blobs`` — pixel byte k of doc d is
+    ``(d·31 + k·7) mod 256``), encoded to a real PNG with cycling
+    scanline filters, then decoded back by the stdlib-only
+    :func:`~..extensions.multimodal.png_pixels` kernel
+    (``decode_png`` — chunk walk, CRC checks, inflate, all five
+    filter reversals) into exact-integer features.  The DuckDB twin
+    recomputes those features from the id arithmetic alone, so a
+    value-hash match proves the decoder inverted the encoder exactly
+    — a channel swap, row flip, or filter slip changes
+    ``weighted_sum``.  Compressed payload length is zlib-version-
+    dependent, so ``mime``/``n_bytes`` stay out of the compared
+    output."""
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    feats = multimodal.decode_png(multimodal.png_fixture_blobs(ids))
+    return feats.select(
+        "doc_id", "png_ok", "width", "height", "channels", "n_pixels",
+        "byte_sum", "weighted_sum",
+    )
+
+
+MM_DECODE_PNG_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 5 + 2 AS w,
+         doc_id % 3 + 2 AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS c
+  FROM documents
+), v AS (
+  SELECT doc_id, w, h, c, k, (doc_id * 31 + k * 7) % 256 AS byte
+  FROM (SELECT doc_id, w, h, c, unnest(range(w * h * c)) AS k FROM d)
+)
+SELECT d.doc_id AS doc_id,
+       CAST(1 AS BIGINT) AS png_ok,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.c AS BIGINT) AS channels,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(SUM(v.byte) AS BIGINT) AS byte_sum,
+       CAST(SUM((v.k + 1) * v.byte) AS BIGINT) AS weighted_sum
+FROM d JOIN v ON d.doc_id = v.doc_id
+GROUP BY 1, 3, 4, 5, 6
+"""
+
+
 # -------------------------------------------- curation round-3 additions
 
 
@@ -3332,6 +3379,277 @@ def _ivfadc_rot_ctes() -> str:
 
 SIM_IVFADC_ROTATED_SQL = (
     _ivfadc_rot_ctes().rstrip() + _IVFADC_SEARCH_CTES.format(where="")
+)
+
+
+def _ensure_deleted_store(spark: SparkSession, sf_dir: str) -> str:
+    """The tombstoned store variant: the base pipeline in its own
+    directory with ``vec_id % 7 = 3`` soft-deleted
+    (:func:`~..extensions.ann_store.delete_vectors`) as part of the
+    build — the fingerprint commits AFTER the delete, so a fresh
+    session sees build+delete as one unit."""
+    from ..extensions import ann_store
+
+    path = _session_store_path(sf_dir, "del")
+    fpr = _ivfadc_store_fingerprint(sf_dir, variant="tombstoned-mod7")
+    if not _session_store_fresh(path, fpr):
+        with _build_lock(path):
+            if not _session_store_fresh(path, fpr):
+                coarse, _, corpus, coarse_rows, cb = _ivfadc_parts(
+                    spark, sf_dir, iters=1
+                )
+                ann_store.save_ivfadc(
+                    similarity.ivf_pq_index(
+                        corpus, coarse, cb, m=4, dim=64, residual=True
+                    ),
+                    path, coarse_rows, cb, m=4, dim=64,
+                )
+                ann_store.delete_vectors(spark, path, "vec_id % 7 = 3")
+                _commit_store_fingerprint(path, fpr)
+    return path
+
+
+def sim_ivfadc_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search over a store with TOMBSTONED vectors — the
+    deletion tier (``ann_store.delete_vectors`` → ``_deleted`` side
+    table → broadcast anti-join inside ``ivfadc_topk``): every
+    ``vec_id % 7 = 3`` corpus vector is soft-deleted, and the search
+    returns the TRUE top-3 among survivors — deleted ids can neither
+    rank nor shorten the slate.  Values equal the base search with the
+    deleted pairs filtered before ranking (scores are per-pair, so
+    exclusion commutes with scoring — the oracle's spelling).  The
+    physical purge half (``compact_deleted``, rebalance fold-in) is
+    covered by tests; this row pins the search-visible semantics."""
+    from ..extensions import ann_store
+
+    path = _ensure_deleted_store(spark, sf_dir)
+    queries = similarity.prepare(load(spark, sf_dir, "embeddings")).filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
+
+
+SIM_IVFADC_DELETED_SQL = _IVFADC_CTES.rstrip() + _IVFADC_SEARCH_CTES.format(
+    where="WHERE neighbor_id % 7 != 3\n"
+)
+
+
+def sim_ivfadc_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-nprobe FILTERED search — the candidate-budget dial
+    (``ivfadc_topk(target_candidates=…)``): under the ``vec_id % 3 =
+    1`` predicate each query walks its distance-ranked MATCHING lists
+    until the cumulative matching count reaches 60 (floor nprobe=1),
+    so the scanned-candidate budget holds roughly constant across
+    selectivities instead of decaying with the filter.  Same
+    session-scoped base store as the other hybrid rows; the oracle
+    mirrors the per-query cumulative walk declaratively."""
+    from ..extensions import ann_store
+
+    path = _ensure_base_store(spark, sf_dir)
+    queries = similarity.prepare(load(spark, sf_dir, "embeddings")).filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.load_ivfadc(path).search(
+        queries, k=3, nprobe=1, where="vec_id % 3 = 1",
+        target_candidates=60,
+    )
+
+
+# the adaptive probe replaces the fixed-width query_probe CTE: per-list
+# MATCHING counts, a per-query distance-ranked walk with a running sum,
+# cut at the 60-candidate target (floor nprobe=1); scored pairs then
+# post-filter by the same predicate (scores are per-pair, so candidate
+# restriction commutes with scoring — the FILTERED_SQL argument)
+_ADAPTIVE_PROBE_CTES = """), mcounts AS (
+  SELECT cl.lid, COUNT(*) AS cnt
+  FROM corpus_list cl
+  WHERE cl.vec_id % 3 = 1
+  GROUP BY 1
+), qa2 AS (
+  SELECT qa.vec_id, qa.lid, mcounts.cnt,
+         ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                            ORDER BY qa.d, qa.lid) AS pr
+  FROM qa JOIN mcounts ON qa.lid = mcounts.lid
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid, pr, cnt,
+           SUM(cnt) OVER (PARTITION BY vec_id ORDER BY pr) AS cum
+    FROM qa2
+  )
+  WHERE pr <= 1 OR cum - cnt < 60
+), recon AS ("""
+
+SIM_IVFADC_ADAPTIVE_SQL = _IVFADC_CTES.rstrip() + _IVFADC_SEARCH_CTES.format(
+    where="WHERE neighbor_id % 3 = 1\n"
+).replace(
+    """), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM qa
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) <= 2
+), recon AS (""",
+    _ADAPTIVE_PROBE_CTES,
+)
+
+
+# --- multi-segment search (round 12) ---------------------------------------
+# Two segments with DIFFERENT models and DIFFERENT bases, searched as
+# one index (ann_store.search_segments — the frozen-base + fresh-
+# admission posture rebalance_ivfadc's contract creates):
+#   segment A: raw basis,      coarse = rows  8-10, corpus = even ids ≥ 28
+#   segment B: Hadamard basis, coarse = rows 10-12, corpus = odd  ids ≥ 28
+# Each segment trains its own residual PQ codebook; nprobe=1 of 2 lists
+# keeps per-segment probe selection live.  The oracle runs the full
+# training+search CTE chain TWICE (suffixed _a/_b, segment B through the
+# rotated-stream rewrite) and merges with one global rank — equal to the
+# engine's per-segment-top-k-then-merge because every global top-k pair
+# is inside its own segment's top-k.
+
+_SEG_CTE_NAMES = (
+    "u ur co nco uu nc uq nq ca corpus_list res rs nr sd cb0 cn0 d0 a0 m0"
+    " cb1 cn1 d1 code qa query_probe recon rn adc scored"
+).split()
+
+
+def _ivfadc_scored_chain(
+    suffix: str,
+    coarse_pred: str,
+    corpus_pred: str,
+    nprobe: int,
+    rotated: bool = False,
+) -> str:
+    """The shared IVFADC training+search CTE chain, cut at ``scored``
+    (no final SELECT), with the coarse/corpus predicates and probe
+    width substituted and every CTE name suffixed — so two chains can
+    coexist in one statement."""
+    import re
+
+    chain = (_IVFADC_CTES.rstrip() + _IVFADC_SEARCH_CTES).split(
+        "\nSELECT query_id,"
+    )[0]
+    if rotated:
+        chain = re.sub(r"\bFROM u\b", "FROM ur", chain)
+        ur = """), ur AS (
+  SELECT a.vec_id,
+         SUM(a.e * CASE WHEN bit_count(CAST(oc.c AS BIGINT) & a.i) % 2 = 0
+                        THEN 1 ELSE -1 END) AS e,
+         oc.c AS i
+  FROM u a, (SELECT unnest(range(64)) AS c) oc
+  GROUP BY a.vec_id, oc.c
+), co AS ("""
+        chain = chain.replace("), co AS (", ur, 1)
+    chain = chain.replace("vec_id >= 8 AND vec_id < 12", coarse_pred)
+    chain = chain.replace("WHERE vec_id >= 28", f"WHERE {corpus_pred}")
+    chain = chain.replace(
+        "ORDER BY d, lid) <= 2", f"ORDER BY d, lid) <= {nprobe}"
+    )
+    for name in _SEG_CTE_NAMES:
+        chain = re.sub(rf"\b{name}\b", name + suffix, chain)
+    return chain
+
+
+def _ivfadc_seg_parts(spark: SparkSession, sf_dir: str, seg: str):
+    """Per-segment training chain (same stated plan-build exception as
+    ``_ivfadc_parts``): segment ``a`` in the raw basis, segment ``b``
+    in the Hadamard basis with the rotation spec for its sidecar."""
+    emb = load(spark, sf_dir, "embeddings")
+    if seg == "a":
+        base = similarity.prepare(emb)
+        lo, hi, parity, rotation = 8, 10, 0, None
+    else:
+        base = similarity.rotate_quantized(similarity.prepare(emb), _had64())
+        lo, hi, parity = 10, 12, 1
+        rotation = {"mode": "post_int", "components": _had64()}
+    coarse = base.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    corpus = base.filter(
+        (F.col("vec_id") >= 28) & (F.col("vec_id") % 2 == parity)
+    )
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
+    residuals = similarity.residualize(
+        similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+    )
+    cb = similarity.pq_train_codebooks(residuals, k=8, m=4, dim=64, iters=1)
+    return coarse, corpus, coarse_rows, cb, rotation
+
+
+def _ensure_segment_store(spark: SparkSession, sf_dir: str, seg: str) -> str:
+    from ..extensions import ann_store
+
+    path = _session_store_path(sf_dir, f"seg{seg}")
+    fpr = _ivfadc_store_fingerprint(sf_dir, variant=f"segment-{seg}")
+    if not _session_store_fresh(path, fpr):
+        with _build_lock(path):
+            if not _session_store_fresh(path, fpr):
+                coarse, corpus, coarse_rows, cb, rotation = _ivfadc_seg_parts(
+                    spark, sf_dir, seg
+                )
+                ann_store.save_ivfadc(
+                    similarity.ivf_pq_index(
+                        corpus, coarse, cb, m=4, dim=64, residual=True
+                    ),
+                    path, coarse_rows, cb, m=4, dim=64, rotation=rotation,
+                )
+                _commit_store_fingerprint(path, fpr)
+    return path
+
+
+def sim_ivfadc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-segment ANN search — TWO stored indexes with different
+    coarse quantizers, different trained codebooks, and DIFFERENT
+    bases (raw + Hadamard-rotated) searched as one
+    (:func:`~..extensions.ann_store.search_segments`): each segment
+    ranks its own lists with its own coarse, rotates the raw queries
+    by its own sidecar, scores its own codes, and one global top-3
+    merges the slates.  This is the steady-state posture
+    ``rebalance_ivfadc`` creates — a frozen swept base plus a fresh
+    admission segment — made a real searchable operator.  Same
+    session-scoped build-once discipline as the other store rows: the
+    timed body is two loads + the merged search."""
+    from ..extensions import ann_store
+
+    pa = _ensure_segment_store(spark, sf_dir, "a")
+    pb = _ensure_segment_store(spark, sf_dir, "b")
+    queries_raw = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.search_segments(
+        spark, [pa, pb], queries_raw, k=3, nprobe=1
+    )
+
+
+SIM_IVFADC_SEGMENTS_SQL = (
+    _ivfadc_scored_chain(
+        "_a",
+        "vec_id >= 8 AND vec_id < 10",
+        "vec_id >= 28 AND vec_id % 2 = 0",
+        nprobe=1,
+    )
+    + ",\n"
+    + _ivfadc_scored_chain(
+        "_b",
+        "vec_id >= 10 AND vec_id < 12",
+        "vec_id >= 28 AND vec_id % 2 = 1",
+        nprobe=1,
+        rotated=True,
+    ).lstrip().removeprefix("WITH ")
+    + """,
+seg_union AS (
+  SELECT query_id, neighbor_id, cosine_adc FROM scored_a
+  UNION ALL
+  SELECT query_id, neighbor_id, cosine_adc FROM scored_b
+), merged AS (
+  SELECT query_id, neighbor_id, MAX(cosine_adc) AS cosine_adc
+  FROM seg_union GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_adc DESC, neighbor_id ASC)
+            AS INT) AS rank,
+       cosine_adc
+FROM merged
+QUALIFY rank <= 3
+"""
 )
 
 

@@ -22,7 +22,7 @@ function.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 # token-window chunking bodies reuse ONE last-chunk-index definition so
 # n_chunks and the sequence bound cannot desynchronize (the same
@@ -621,6 +621,12 @@ def register_ivfadc_search_tvf(
     store = spark.read.parquet(index_path)
     if where is not None:
         store = store.filter(where)
+    # operator ≡ TVF parity extends to tombstones: deleted vectors are
+    # excluded from the candidate set here exactly as
+    # IvfadcIndex.search anti-joins them (ann_store.delete_vectors)
+    dele = ann_store.deleted_ids(spark, index_path)
+    if dele is not None:
+        store = store.join(F.broadcast(dele), "vec_id", "left_anti")
     store.createOrReplaceTempView("ivfadc_index_store")
     spark.sql(_ivfadc_search_tvf_sql(rotated=rotated))
     return "tvf_ivfadc_search"

@@ -415,8 +415,7 @@ def test_rebalance_preserves_rotation(spark, tmp_path):
         ),
         path, coarse_rows, cb, m=2, dim=4, rotation=rot,
     )
-    rep = ann_store.rebalance_ivfadc(spark, path, basis, threshold=0.5,
-                                     sample_mod=1)
+    rep = ann_store.rebalance_ivfadc(spark, path, basis, threshold=0.5)
     assert rep["rebalanced"] is True
     loaded = ann_store.load_ivfadc(path)
     assert loaded.rotation == ann_store._check_rotation(rot)
@@ -473,7 +472,7 @@ def test_rebalance_compacts_streamed_layout(spark, tmp_path):
 
     assert "batch_id" in spark.read.parquet(index_dir).columns
     rep = ann_store.rebalance_ivfadc(
-        spark, index_dir, prep, threshold=0.5, sample_mod=1
+        spark, index_dir, prep, threshold=0.5
     )
     assert rep["rebalanced"] is True and rep["kept"] == 12
     swept = spark.read.parquet(index_dir)
@@ -488,3 +487,363 @@ def test_rebalance_compacts_streamed_layout(spark, tmp_path):
     ).write.partitionBy("list_id").parquet(index_dir + "/batch_id=9")
     with _pytest.raises(Exception, match="CONFLICTING_PARTITION"):
         spark.read.parquet(index_dir).collect()
+
+
+# ---------------------------------------------------------------------------
+# multi-segment search (round 12): frozen base + fresh admission segments
+# searched as ONE index — the steady state rebalance_ivfadc's contract
+# creates ("resume admission into a NEW index directory and treat the
+# swept store as its frozen base segment")
+# ---------------------------------------------------------------------------
+
+
+def test_search_segments_parity_with_merged_index(spark, tmp_path):
+    """When segments share one model (the admission-segment case: same
+    coarse, same codebook), searching them as segments is ROW-IDENTICAL
+    to searching a single merged index over the same vectors — the
+    per-segment probe ranks the same lists, the codes are the same
+    bytes, and the global merge recovers exactly the single-index
+    top-k (global top-k ⊆ union of per-segment top-k)."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    seg_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    seg_b = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    paths = []
+    for name, part in (("a", seg_a), ("b", seg_b), ("all", corpus)):
+        p = str(tmp_path / f"seg_{name}")
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                part, coarse, cb, m=4, dim=64, residual=True
+            ),
+            p, coarse_rows, cb, m=4, dim=64,
+        )
+        paths.append(p)
+    pa, pb, pall = paths
+
+    emb_q = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    got = sorted(map(tuple, ann_store.search_segments(
+        spark, [pa, pb], emb_q, k=3, nprobe=2
+    ).collect()))
+    want = sorted(map(tuple, ann_store.load_ivfadc(pall)
+                      .search_embeddings(emb_q, k=3, nprobe=2).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_search_segments_mixed_bases_and_tombstones(spark, tmp_path):
+    """Segments may disagree on basis: an UNROTATED base plus a
+    Hadamard-ROTATED fresh segment search as one index, each rotating
+    the raw queries by its own sidecar; per-segment tombstones apply.
+    The merge equals the hand-built union of the per-segment slates."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prep = similarity.prepare(emb)
+    had = similarity.hadamard_rows(64)
+    rot_prep = similarity.rotate_quantized(prep, had)
+
+    def build(base, lo, hi, pred, path, rotation=None):
+        coarse = base.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        corpus = base.filter(pred)
+        coarse_rows = [
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        ]
+        res = similarity.residualize(
+            similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+        )
+        cb = similarity.pq_train_codebooks(res, k=8, m=4, dim=64, iters=1)
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                corpus, coarse, cb, m=4, dim=64, residual=True
+            ),
+            path, coarse_rows, cb, m=4, dim=64, rotation=rotation,
+        )
+        return path
+
+    even = (F.col("vec_id") >= 28) & (F.col("vec_id") % 2 == 0)
+    odd = (F.col("vec_id") >= 28) & (F.col("vec_id") % 2 == 1)
+    pa = build(prep, 8, 10, even, str(tmp_path / "base"))
+    pb = build(rot_prep, 10, 12, odd, str(tmp_path / "fresh"),
+               rotation={"mode": "post_int", "components": had})
+
+    # tombstone one segment: a deleted vector disappears from the merge
+    emb_q = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    first = ann_store.search_segments(spark, [pa, pb], emb_q, k=3, nprobe=1)
+    victim = int(first.orderBy("query_id", "rank").first()["neighbor_id"])
+    assert ann_store.delete_vectors(spark, pa, f"vec_id = {victim}") + \
+        ann_store.delete_vectors(spark, pb, f"vec_id = {victim}") == 1
+
+    got = ann_store.search_segments(spark, [pa, pb], emb_q, k=3, nprobe=1)
+    rows = got.collect()
+    assert victim not in {int(r["neighbor_id"]) for r in rows}
+    # slates stay full-length: true top-k among survivors, per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(int(r["query_id"]), []).append(int(r["rank"]))
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    # hand-built expectation: union of per-segment slates, max-dedup,
+    # re-ranked — exactly the documented merge
+    ia, ib = ann_store.load_ivfadc(pa), ann_store.load_ivfadc(pb)
+    union = ia.search_embeddings(emb_q, k=3, nprobe=1).unionByName(
+        ib.search_embeddings(emb_q, k=3, nprobe=1)
+    )
+    best = union.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine_adc").alias("cosine_adc")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    want = sorted(map(tuple, best.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= 3).select(
+        "query_id", "neighbor_id", "rank", "cosine_adc"
+    ).collect()))
+    assert sorted(map(tuple, rows)) == want
+
+
+def test_search_segments_refuses_mixed_geometry_and_empty(spark, tmp_path):
+    coarse, _, corpus, coarse_rows, cb = _trained_parts(spark)
+    p64 = str(tmp_path / "m4d64")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        p64, coarse_rows, cb, m=4, dim=64,
+    )
+    emb8 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    prep8 = similarity.prepare(emb8)
+    stale = [(0, [0] * 8), (1, [100000] * 8)]
+    res = similarity.residualize(
+        similarity.ivf_assign_local(prep8, stale), stale
+    )
+    cb8 = similarity.pq_train_codebooks(res, k=4, m=2, dim=8, iters=1)
+    p8 = str(tmp_path / "m2d8")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(prep8, None, cb8, m=2, dim=8,
+                                residual=True, coarse_rows=stale,
+                                assign="local"),
+        p8, stale, cb8, m=2, dim=8,
+    )
+    with pytest.raises(ValueError, match="disagree on \\(m, dim\\)"):
+        ann_store.search_segments(spark, [p64, p8], emb8, k=2)
+    with pytest.raises(ValueError, match="at least one segment"):
+        ann_store.search_segments(spark, [], emb8, k=2)
+
+
+def test_search_segments_overlap_dedups(spark, tmp_path):
+    """A vector present in BOTH segments (re-admission) appears once,
+    at its best score — the same path twice is the degenerate case and
+    must equal the single-segment search exactly."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    p = str(tmp_path / "seg")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        p, coarse_rows, cb, m=4, dim=64,
+    )
+    emb_q = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    got = sorted(map(tuple, ann_store.search_segments(
+        spark, [p, p], emb_q, k=3, nprobe=2
+    ).collect()))
+    want = sorted(map(tuple, ann_store.load_ivfadc(p)
+                      .search_embeddings(emb_q, k=3, nprobe=2).collect()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tombstones (round 12): delete_vectors / compact_deleted / rebalance purge
+# ---------------------------------------------------------------------------
+
+
+def test_delete_vectors_search_parity_with_rebuilt_index(spark, tmp_path):
+    """Soft-deleting ids gives the SAME search results as physically
+    rebuilding the index without them (same model → remaining codes
+    are identical bytes), and the slate stays k-long: true top-k among
+    survivors, never a post-filtered short slate."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    path = str(tmp_path / "ix")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    loaded = ann_store.load_ivfadc(path)
+    base = loaded.search(queries, k=3, nprobe=2)
+    victims = sorted({int(r["neighbor_id"])
+                      for r in base.filter(F.col("rank") == 1).collect()})[:2]
+    pred = f"vec_id IN ({victims[0]}, {victims[1]})"
+    assert ann_store.delete_vectors(spark, path, pred) == 2
+
+    got = sorted(map(tuple,
+                     loaded.search(queries, k=3, nprobe=2).collect()))
+    assert not any(int(t[1]) in victims for t in got)
+
+    # physical rebuild without the victims, same model
+    survivors = corpus.filter(~F.col("vec_id").isin(victims))
+    path2 = str(tmp_path / "rebuilt")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(survivors, coarse, cb, m=4, dim=64,
+                                residual=True),
+        path2, coarse_rows, cb, m=4, dim=64,
+    )
+    want = sorted(map(tuple, ann_store.load_ivfadc(path2)
+                      .search(queries, k=3, nprobe=2).collect()))
+    assert got == want
+
+    # idempotent re-delete: distinct absorbs the duplicate append
+    assert ann_store.delete_vectors(spark, path, pred) == 2
+    again = sorted(map(tuple,
+                       loaded.search(queries, k=3, nprobe=2).collect()))
+    assert again == want
+
+
+def test_compact_deleted_purges_rows_and_clears_tombstones(spark, tmp_path):
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    path = str(tmp_path / "ix")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    n0 = spark.read.parquet(path).count()
+    n_del = ann_store.delete_vectors(spark, path, "vec_id % 5 = 0")
+    assert n_del > 0
+    before = sorted(map(tuple, ann_store.load_ivfadc(path)
+                        .search(queries, k=3, nprobe=2).collect()))
+
+    rep = ann_store.compact_deleted(spark, path)
+    assert rep == {"compacted": True, "purged": n_del, "kept": n0 - n_del}
+    assert spark.read.parquet(path).count() == n0 - n_del
+    assert ann_store.deleted_ids(spark, path) is None
+    assert not os.path.isdir(os.path.join(path, ann_store.TOMBSTONE_DIR))
+    # search values identical before/after the physical purge
+    after = sorted(map(tuple, ann_store.load_ivfadc(path)
+                       .search(queries, k=3, nprobe=2).collect()))
+    assert after == before
+    # nothing left to purge → cheap no-op
+    assert ann_store.compact_deleted(spark, path)["compacted"] is False
+
+
+def test_rebalance_purges_tombstones_and_caps_sample(spark, tmp_path):
+    """The drift rewrite folds the tombstone purge in (deleted ids do
+    not re-enter, the _deleted side table vanishes with the swap), and
+    the coarse retrain input is hard-capped at sample_limit rows under
+    any corpus size."""
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions import similarity as S
+
+    rng = np.random.default_rng(9)
+    centers = [np.zeros(8), np.ones(8), -np.ones(8),
+               np.array([2.0] * 4 + [-2.0] * 4)]
+    rows = []
+    for g in range(4):
+        rows += [
+            (g * 50 + i,
+             [float(x) for x in centers[g] + 0.05 * rng.normal(size=8)])
+            for i in range(50)
+        ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    prep = S.prepare(emb)
+    stale = [
+        (0, [int(v) for v in (100000 * centers[0]).astype(int)]),
+        (1, [int(v) for v in (100000 * centers[1]).astype(int)]),
+        (2, [int(v) for v in (100000 * (centers[0] + 0.01)).astype(int)]),
+        (3, [int(v) for v in (100000 * (centers[1] + 0.01)).astype(int)]),
+    ]
+    res = S.residualize(S.ivf_assign_local(prep, stale), stale)
+    cb = S.pq_train_codebooks(res, k=4, m=2, dim=8, iters=1)
+    path = str(tmp_path / "drifted")
+    ann_store.save_ivfadc(
+        S.ivf_pq_index(prep, None, cb, m=2, dim=8, residual=True,
+                       coarse_rows=stale, assign="local"),
+        path, stale, cb, m=2, dim=8,
+    )
+    assert ann_store.delete_vectors(spark, path, "vec_id >= 190") == 10
+
+    captured = {}
+    orig = S.kmeans_lite
+
+    def spy(sample, **kw):
+        captured["n"] = sample.count()
+        return orig(sample, **kw)
+
+    import nr_rfc_dischargeobs_spark.extensions.ann_store as mod
+    old = mod.similarity.kmeans_lite
+    mod.similarity.kmeans_lite = spy
+    try:
+        rep = ann_store.rebalance_ivfadc(
+            spark, path, prep, threshold=1.5, sample_limit=64
+        )
+    finally:
+        mod.similarity.kmeans_lite = old
+
+    assert rep["rebalanced"] is True
+    assert captured["n"] <= 64  # hard cap, not a proportional fraction
+    # purge: deleted ids are gone from the rebuilt table AND the side
+    # table itself vanished with the swap
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("vec_id") >= 190).count() == 0
+    assert rep["kept"] == 190
+    assert ann_store.deleted_ids(spark, path) is None
+
+
+def test_rotate_quantized_dim_mismatch_fails_loudly(spark):
+    """A rotation matrix whose dimension differs from the vectors must
+    error at run time, not null-pad into silently dropped rows."""
+    prep = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(4)
+    )
+    bad = similarity.hadamard_rows(8)  # 8x8 vs 64-dim vectors
+    with pytest.raises(Exception, match="rotate_quantized"):
+        similarity.rotate_quantized(prep, bad).collect()
+
+
+def test_adaptive_target_candidates_dial(spark, tmp_path):
+    """The candidate-budget dial's two endpoints pin its semantics:
+    an unreachable target probes every matching list (== full-probe
+    filtered search), a target of 1 probes exactly the nearest
+    matching list (== probe_matching_only at nprobe=1); guards fire
+    without a predicate, and a nothing-matches predicate yields the
+    typed empty frame."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    path = str(tmp_path / "ix")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    loaded = ann_store.load_ivfadc(path)
+    pred = "vec_id % 3 = 1"
+
+    full = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=4, where=pred
+    ).collect()))
+    big = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=1, where=pred, target_candidates=10**9
+    ).collect()))
+    assert big == full
+
+    floor = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=1, where=pred, probe_matching_only=True
+    ).collect()))
+    tight = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=1, where=pred, target_candidates=1
+    ).collect()))
+    assert tight == floor
+
+    with pytest.raises(ValueError, match="target_candidates requires"):
+        loaded.search(queries, k=3, nprobe=1, target_candidates=10)
+    empty = loaded.search(
+        queries, k=3, nprobe=1, where="vec_id < 0", target_candidates=10
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "rank",
+                             "cosine_adc"]

@@ -929,3 +929,98 @@ def test_decode_bmp_frame_fail_soft_and_exact_means(spark):
     assert ok["mean_b_milli"] == 1000 * 264 // 4
     for did in (2, 3):
         assert got[did]["bmp_ok"] == 0 and got[did]["width"] is None
+
+
+def test_png_pixels_hand_built_decode():
+    """Decoder pinned against HAND-ASSEMBLED bytes (not encode_png —
+    an encoder bug cannot cancel a decoder bug here): a 2×2 RGB image
+    with filter 1 (Sub) on row 0 and filter 2 (Up) on row 1, filtered
+    bytes computed by hand per the PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        PNG_SIG, png_pixels,
+    )
+
+    # target image rows (RGB): [(10,20,30),(40,60,80)] / [(15,25,35),(55,75,95)]
+    # row0 Sub:   10,20,30, then 40-10,60-20,80-30 = 30,40,50
+    # row1 Up:    15-10,25-20,35-30 = 5,5,5, then 55-40,75-60,95-80 = 15,15,15
+    raw = bytes([1, 10, 20, 30, 30, 40, 50,
+                 2, 5, 5, 5, 15, 15, 15])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = png_pixels(payload)
+    want = np.array([[[10, 20, 30], [40, 60, 80]],
+                     [[15, 25, 35], [55, 75, 95]]], dtype=np.uint8)
+    assert px is not None and (px == want).all()
+
+    # out-of-profile rejections: grayscale, 16-bit, interlaced
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),   # gray
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),  # 16-bit
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),   # Adam7
+    ):
+        bad = (PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        assert png_pixels(bad) is None
+    # inflate-length mismatch (claims 2x2 but carries one scanline)
+    short = (PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(raw[:7]))
+             + chunk(b"IEND", b""))
+    assert png_pixels(short) is None
+
+
+def test_decode_png_frame_fail_soft_and_features(spark):
+    """The mapInPandas stage: valid payloads (every filter type, RGB
+    and RGBA) decode to exact features; NULL/garbage/truncated emit
+    png_ok=0 with NULL features, one row per input."""
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        decode_png, encode_png,
+    )
+
+    a = (np.arange(6 * 4 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8).reshape(6, 4, 3)
+    b = (np.arange(5 * 3 * 4, dtype=np.int64) * 91 % 256).astype(
+        np.uint8).reshape(5, 3, 4)
+    pa, pb = encode_png(a), encode_png(b)
+    rows = [
+        (0, bytearray(pa), "image/png", len(pa)),
+        (1, bytearray(pb), "image/png", len(pb)),
+        (2, None, "image/png", None),
+        (3, bytearray(b"garbage"), "image/png", 7),
+        (4, bytearray(pa[:40]), "image/png", 40),
+    ]
+    blobs = spark.createDataFrame(
+        rows, "doc_id long, blob binary, mime string, n_bytes long"
+    )
+    got = {r["doc_id"]: r.asDict() for r in decode_png(blobs).collect()}
+    assert len(got) == 5
+
+    for did, arr in ((0, a), (1, b)):
+        flat = arr.reshape(-1).astype(np.int64)
+        r = got[did]
+        assert r["png_ok"] == 1
+        assert (r["height"], r["width"], r["channels"]) == arr.shape
+        assert r["n_pixels"] == arr.shape[0] * arr.shape[1]
+        assert r["byte_sum"] == int(flat.sum())
+        assert r["weighted_sum"] == int(
+            ((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()
+        )
+    for did in (2, 3, 4):
+        assert got[did]["png_ok"] == 0
+        assert got[did]["width"] is None and got[did]["byte_sum"] is None

@@ -306,7 +306,7 @@ def test_rebalance_ivfadc_noop_trigger_and_repair(spark, tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs
     )
     rep0 = ann_store.rebalance_ivfadc(
-        spark, path, prep, threshold=100.0, sample_mod=1
+        spark, path, prep, threshold=100.0
     )
     assert rep0["rebalanced"] is False and rep0["skew_before"] > 1.5
     after = sorted(
@@ -315,7 +315,7 @@ def test_rebalance_ivfadc_noop_trigger_and_repair(spark, tmp_path):
     assert after == before  # no-op leaves the artifact untouched
 
     rep = ann_store.rebalance_ivfadc(
-        spark, path, prep, threshold=1.5, sample_mod=1
+        spark, path, prep, threshold=1.5
     )
     assert rep["rebalanced"] is True
     assert rep["skew_after"] < rep["skew_before"]

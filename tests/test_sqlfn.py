@@ -368,3 +368,45 @@ def test_tvf_ivfadc_search_filtered_and_rotated(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="post_int"):
         register_ivfadc_search_tvf(spark, pre_path)
+
+
+def test_tvf_ivfadc_search_applies_tombstones(spark, tmp_path):
+    """Operator ≡ TVF parity extends to deletions: a tombstoned vec_id
+    (ann_store.delete_vectors) is excluded from the TVF's candidate
+    set exactly as IvfadcIndex.search anti-joins it."""
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivfadc_search_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    prep = similarity.prepare(emb_raw)
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+        ),
+        k=8, m=4, dim=64, iters=1,
+    )
+    path = str(tmp_path / "tomb_artifact")
+    handle = ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    victim = int(
+        handle.search(queries, k=1, nprobe=2).first()["neighbor_id"]
+    )
+    assert ann_store.delete_vectors(spark, path, f"vec_id = {victim}") == 1
+
+    register_ivfadc_search_tvf(spark, path)
+    got = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 2)")
+    want = ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
+    assert rows(got) == rows(want)
+    assert victim not in {r["neighbor_id"] for r in got.collect()}

@@ -891,6 +891,231 @@ def r11_tier(spark, t: dict, n: int) -> None:
             df.unpersist()
 
 
+def r12_tier(spark, t: dict, n: int) -> None:
+    """Round-12 probes on the clustered fixture:
+
+    1. **Multi-segment search at scale**: a ``n``-code frozen base plus
+       a 10 %-of-n fresh admission segment with its OWN coarse
+       quantizer (fewer lists — admission segments are smaller) and
+       OWN codebook, searched as one via
+       ``ann_store.search_segments``; recall@10 vs exact ground truth
+       over the FULL corpus, anchored by one combined index trained on
+       everything.  Then 1 % of the base is tombstoned
+       (``delete_vectors``) and the merged search re-measured against
+       exact-over-survivors — the broadcast anti-join's cost and the
+       slate's correctness under deletion, at scale.
+    2. **Adaptive nprobe under the correlated predicate** (the r11
+       collapse fixture, ``vec_id % 64 = 0``): recall-vs-budget rows
+       for ``target_candidates`` ∈ {1k, 4k, 16k} at floor nprobe=1,
+       anchored by the r11 ``probe_matching_only`` repair at nprobe=8
+       — the dial should walk recall up toward the full-matching
+       ceiling as the budget covers more of the ~n/64 survivors.
+    """
+    import shutil
+    import tempfile
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+
+    m_, k_ = 16, 16
+    held = []
+
+    def _train_save(prep_part, lists, path, sample_mod=20):
+        sample = prep_part.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+        )
+        coarse = similarity.kmeans_lite(
+            sample, k=lists, iters=3,
+            seeds=similarity.farthest_first_seeds(sample, lists),
+        )
+        coarse_rows = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        )
+        res_sample = similarity.residualize(
+            similarity.ivf_assign_local(sample, coarse_rows), coarse_rows
+        )
+        cb = similarity.pq_train_codebooks(
+            res_sample, k=k_, m=m_, dim=64, iters=4
+        )
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                prep_part, None, cb, m=m_, dim=64, residual=True,
+                coarse_rows=coarse_rows, assign="arrow",
+            ),
+            path, coarse_rows, cb, m=m_, dim=64,
+        )
+
+    # --- 1: segments at scale ------------------------------------------
+    try:
+        total = n + n // 10
+        emb = synth_clustered_embs(spark, total).persist()
+        held.append(emb)
+        emb.count()
+        prep = similarity.prepare(emb).persist()
+        held.append(prep)
+        prep.count()
+        q_raw = emb.filter(F.col("vec_id") < 256)
+        corpus = prep.filter(F.col("vec_id") >= 256)
+        base_p = prep.filter(
+            (F.col("vec_id") >= 256) & (F.col("vec_id") < n)
+        )
+        fresh_p = prep.filter(F.col("vec_id") >= n)
+        root = tempfile.mkdtemp(prefix="nr_rfc_probe_seg_")
+        base_path, fresh_path = root + "/base", root + "/fresh"
+        combo_path = root + "/combined"
+
+        t0 = time.time()
+        _train_save(base_p, 64, base_path)
+        t["seg_base_build"] = {"sec": round(time.time() - t0, 1), "rows": n}
+        t0 = time.time()
+        _train_save(fresh_p, 16, fresh_path)
+        t["seg_fresh_build"] = {
+            "sec": round(time.time() - t0, 1), "rows": n // 10,
+        }
+        t0 = time.time()
+        _train_save(corpus, 64, combo_path)
+        t["seg_combined_build"] = {
+            "sec": round(time.time() - t0, 1), "rows": total - 256,
+        }
+
+        exact10 = similarity.brute_force_topk_arrow(
+            prep.filter(F.col("vec_id") < 256), corpus, k=10
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+
+        t0 = time.time()
+        seg_row = similarity.ann_recall(
+            ann_store.search_segments(
+                spark, [base_path, fresh_path], q_raw, k=10, nprobe=8
+            ),
+            exact10,
+        ).agg(F.avg("recall").alias("r")).collect()[0]
+        t["seg_search_recall10_np8"] = {
+            "sec": round(time.time() - t0, 1),
+            "mean_recall_at_10": round(seg_row.r, 4),
+        }
+        t0 = time.time()
+        combo_row = similarity.ann_recall(
+            ann_store.load_ivfadc(combo_path).search_embeddings(
+                q_raw, k=10, nprobe=8
+            ),
+            exact10,
+        ).agg(F.avg("recall").alias("r")).collect()[0]
+        t["seg_combined_recall10_np8"] = {
+            "sec": round(time.time() - t0, 1),
+            "mean_recall_at_10": round(combo_row.r, 4),
+        }
+        for key in ("seg_search_recall10_np8", "seg_combined_recall10_np8"):
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+
+        # tombstone 1% of the base, re-measure vs exact-over-survivors
+        t0 = time.time()
+        n_del = ann_store.delete_vectors(
+            spark, base_path, "vec_id % 100 = 7"
+        )
+        t["seg_delete_1pct"] = {
+            "sec": round(time.time() - t0, 1), "rows": n_del,
+        }
+        exact_surv = similarity.brute_force_topk_arrow(
+            prep.filter(F.col("vec_id") < 256),
+            corpus.filter(
+                (F.col("vec_id") >= n) | (F.col("vec_id") % 100 != 7)
+            ),
+            k=10,
+        ).persist()
+        held.append(exact_surv)
+        exact_surv.count()
+        t0 = time.time()
+        del_row = similarity.ann_recall(
+            ann_store.search_segments(
+                spark, [base_path, fresh_path], q_raw, k=10, nprobe=8
+            ),
+            exact_surv,
+        ).agg(F.avg("recall").alias("r")).collect()[0]
+        t["seg_search_tombstoned_recall10_np8"] = {
+            "sec": round(time.time() - t0, 1),
+            "mean_recall_at_10": round(del_row.r, 4),
+        }
+        print(f"  {t['seg_search_tombstoned_recall10_np8']['sec']:7.1f} s  "
+              f"recall@10 "
+              f"{t['seg_search_tombstoned_recall10_np8']['mean_recall_at_10']}"
+              f"  seg_search_tombstoned_recall10_np8", file=sys.stderr)
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["r12_segments_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r12 segments: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+        held = []
+
+    # --- 2: adaptive nprobe on the correlated predicate -----------------
+    try:
+        prep = similarity.prepare(synth_clustered_embs(spark, n)).persist()
+        held.append(prep)
+        prep.count()
+        q_side = prep.filter(F.col("vec_id") < 256)
+        c_side = prep.filter(F.col("vec_id") >= 256)
+        sample = c_side.filter(F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0)
+        coarse = similarity.kmeans_lite(
+            sample, k=64, iters=3,
+            seeds=similarity.farthest_first_seeds(sample, 64),
+        ).persist()
+        held.append(coarse)
+        coarse.count()
+        coarse_rows = [
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        ]
+        cb = similarity.pq_train_codebooks(
+            similarity.residualize(
+                similarity.ivf_assign(sample, coarse, 1, None), coarse_rows
+            ),
+            k=k_, m=m_, dim=64, iters=4,
+        )
+        index = similarity.ivf_pq_index(
+            c_side, coarse, cb, m=m_, dim=64, residual=True,
+            coarse_rows=coarse_rows,
+        ).persist()
+        held.append(index)
+        index.count()
+        pred = "vec_id % 64 = 0"
+        exact = similarity.brute_force_topk_arrow(
+            q_side, c_side.filter(pred), k=10
+        ).persist()
+        held.append(exact)
+        exact.count()
+        runs = [("matchprobe_np8", dict(nprobe=8, probe_matching_only=True))]
+        runs += [
+            (f"target{tc}_np1", dict(nprobe=1, target_candidates=tc))
+            for tc in (1000, 4000, 16000)
+        ]
+        for label, kw in runs:
+            t0 = time.time()
+            row = similarity.ann_recall(
+                similarity.ivfadc_topk(
+                    q_side, index, coarse, cb, k=10, m=m_, dim=64,
+                    where=pred, **kw,
+                ),
+                exact,
+            ).agg(F.avg("recall").alias("r")).collect()[0]
+            key = f"ivfadc_adaptive_recall10_{n // 1_000_000}m_{label}"
+            t[key] = {
+                "sec": round(time.time() - t0, 1),
+                "mean_recall_at_10": round(row.r, 4),
+            }
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        t["r12_adaptive_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r12 adaptive: {str(ex)[:120]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -914,6 +1139,10 @@ def main() -> int:
                     help="run ONLY the round-11 tier (rotated-vs-raw "
                          "IVFADC, filtered-search selectivity curve, "
                          "rebalance under drift)")
+    ap.add_argument("--only-r12", action="store_true",
+                    help="run ONLY the round-12 tier (multi-segment "
+                         "search + tombstones at scale, adaptive-"
+                         "nprobe recall-vs-budget)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -962,6 +1191,14 @@ def main() -> int:
 
     if args.only_r11:
         r11_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r12:
+        r12_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
