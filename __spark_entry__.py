@@ -62,32 +62,95 @@ def _ordered_sql(sql: str) -> str:
     )
 
 
+# Round-12 driver window (dict ORDER is part of the driver contract:
+# the correctness gate checks the FIRST 50 entries).  Leads with the
+# four queries new this round, then rotates the ENTIRE remaining
+# r8-witnessed block back in (42 queries — the oldest latest witnesses
+# after r11's refresh), topped up with the four oldest r9 witnesses.
+# Everything displaced carries an r9/r10/r11 green witness, so the
+# union invariant (CORRECTNESS_r01..r12 covers every registered query
+# with a green latest witness) is preserved; displaced queries are
+# re-verified locally via tools/check_oracle.py each round.
+_R12_WINDOW = [
+    "ext_sim_ivfadc_segments",
+    "ext_sim_ivfadc_deleted",
+    "ext_sim_ivfadc_adaptive",
+    "ext_mm_decode_png",
+    # --- the r8-witnessed block, rotated in whole ---
+    "a4_dedup_5min_grid",
+    "a5_pivot_daily_wide",
+    "a6_melt_wide_to_long",
+    "a7_distinct_partition_keys",
+    "ext_contamination_ngram",
+    "ext_contamination_spans",
+    "ext_dedup_cc_clusters",
+    "ext_dedup_containment",
+    "ext_dedup_embedding_neardup",
+    "ext_dedup_exact_clusters",
+    "ext_mix_token_rates",
+    "ext_mm_blob_stats",
+    "ext_mm_decode_features",
+    "ext_pack_sequences",
+    "ext_sample_shard_plan",
+    "ext_sample_source_caps",
+    "ext_sample_split",
+    "ext_sample_stratified",
+    "ext_sim_cosine_topk",
+    "ext_sim_ivf_topk",
+    "ext_sim_lsh_bucketed_topk",
+    "ext_sim_quantize_int8",
+    "ext_text_chunk_windows",
+    "ext_text_entropy",
+    "ext_text_gopher_rules",
+    "ext_text_hash_classifier",
+    "ext_text_pii_scrub",
+    "ext_text_quality_scores",
+    "ext_text_repetition",
+    "ext_text_top_terms",
+    "j1_full_outer_qh_align",
+    "j2_union_conformed_sources",
+    "j3_coalescing_upsert",
+    "j4_scaffold_align_hours",
+    "j6_cross_join_scaffold",
+    "p1_p3_projection_timerange",
+    "p2_semi_join_stations",
+    "p4_dict_remap",
+    "p6_numeric_validity",
+    "set_anti_join_new_stations",
+    "ts_cusum_drift",
+    "ts_deseasonalized_residuals",
+    # --- oldest r9 witnesses top up the window to 50 ---
+    "ext_decontam_bloom",
+    "ext_sample_unimax",
+    "ext_sim_ann_recall",
+    "ext_sketch_cms_heavy",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Every callable is wrapped in :func:`_ordered`, and every oracle in
     :func:`_ordered_sql`, so both sides emit a canonical row order.
+    ``_R12_WINDOW`` leads the dict (the driver's 50-query correctness
+    window); the rest keep their registration order.
     """
-    return {k: _ordered(v) for k, v in _raw_queries().items()}
+    raw = _raw_queries()
+    assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(raw)
+    out = {k: raw[k] for k in _R12_WINDOW}
+    out.update({k: v for k, v in raw.items() if k not in out})
+    return {k: _ordered(v) for k, v in out.items()}
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER is part of the driver contract: the correctness gate
-    # checks the FIRST 50 entries.  Round-11 window: the TWO new queries
-    # (rotated IVFADC store, filtered IVFADC search), then the five
-    # queries whose latest driver witness was oldest (a1/a2/a3
-    # r8-witnessed, ts_zscore_anomaly + ts_value_histogram r7-witnessed
-    # — the refresh VERDICT r10 asked for), then every plan r11's code
-    # touched (the session-scoped store build, the where= dial on
-    # ivfadc_topk, cc_star's light mode, BM25's plan-cache persist, the
-    # farthest-first seeding fix under kmeans/semantic-dedup), then the
-    # oldest remaining witnesses (the r8/r9-witnessed block: wide-dedup,
-    # w/fn/an families, text stats, curation).  TPC-H, ts_* and the
-    # r10 heads were all refreshed in CORRECTNESS_r10 and slip below.
-    # Invariant preserved (since r5): the union of CORRECTNESS_r01..r0N
-    # rows covers every registered query with its latest check green.
-    # Everything displaced is re-verified locally via
-    # tools/check_oracle.py each round.
+    # Registration order only — since round 12 the driver window (the
+    # first 50 entries the correctness gate checks) is defined
+    # explicitly by ``_R12_WINDOW`` above and applied in ``queries()``;
+    # this dict's order is the fallback ordering for everything below
+    # the window.  The union invariant (since r5) stands: the union of
+    # CORRECTNESS_r01..r0N rows covers every registered query with its
+    # latest check green, and displaced queries are re-verified locally
+    # via tools/check_oracle.py each round.
     return {
         # --- new this round (r12): driver verifies first ---
         "ext_sim_ivfadc_segments": extensions.sim_ivfadc_segments,

@@ -457,17 +457,33 @@ def register_ivf_pq_search_tvf(spark: SparkSession, index_path: str) -> str:
 # Hardwired to the registered m=4 code layout like its sibling (a SQL
 # body is analyzed at CREATE time; register_ivfadc_search_tvf refuses
 # other geometries loudly).
-def _ivfadc_search_tvf_sql(rotated: bool) -> str:
-    """The ``tvf_ivfadc_search`` body.  ``rotated=True`` inserts one
-    extra CTE rotating the query stream through the artifact's
-    ``post_int`` matrix (materialized as the ``ivfadc_model_rotation``
-    view — (c, i, w) triples): ``e'(c) = Σᵢ w(c,i)·e(i)``, exact
-    BIGINTs, so TVF-vs-operator parity stays bit-identical.  Float
-    ("pre") rotations are NOT offered in SQL — a GROUP BY sum's
-    addition order is partition-dependent, so the projected doubles
-    could differ from ``pca_project``'s fold in the last ulp and flip
-    a rank; the registrar refuses those artifacts loudly instead."""
-    if rotated:
+def _ivfadc_search_tvf_sql(rotation: dict | None) -> str:
+    """The ``tvf_ivfadc_search`` body, parameterized by the artifact's
+    rotation spec (already ``_check_rotation``-normalized):
+
+    - ``None`` — queries quantize straight from the corpus view.
+    - ``post_int`` — one extra CTE rotates the quantized query stream
+      through the matrix (materialized as the ``ivfadc_model_rotation``
+      view — (c, i, w) triples): ``e'(c) = Σᵢ w(c,i)·e(i)``, exact
+      BIGINTs, so TVF-vs-operator parity stays bit-identical even as a
+      GROUP BY sum (BIGINT addition is order-independent).
+    - ``pre`` (trained float model — round 12): the rotation is folded
+      into the body as LITERAL arrays and applied with the exact
+      expression ``pca_project`` emits — ``aggregate(zip_with(
+      embedding, R_c, (v, r) -> CAST(v AS DOUBLE) * r), 0.0D,
+      (acc, x) -> acc + x) − ⟨mean, R_c⟩`` — i.e. the SAME
+      left-to-right IEEE fold the operator runs, NOT a GROUP BY sum
+      whose partition-dependent addition order could flip a rank in
+      the last ulp.  That determinism is what un-refuses the float
+      tier from SQL; parity with ``search_embeddings`` is pinned
+      bit-identical in tests.  The matrix rides as ~dim² double
+      literals analyzed once at CREATE time (model-parameter scale)."""
+    if rotation is None:
+        qsrc = """uq AS (
+  SELECT vec_id, e, i FROM u
+  WHERE vec_id >= query_lo AND vec_id < query_hi
+),"""
+    elif rotation["mode"] == "post_int":
         qsrc = """ur AS (
   SELECT u.vec_id, rot.c AS i, sum(u.e * rot.w) AS e
   FROM u JOIN ivfadc_model_rotation rot ON rot.i = u.i
@@ -476,10 +492,24 @@ def _ivfadc_search_tvf_sql(rotated: bool) -> str:
   SELECT vec_id, e, i FROM ur
   WHERE vec_id >= query_lo AND vec_id < query_hi
 ),"""
-    else:
-        qsrc = """uq AS (
-  SELECT vec_id, e, i FROM u
+    else:  # "pre": literal-folded float projection, quantized like prepare()
+        comps, mean = rotation["components"], rotation["mean"]
+        folds = []
+        for row in comps:
+            lit = ", ".join(f"{float(v)!r}D" for v in row)
+            const = float(sum(m * x for m, x in zip(mean, row)))
+            folds.append(
+                "cast(round((aggregate(zip_with(embedding,"
+                f" array({lit}), (v, r) -> cast(v AS DOUBLE) * r),"
+                " cast(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" - {const!r}D) * 100000, 0) AS BIGINT)"
+            )
+        qsrc = f"""pr AS (
+  SELECT vec_id, array({', '.join(folds)}) AS q
+  FROM embeddings
   WHERE vec_id >= query_lo AND vec_id < query_hi
+), uq AS (
+  SELECT vec_id, pos AS i, e FROM pr LATERAL VIEW posexplode(q) x AS pos, e
 ),"""
     return IVFADC_SEARCH_TVF_TEMPLATE.replace("__QSRC__", qsrc)
 
@@ -547,7 +577,7 @@ SELECT query_id, neighbor_id, rank, cosine_adc FROM (
 WHERE rank <= k
 """
 
-IVFADC_SEARCH_TVF = _ivfadc_search_tvf_sql(rotated=False)
+IVFADC_SEARCH_TVF = _ivfadc_search_tvf_sql(None)
 
 
 def register_ivfadc_search_tvf(
@@ -569,11 +599,15 @@ def register_ivfadc_search_tvf(
     exactly like ``ivfadc_topk(where=…)``; registering the same
     artifact under different predicates is cheap (views are metadata).
 
-    ROTATED artifacts register transparently when the rotation is
-    ``post_int`` (the exact integer tier — the matrix becomes the
+    ROTATED artifacts register transparently for BOTH modes:
+    ``post_int`` (exact integer tier — the matrix becomes the
     ``ivfadc_model_rotation`` view and the TVF rotates query vectors
-    in exact BIGINT arithmetic); ``pre`` (float) rotations refuse
-    loudly — see :func:`_ivfadc_search_tvf_sql`."""
+    in exact BIGINT arithmetic) and, since round 12, ``pre`` (trained
+    float models — the rotation folds into the body as literal arrays
+    applied with ``pca_project``'s exact deterministic fold, closing
+    the one operator/TVF asymmetry); see
+    :func:`_ivfadc_search_tvf_sql` for why the fold, not a GROUP BY
+    sum, is what makes the float tier rank-stable from SQL."""
     from ..extensions import ann_store
 
     model = ann_store.load_ivfadc(index_path)
@@ -582,17 +616,9 @@ def register_ivfadc_search_tvf(
             f"tvf_ivfadc_search is analyzed against the registered m=4"
             f" code layout (code_0..code_3); this artifact has m={model.m}"
         )
-    rotated = model.rotation is not None
-    if rotated and model.rotation["mode"] != "post_int":
-        raise ValueError(
-            "tvf_ivfadc_search supports post_int (exact integer)"
-            " rotations only — a float rotation's SQL-aggregated"
-            " projection is addition-order-dependent and could flip a"
-            " rank vs the operator; search this artifact with"
-            " IvfadcIndex.search_embeddings instead"
-        )
-    if rotated:
-        comps = model.rotation["components"]
+    rotation = model.rotation
+    if rotation is not None and rotation["mode"] == "post_int":
+        comps = rotation["components"]
         spark.createDataFrame(
             [
                 (c, i, int(w))
@@ -628,5 +654,5 @@ def register_ivfadc_search_tvf(
     if dele is not None:
         store = store.join(F.broadcast(dele), "vec_id", "left_anti")
     store.createOrReplaceTempView("ivfadc_index_store")
-    spark.sql(_ivfadc_search_tvf_sql(rotated=rotated))
+    spark.sql(_ivfadc_search_tvf_sql(rotation))
     return "tvf_ivfadc_search"

@@ -337,7 +337,11 @@ def test_tvf_ivfadc_search_filtered_and_rotated(spark, tmp_path):
     assert rows(got_f) == rows(want_f)
     assert all(r["neighbor_id"] % 3 == 1 for r in got_f.collect())
 
-    # float rotations refuse loudly (addition-order hazard documented)
+    # float ("pre") rotations: since round 12 the TVF folds the trained
+    # matrix in as literal arrays applied with pca_project's exact
+    # deterministic fold — registration succeeds and parity with
+    # search_embeddings is bit-identical (the GROUP BY addition-order
+    # hazard is what the fold spelling avoids)
     pre_path = str(tmp_path / "pre_artifact")
     pre = {
         "mode": "pre",
@@ -360,14 +364,16 @@ def test_tvf_ivfadc_search_filtered_and_rotated(spark, tmp_path):
         ),
         k=8, m=4, dim=64, iters=0,
     )
-    ann_store.save_ivfadc(
+    pre_handle = ann_store.save_ivfadc(
         similarity.ivf_pq_index(
             corpus_pre, coarse_pre, cb_pre, residual=True
         ),
         pre_path, coarse_rows_pre, cb_pre, m=4, dim=64, rotation=pre,
     )
-    with _pytest.raises(ValueError, match="post_int"):
-        register_ivfadc_search_tvf(spark, pre_path)
+    register_ivfadc_search_tvf(spark, pre_path)
+    got_pre = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 2)")
+    want_pre = pre_handle.search_embeddings(queries_raw, k=3, nprobe=2)
+    assert rows(got_pre) == rows(want_pre)
 
 
 def test_tvf_ivfadc_search_applies_tombstones(spark, tmp_path):
