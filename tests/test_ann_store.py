@@ -847,3 +847,104 @@ def test_adaptive_target_candidates_dial(spark, tmp_path):
     assert empty.count() == 0
     assert empty.columns == ["query_id", "neighbor_id", "rank",
                              "cosine_adc"]
+
+
+def test_full_lifecycle_rebalance_stream_admit_segment_search(
+    spark, tmp_path
+):
+    """The COMPLETE production lifecycle, end to end: a streamed store
+    drifts → rebalance sweeps it flat (the frozen base segment) →
+    admission resumes into a FRESH directory (per the quiesced
+    contract) → `search_segments` reads base + fresh as one index and
+    returns every vector, old and new, from raw queries — the exact
+    workflow the rebalance docstring prescribes, now executable rather
+    than prose."""
+    import json as _json
+
+    from nr_rfc_dischargeobs_spark.streaming import ivfadc_index_stream
+
+    emb_old = spark.createDataFrame(
+        [(i, [0.04 * i, -0.03 * i, 0.2, 0.01 * i]) for i in range(1, 13)],
+        "vec_id long, embedding array<float>",
+    )
+    emb_new = spark.createDataFrame(
+        [(i, [0.5, 0.04 * i, -0.2, 0.03 * i]) for i in range(20, 28)],
+        "vec_id long, embedding array<float>",
+    )
+    prep_old = similarity.prepare(emb_old)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in prep_old.filter(F.col("vec_id") <= 2).collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign_local(prep_old, coarse_rows), coarse_rows
+        ),
+        k=2, m=2, dim=4, iters=1,
+    )
+
+    def land_and_stream(frame, landing, index_dir, ckpt):
+        landing.mkdir()
+        (landing / "batch.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": r["vec_id"],
+                             "embedding": [float(v)
+                                           for v in r["embedding"]]})
+                for r in frame.collect()
+            )
+            + "\n"
+        )
+        stream = spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        ).json(str(landing))
+        ivfadc_index_stream(
+            stream, index_dir, ckpt, coarse_rows, cb, m=2, dim=4,
+        ).awaitTermination(120)
+        ann_store.write_ivfadc_model(
+            index_dir, coarse_rows, cb, m=2, dim=4
+        )
+
+    base_dir = str(tmp_path / "base")
+    land_and_stream(emb_old, tmp_path / "land_old", base_dir,
+                    str(tmp_path / "ckpt_old"))
+    # drifted → sweep flat: the base segment is now frozen
+    rep = ann_store.rebalance_ivfadc(spark, base_dir, prep_old,
+                                     threshold=0.5)
+    assert rep["rebalanced"] is True
+
+    # admission resumes in a FRESH directory (same model here — the
+    # admission-segment norm; a retrained model is the seg-a/seg-b case)
+    fresh_dir = str(tmp_path / "fresh")
+    land_and_stream(emb_new, tmp_path / "land_new", fresh_dir,
+                    str(tmp_path / "ckpt_new"))
+
+    queries = spark.createDataFrame(
+        [(100, [0.2, -0.15, 0.2, 0.05]), (101, [0.5, 0.9, -0.2, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    got = ann_store.search_segments(
+        spark, [base_dir, fresh_dir], queries, k=4, nprobe=2
+    )
+    rows_ = got.collect()
+    seen = {int(r["neighbor_id"]) for r in rows_}
+    # both generations are reachable through one search
+    assert seen & set(range(1, 13)) and seen & set(range(20, 28))
+    # and the merge equals the hand-built union of per-segment slates
+    ia, ib = (ann_store.load_ivfadc(base_dir),
+              ann_store.load_ivfadc(fresh_dir))
+    union = ia.search_embeddings(queries, k=4, nprobe=2).unionByName(
+        ib.search_embeddings(queries, k=4, nprobe=2)
+    )
+    best = union.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine_adc").alias("cosine_adc")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    want = sorted(map(tuple, best.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= 4).select(
+        "query_id", "neighbor_id", "rank", "cosine_adc"
+    ).collect()))
+    assert sorted(map(tuple, rows_)) == want

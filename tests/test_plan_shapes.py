@@ -56,19 +56,22 @@ def test_store_range_read_prunes_partitions(spark, tmp_path):
 
 
 def test_no_python_eval_outside_the_recurrence(spark):
-    """Every plan except the three STATED Python kernels must stay fully
+    """Every plan except the four STATED Python kernels must stay fully
     JVM-side — no Arrow/Batch Python eval nodes.  The whitelist is the
     audited list (PLANS.md): the A2 recurrence (output depends on prior
-    output), the gated multimodal decode, and the IVF-PQ refine stage's
+    output), the gated multimodal decode, the IVF-PQ refine stage's
     Arrow re-rank kernel (dense int64 matmul — the BLAS shape; its
     native-expression twin is pinned bit-identical, so the Python node
-    is a measured choice, not a semantic one)."""
+    is a measured choice, not a semantic one), and the round-12 real
+    PNG decode (codec work — generation + inflate/filter-reversal are
+    inherently imperative byte work, the tier's raison d'être)."""
     import __spark_entry__ as e
 
     allowed = {
         "a2_rising_falling_recurrence",
         "ext_mm_decode_features",
         "ext_sim_ivf_pq_refined",
+        "ext_mm_decode_png",
     }
     offenders = []
     for name, fn in e.queries().items():

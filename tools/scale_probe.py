@@ -1051,7 +1051,28 @@ def r12_tier(spark, t: dict, n: int) -> None:
             df.unpersist()
         held = []
 
-    # --- 2: adaptive nprobe on the correlated predicate -----------------
+    r12_adaptive_tier(spark, t, n)
+
+
+def r12_adaptive_tier(spark, t: dict, n: int) -> None:
+    """Adaptive-nprobe (``target_candidates``) recall-vs-budget rows.
+
+    Two predicates, two regimes:
+    - **correlated** (``vec_id % 64 = 0`` — one true cluster): the
+      survivors concentrate in ~ONE matched list, so every budget
+      probes that list and the rows pin the important invariant —
+      the dial reaches the full matching-probe recall at 1/64th of
+      the index scanned, regardless of target.
+    - **uncorrelated selective** (``vec_id % 100 = 0`` — survivors
+      spread ~n/6400 per list): the budget CURVE shows — each target
+      covers ⌈target/per-list⌉ matched lists per query, so recall
+      rises with target while a fixed nprobe=8 anchor is stuck at 8
+      lists' worth of candidates.
+    """
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    m_, k_ = 16, 16
+    held = []
     try:
         prep = similarity.prepare(synth_clustered_embs(spark, n)).persist()
         held.append(prep)
@@ -1081,33 +1102,42 @@ def r12_tier(spark, t: dict, n: int) -> None:
         ).persist()
         held.append(index)
         index.count()
-        pred = "vec_id % 64 = 0"
-        exact = similarity.brute_force_topk_arrow(
-            q_side, c_side.filter(pred), k=10
-        ).persist()
-        held.append(exact)
-        exact.count()
-        runs = [("matchprobe_np8", dict(nprobe=8, probe_matching_only=True))]
-        runs += [
-            (f"target{tc}_np1", dict(nprobe=1, target_candidates=tc))
-            for tc in (1000, 4000, 16000)
-        ]
-        for label, kw in runs:
-            t0 = time.time()
-            row = similarity.ann_recall(
-                similarity.ivfadc_topk(
-                    q_side, index, coarse, cb, k=10, m=m_, dim=64,
-                    where=pred, **kw,
-                ),
-                exact,
-            ).agg(F.avg("recall").alias("r")).collect()[0]
-            key = f"ivfadc_adaptive_recall10_{n // 1_000_000}m_{label}"
-            t[key] = {
-                "sec": round(time.time() - t0, 1),
-                "mean_recall_at_10": round(row.r, 4),
-            }
-            print(f"  {t[key]['sec']:7.1f} s  recall@10 "
-                  f"{t[key]['mean_recall_at_10']}  {key}", file=sys.stderr)
+        for tag, pred, targets in (
+            ("corr", "vec_id % 64 = 0", (1000, 16000)),
+            ("sel0.01", "vec_id % 100 = 0", (500, 2000, 8000)),
+        ):
+            exact = similarity.brute_force_topk_arrow(
+                q_side, c_side.filter(pred), k=10
+            ).persist()
+            held.append(exact)
+            exact.count()
+            runs = [
+                (f"{tag}_filtered_np8", dict(nprobe=8)),
+                (f"{tag}_matchprobe_np8",
+                 dict(nprobe=8, probe_matching_only=True)),
+            ]
+            runs += [
+                (f"{tag}_target{tc}_np1",
+                 dict(nprobe=1, target_candidates=tc))
+                for tc in targets
+            ]
+            for label, kw in runs:
+                t0 = time.time()
+                row = similarity.ann_recall(
+                    similarity.ivfadc_topk(
+                        q_side, index, coarse, cb, k=10, m=m_, dim=64,
+                        where=pred, **kw,
+                    ),
+                    exact,
+                ).agg(F.avg("recall").alias("r")).collect()[0]
+                key = f"ivfadc_adaptive_recall10_{n // 1_000_000}m_{label}"
+                t[key] = {
+                    "sec": round(time.time() - t0, 1),
+                    "mean_recall_at_10": round(row.r, 4),
+                }
+                print(f"  {t[key]['sec']:7.1f} s  recall@10 "
+                      f"{t[key]['mean_recall_at_10']}  {key}",
+                      file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
         t["r12_adaptive_error"] = str(ex).splitlines()[0][:200]
         print(f"  FAILED  r12 adaptive: {str(ex)[:120]}", file=sys.stderr)
@@ -1143,6 +1173,9 @@ def main() -> int:
                     help="run ONLY the round-12 tier (multi-segment "
                          "search + tombstones at scale, adaptive-"
                          "nprobe recall-vs-budget)")
+    ap.add_argument("--only-r12b", action="store_true",
+                    help="run ONLY the adaptive-nprobe recall-vs-"
+                         "budget sub-tier (fast re-measure)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -1191,6 +1224,14 @@ def main() -> int:
 
     if args.only_r11:
         r11_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r12b:
+        r12_adaptive_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
