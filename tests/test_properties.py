@@ -305,3 +305,30 @@ def test_span_dedup_matches_python_reference(spark, data):
         assert m["n_spans_removed"] == n_max_spans
         assert g["n_tokens_removed"] == m["n_tokens_removed"] == n_rm
         assert g["clean_text"] == m["clean_text"] == clean
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    c=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    filters=st.sampled_from(["cycle", "none"]),
+)
+def test_png_encode_decode_round_trip(h, w, c, seed, filters):
+    """encode_png → png_pixels is the identity for every (h, w,
+    RGB/RGBA) shape and both filter modes — the property that pins the
+    five filter-reversal arms against their forward filters over
+    arbitrary pixel content (the hand-built-byte unit test pins the
+    decoder against the spec independently)."""
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        encode_png, png_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = png_pixels(encode_png(arr, filters=filters))
+    assert out is not None and out.shape == (h, w, c)
+    assert (out == arr).all()
