@@ -407,7 +407,16 @@ def delete_vectors(spark: SparkSession, path: str, where) -> int:
     via :func:`compact_deleted` instead.  Returns the number of NEWLY
     matched vec_ids (already-tombstoned ids count again only if the
     predicate re-matches them; the search-side distinct absorbs
-    duplicates)."""
+    duplicates).
+
+    Tombstones are PER-STORE, which is what makes delete-then-reinsert
+    work under the segment model: re-admission lands in a fresh
+    directory (the quiesced contract), where the new copy carries no
+    tombstone — :func:`search_segments` suppresses only the frozen
+    base's stale copy and returns the fresh one (pinned in tests).
+    Re-appending the same vec_id into the SAME tombstoned store would
+    stay suppressed until :func:`compact_deleted` clears the side
+    table — deletion wins within a store, by design."""
     loaded = load_ivfadc(path)  # validates the artifact before mutating
     ids = loaded.frame(spark).filter(where).select("vec_id").distinct()
     n = ids.count()

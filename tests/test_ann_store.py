@@ -948,3 +948,47 @@ def test_full_lifecycle_rebalance_stream_admit_segment_search(
         "query_id", "neighbor_id", "rank", "cosine_adc"
     ).collect()))
     assert sorted(map(tuple, rows_)) == want
+
+
+def test_readmission_after_delete_via_fresh_segment(spark, tmp_path):
+    """Delete-then-reinsert, the production sequence: a vec_id
+    tombstoned in the frozen base and re-admitted into the FRESH
+    segment is found again by search_segments — the base's tombstone
+    suppresses only the base's (stale) copy, and the fresh segment's
+    copy wins the merge.  This is why tombstones are per-store and
+    re-insertion goes to a new directory, never back into the swept
+    tree."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    base_path = str(tmp_path / "base")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        base_path, coarse_rows, cb, m=4, dim=64,
+    )
+    loaded = ann_store.load_ivfadc(base_path)
+    victim = int(
+        loaded.search(queries, k=1, nprobe=2).first()["neighbor_id"]
+    )
+    assert ann_store.delete_vectors(
+        spark, base_path, f"vec_id = {victim}"
+    ) == 1
+    emb_q = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    gone = ann_store.search_segments(spark, [base_path], emb_q, k=3,
+                                     nprobe=2)
+    assert victim not in {int(r["neighbor_id"]) for r in gone.collect()}
+
+    # re-admit the same vector into a fresh segment (same model — the
+    # admission norm)
+    fresh_path = str(tmp_path / "fresh")
+    readmitted = corpus.filter(F.col("vec_id") == victim)
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(readmitted, coarse, cb, m=4, dim=64,
+                                residual=True),
+        fresh_path, coarse_rows, cb, m=4, dim=64,
+    )
+    back = ann_store.search_segments(
+        spark, [base_path, fresh_path], emb_q, k=3, nprobe=2
+    )
+    assert victim in {int(r["neighbor_id"]) for r in back.collect()}
