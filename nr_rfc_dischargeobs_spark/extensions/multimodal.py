@@ -17,11 +17,14 @@ byte-statistics over the payload, exactly reproducible by a DuckDB twin
 with hex/substr blob arithmetic — so the whole mapInPandas stage is
 value-hash-oracled end to end, not just rows-counted.  ``mode="real"``
 raises ``NotImplementedError`` at the exact call site a codec belongs —
-EXCEPT for one pure format: :func:`decode_bmp` (round 11) really decodes
+EXCEPT for the pure formats: :func:`decode_bmp` (round 11) really decodes
 uncompressed 24-bit BMP with plain byte arithmetic (header parse, row
-de-padding, bottom-up flip, BGR→RGB) and emits exact-integer image
-features, so the real-decode tier is exercised end to end without any
-codec dependency; JPEG/PNG/MP4 stay gated.
+de-padding, bottom-up flip, BGR→RGB), and :func:`decode_png` (round 12)
+really decodes non-interlaced 8-bit gray/RGB/palette/RGBA PNG via the
+stdlib (chunk walk + CRC verify, ``zlib`` inflate, all five scanline-
+filter reversals) — both emit exact-integer image features, so the
+real-decode tier is exercised end to end without any codec dependency;
+JPEG and MP4 stay honestly gated.
 """
 
 from __future__ import annotations
@@ -355,12 +358,15 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def png_pixels(payload: bytes) -> np.ndarray | None:
-    """Decode a non-interlaced 8-bit RGB/RGBA PNG to an (h, w, c) uint8
-    array — stdlib only: chunk walk with CRC verification, IDAT
-    concatenation through ``zlib.decompress``, then per-scanline
-    reversal of all five PNG filters (None/Sub/Up/Average/Paeth).
-    Returns ``None`` for anything outside exactly this profile (bad
-    signature or CRC, interlaced, palette/gray/16-bit, truncated or
+    """Decode a non-interlaced 8-bit PNG to an (h, w, c) uint8 array —
+    stdlib only: chunk walk with CRC verification, IDAT concatenation
+    through ``zlib.decompress``, then per-scanline reversal of all
+    five PNG filters (None/Sub/Up/Average/Paeth).  Covered profiles:
+    grayscale (color type 0 → c=1), RGB (2 → c=3), palette (3 → the
+    PLTE lookup expands to c=3), RGBA (6 → c=4), all at bit depth 8.
+    Returns ``None`` for anything outside these profiles (bad
+    signature or CRC, interlaced, 16-bit or sub-byte depths,
+    gray+alpha, palette without/overflowing PLTE, truncated or
     over-long inflate output) — fail-soft like :func:`bmp_pixels`.
 
     The filter reversal is sequential by construction (each byte
@@ -373,7 +379,7 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
 
     if len(payload) < 8 + 25 or payload[:8] != PNG_SIG:
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
@@ -385,6 +391,8 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
             return None  # corrupt chunk
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -395,11 +403,13 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+    if depth != 8 or color not in (0, 2, 3, 6) or comp or filt or interlace:
         return None
     if w == 0 or h == 0 or w * h > 50_000_000:  # same sanity bound as BMP
         return None
-    c = 3 if color == 2 else 4
+    if color == 3 and (plte is None or len(plte) % 3 or not plte):
+        return None  # palette image without a usable PLTE
+    c = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -434,13 +444,21 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
             return None  # unknown filter type
         out[y] = recon
         prior = recon.astype(np.int64)
+    if color == 3:
+        # palette expansion: each reconstructed byte indexes PLTE's RGB
+        # triples; an index past the palette is a corrupt image
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        return pal[idx]
     return out.reshape(h, w, c)
 
 
 def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
     """The inverse path, used by fixtures and the registered decode
-    row's deterministic payload generator: encode an (h, w, 3|4) uint8
-    array as a valid PNG.  ``filters="cycle"`` rotates through all
+    row's deterministic payload generator: encode an (h, w, 1|3|4)
+    uint8 array as a valid PNG (grayscale / RGB / RGBA).  ``filters="cycle"`` rotates through all
     five filter types row by row so a decode of the output exercises
     every reversal arm; ``"none"`` writes filter 0 only.  Independent
     arithmetic from :func:`png_pixels` (forward filters here, inverse
@@ -451,8 +469,8 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
     import zlib
 
     h, w, c = pixels.shape
-    if c not in (3, 4) or pixels.dtype != np.uint8:
-        raise ValueError("encode_png takes (h, w, 3|4) uint8 pixels")
+    if c not in (1, 3, 4) or pixels.dtype != np.uint8:
+        raise ValueError("encode_png takes (h, w, 1|3|4) uint8 pixels")
     stride = w * c
     flat = pixels.reshape(h, stride).astype(np.int64)
     lines = []
@@ -488,7 +506,9 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0
+    )
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -498,7 +518,8 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
 
 
 def decode_png(blobs: DataFrame) -> DataFrame:
-    """Real PNG decode over binary payloads — the :func:`decode_bmp`
+    """Real PNG decode over binary payloads (gray/RGB/palette/RGBA —
+    see :func:`png_pixels`) — the :func:`decode_bmp`
     posture for the second pure format: Arrow-batched ``mapInPandas``
     over (doc_id, blob, mime, n_bytes), each payload through
     :func:`png_pixels`, exact-integer features out (dimensions,

@@ -1024,3 +1024,54 @@ def test_decode_png_frame_fail_soft_and_features(spark):
     for did in (2, 3, 4):
         assert got[did]["png_ok"] == 0
         assert got[did]["width"] is None and got[did]["byte_sum"] is None
+
+
+def test_png_pixels_gray_and_palette_profiles():
+    """Round-12 profile widening: 8-bit grayscale round-trips through
+    encode_png; palette images decode through the PLTE lookup (hand-
+    built bytes); palette-index overflow, missing PLTE, and the
+    uncovered gray+alpha type all refuse."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        PNG_SIG, encode_png, png_pixels,
+    )
+
+    g = (np.arange(7 * 5, dtype=np.int64) * 53 % 256).astype(
+        np.uint8).reshape(7, 5, 1)
+    for f in ("cycle", "none"):
+        out = png_pixels(encode_png(g, filters=f))
+        assert out is not None and out.shape == (7, 5, 1)
+        assert (out == g).all()
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 1])  # rows [0,1] / [2,1], filter 0
+    head = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    good = (PNG_SIG + head + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    px = png_pixels(good)
+    want = np.array([[[255, 0, 0], [0, 255, 0]],
+                     [[0, 0, 255], [0, 255, 0]]], dtype=np.uint8)
+    assert px is not None and (px == want).all()
+
+    overflow = (PNG_SIG + head + chunk(b"PLTE", plte)
+                + chunk(b"IDAT", zlib.compress(bytes([0, 0, 9, 0, 2, 1])))
+                + chunk(b"IEND", b""))
+    assert png_pixels(overflow) is None
+    no_plte = (PNG_SIG + head + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    assert png_pixels(no_plte) is None
+    ga_head = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
+    ga = (PNG_SIG + ga_head
+          + chunk(b"IDAT",
+                  zlib.compress(bytes([0, 10, 20, 10, 20,
+                                       0, 30, 40, 30, 40])))
+          + chunk(b"IEND", b""))
+    assert png_pixels(ga) is None

@@ -311,13 +311,13 @@ def test_span_dedup_matches_python_reference(spark, data):
 @given(
     h=st.integers(1, 9),
     w=st.integers(1, 9),
-    c=st.sampled_from([3, 4]),
+    c=st.sampled_from([1, 3, 4]),
     seed=st.integers(0, 2**31 - 1),
     filters=st.sampled_from(["cycle", "none"]),
 )
 def test_png_encode_decode_round_trip(h, w, c, seed, filters):
     """encode_png → png_pixels is the identity for every (h, w,
-    RGB/RGBA) shape and both filter modes — the property that pins the
+    gray/RGB/RGBA) shape and both filter modes — the property that pins the
     five filter-reversal arms against their forward filters over
     arbitrary pixel content (the hand-built-byte unit test pins the
     decoder against the spec independently)."""
