@@ -1,7 +1,7 @@
 """Structured Streaming tier (SURVEY.md §2.9): the reference's cron-polled
 incremental batch semantics, re-founded on file streams + watermarks."""
 
-from .ann import ivfadc_index_stream, read_ivfadc_index
+from .ann import ivfadc_index_stream, read_ivfadc_index, tombstone_stream
 from .documents import (
     compact_boilerplate,
     compact_corpus,
@@ -39,6 +39,7 @@ __all__ = [
     "hll_register_stream",
     "hourly_stream_rollup",
     "ivfadc_index_stream",
+    "tombstone_stream",
     "read_hll_estimate",
     "read_ivfadc_index",
     "land_document_stream",

@@ -130,3 +130,48 @@ def read_ivfadc_index(spark: SparkSession, index_dir: str) -> DataFrame:
     harmlessly).  ``list_id`` predicates prune partitions at any depth
     of the ``batch_id=N/list_id=K/`` layout."""
     return spark.read.parquet(index_dir)
+
+
+def tombstone_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming DELETIONS: a stream of ``(vec_id)`` delete events
+    lands in the index's ``_deleted`` side table
+    (:data:`~..extensions.ann_store.TOMBSTONE_DIR`), so GDPR requests
+    flow through the same micro-batch machinery as admissions — every
+    search surface (operator, :func:`~..extensions.ann_store.
+    search_segments`, SQL TVF) anti-joins the table and the vectors
+    stop ranking within one trigger interval; the bytes follow at the
+    next :func:`~..extensions.ann_store.compact_deleted` /
+    ``rebalance_ivfadc`` sweep.
+
+    Replay-idempotence here is SEMANTIC, not structural — and that is
+    sufficient, stated: tombstones are a SET under union (deletion is
+    monotone — re-deleting a deleted id is a no-op), and the search
+    side reads the table through a ``distinct``, so a replayed batch
+    re-appending the same ids changes nothing.  This is also why the
+    side table stays FLAT (plain appends, like
+    :func:`~..extensions.ann_store.delete_vectors`) instead of the
+    admission sink's ``batch_id=N`` layout: batch deletes and streamed
+    deletes write the same table, and mixing partitioned and flat
+    writers at one directory level would break discovery (the
+    CONFLICTING_PARTITION_COLUMN_NAMES hazard the store tests pin).
+
+    Returns the started ``StreamingQuery``."""
+    from ..extensions.ann_store import TOMBSTONE_DIR
+
+    target = f"{index_dir.rstrip('/')}/{TOMBSTONE_DIR}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select("vec_id").distinct()
+        ids.write.mode("append").parquet(target)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1386,3 +1386,73 @@ def test_ivfadc_index_stream_admit_once(spark, tmp_path):
         spark, str(tmp_path / "index")
     ).collect()))
     assert after == before
+
+
+def test_tombstone_stream_deletes_flow_to_search(spark, tmp_path):
+    """Streaming GDPR path: delete events landed by tombstone_stream
+    suppress vectors from every subsequent search; a second overlapping
+    event file re-deletes harmlessly (set semantics), and batch
+    delete_vectors composes into the same side table."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.streaming import tombstone_stream
+
+    emb = spark.createDataFrame(
+        [(i, [0.04 * i, -0.03 * i, 0.2, 0.01 * i]) for i in range(1, 13)],
+        "vec_id long, embedding array<float>",
+    )
+    prep = similarity.prepare(emb)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in prep.filter(F.col("vec_id") <= 2).collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign_local(prep, coarse_rows), coarse_rows
+        ),
+        k=2, m=2, dim=4, iters=1,
+    )
+    path = str(tmp_path / "ix")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(prep, None, cb, m=2, dim=4,
+                                residual=True, coarse_rows=coarse_rows,
+                                assign="local"),
+        path, coarse_rows, cb, m=2, dim=4,
+    )
+
+    landing = tmp_path / "deletes"
+    landing.mkdir()
+    (landing / "d1.jsonl").write_text(
+        "\n".join(_json.dumps({"vec_id": v}) for v in (3, 7)) + "\n"
+    )
+    stream = spark.readStream.schema("vec_id BIGINT").json(str(landing))
+    tombstone_stream(
+        stream, path, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+
+    loaded = ann_store.load_ivfadc(path)
+    q = prep.filter(F.col("vec_id") <= 2)
+    got = {int(r["neighbor_id"])
+           for r in loaded.search(q, k=12, nprobe=2).collect()}
+    assert not got & {3, 7} and got  # deleted gone, survivors rank
+
+    # overlapping second drop (re-delete 7, add 9) — set semantics
+    (landing / "d2.jsonl").write_text(
+        "\n".join(_json.dumps({"vec_id": v}) for v in (7, 9)) + "\n"
+    )
+    tombstone_stream(
+        spark.readStream.schema("vec_id BIGINT").json(str(landing)),
+        path, str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    # batch deletes compose into the same table
+    assert ann_store.delete_vectors(spark, path, "vec_id = 11") == 1
+    got2 = {int(r["neighbor_id"])
+            for r in loaded.search(q, k=12, nprobe=2).collect()}
+    assert not got2 & {3, 7, 9, 11}
+    # physical purge clears everything at once
+    rep = ann_store.compact_deleted(spark, path)
+    assert rep["compacted"] is True and rep["purged"] == 4
+    assert ann_store.deleted_ids(spark, path) is None
