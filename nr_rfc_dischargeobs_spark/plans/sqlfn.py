@@ -457,7 +457,39 @@ def register_ivf_pq_search_tvf(spark: SparkSession, index_path: str) -> str:
 # Hardwired to the registered m=4 code layout like its sibling (a SQL
 # body is analyzed at CREATE time; register_ivfadc_search_tvf refuses
 # other geometries loudly).
-def _ivfadc_search_tvf_sql(rotation: dict | None) -> str:
+_FIXED_PROBE = """query_probe AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
+    FROM qa)
+  WHERE rn <= nprobe
+),"""
+
+
+def _adaptive_probe(target: int) -> str:
+    """The candidate-budget probe block (``ivfadc_topk``'s
+    ``target_candidates`` dial spelled in SQL): the
+    ``ivfadc_model_list_counts`` view (materialized at registration
+    from the filtered, tombstone-excluded store — the same aggregate
+    the operator collects at plan build) restricts the probe ranking
+    to MATCHING lists and drives the per-query cumulative walk; the
+    runtime ``nprobe`` argument stays the floor."""
+    return f"""query_probe AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid, pr, cnt,
+           sum(cnt) OVER (PARTITION BY vec_id ORDER BY pr) AS cum
+    FROM (
+      SELECT qa.vec_id, qa.lid, lc.cnt,
+             row_number() OVER (PARTITION BY qa.vec_id
+                                ORDER BY qa.d, qa.lid) AS pr
+      FROM qa JOIN ivfadc_model_list_counts lc ON qa.lid = lc.lid))
+  WHERE pr <= nprobe OR cum - cnt < {int(target)}
+),"""
+
+
+def _ivfadc_search_tvf_sql(
+    rotation: dict | None, target_candidates: int | None = None
+) -> str:
     """The ``tvf_ivfadc_search`` body, parameterized by the artifact's
     rotation spec (already ``_check_rotation``-normalized):
 
@@ -511,7 +543,14 @@ def _ivfadc_search_tvf_sql(rotation: dict | None) -> str:
 ), uq AS (
   SELECT vec_id, pos AS i, e FROM pr LATERAL VIEW posexplode(q) x AS pos, e
 ),"""
-    return IVFADC_SEARCH_TVF_TEMPLATE.replace("__QSRC__", qsrc)
+    probe = (
+        _FIXED_PROBE
+        if target_candidates is None
+        else _adaptive_probe(target_candidates)
+    )
+    return IVFADC_SEARCH_TVF_TEMPLATE.replace("__QSRC__", qsrc).replace(
+        "__PROBE__", probe
+    )
 
 
 IVFADC_SEARCH_TVF_TEMPLATE = """
@@ -537,13 +576,7 @@ qa AS (
   JOIN nq ON uq.vec_id = nq.vec_id
   JOIN nco ON co.lid = nco.lid
   GROUP BY uq.vec_id, co.lid, nq.n, nco.ln
-), query_probe AS (
-  SELECT vec_id AS query_id, lid FROM (
-    SELECT vec_id, lid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
-    FROM qa)
-  WHERE rn <= nprobe
-), code AS (
+), __PROBE__ code AS (
   SELECT vec_id, list_id, s, cid FROM ivfadc_index_store
   LATERAL VIEW posexplode(array(code_0, code_1, code_2, code_3)) x AS s, cid
 ), recon AS (
@@ -581,7 +614,10 @@ IVFADC_SEARCH_TVF = _ivfadc_search_tvf_sql(None)
 
 
 def register_ivfadc_search_tvf(
-    spark: SparkSession, index_path: str, where: str | None = None
+    spark: SparkSession,
+    index_path: str,
+    where: str | None = None,
+    target_candidates: int | None = None,
 ) -> str:
     """Register ``tvf_ivfadc_search`` over a :func:`~..extensions.
     ann_store.save_ivfadc` artifact: loads the MODEL SIDECAR (the
@@ -654,5 +690,23 @@ def register_ivfadc_search_tvf(
     if dele is not None:
         store = store.join(F.broadcast(dele), "vec_id", "left_anti")
     store.createOrReplaceTempView("ivfadc_index_store")
-    spark.sql(_ivfadc_search_tvf_sql(rotation))
+    if target_candidates is not None:
+        if where is None:
+            raise ValueError(
+                "target_candidates requires a where predicate - with no"
+                " filter every list is full; raise nprobe instead"
+            )
+        # the operator's plan-build counts aggregate, run at
+        # REGISTRATION (the TVF's deploy time) over the same filtered,
+        # tombstone-excluded store - <= n_lists rows into a temp view
+        spark.createDataFrame(
+            [
+                (int(r["list_id"]), int(r["cnt"]))
+                for r in store.groupBy("list_id")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            ],
+            "lid long, cnt long",
+        ).createOrReplaceTempView("ivfadc_model_list_counts")
+    spark.sql(_ivfadc_search_tvf_sql(rotation, target_candidates))
     return "tvf_ivfadc_search"

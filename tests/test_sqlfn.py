@@ -416,3 +416,50 @@ def test_tvf_ivfadc_search_applies_tombstones(spark, tmp_path):
     want = ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
     assert rows(got) == rows(want)
     assert victim not in {r["neighbor_id"] for r in got.collect()}
+
+
+def test_tvf_ivfadc_search_adaptive_target(spark, tmp_path):
+    """target_candidates on the SQL surface: the registration-time
+    counts view + cumulative probe walk returns exactly what the
+    operator's dial returns (floor nprobe from the runtime arg), and
+    registration refuses a target without a predicate."""
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivfadc_search_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    prep = similarity.prepare(emb_raw)
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+        ),
+        k=8, m=4, dim=64, iters=1,
+    )
+    path = str(tmp_path / "adaptive_artifact")
+    handle = ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    pred = "vec_id % 3 = 1"
+    register_ivfadc_search_tvf(
+        spark, path, where=pred, target_candidates=60
+    )
+    got = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 1)")
+    want = handle.search(
+        queries, k=3, nprobe=1, where=pred, target_candidates=60
+    )
+    assert rows(got) == rows(want) and len(rows(got)) > 0
+
+    with _pytest.raises(ValueError, match="target_candidates requires"):
+        register_ivfadc_search_tvf(spark, path, target_candidates=60)
