@@ -710,3 +710,143 @@ def register_ivfadc_search_tvf(
         ).createOrReplaceTempView("ivfadc_model_list_counts")
     spark.sql(_ivfadc_search_tvf_sql(rotation, target_candidates))
     return "tvf_ivfadc_search"
+
+
+# Multi-segment search from pure SQL — ann_store.search_segments' twin.
+# Each segment gets its own store/model views and its own copy of the
+# single-store probe+score chain (CTE names suffixed _s{i}, view names
+# per segment), then one slate-scale merge: max-per-(query, neighbor)
+# dedup + a global rank window — exactly the operator's merge, so
+# TVF ≡ operator parity holds row-for-row.  The body is analyzed once
+# at CREATE time; n_segments is fixed at registration (SQL bodies
+# cannot take a list argument), which matches the deployment shape —
+# the segment set changes only at rebalance boundaries, and
+# re-registering is metadata-cheap.
+_SEG_TVF_CTES = (
+    "p u ur pr uq nq co nco qa query_probe code recon rn_ adc scored"
+).split()
+
+
+def _segment_scored_chain(i: int, rotation: dict | None) -> str:
+    """The single-store TVF body's WITH-chain, cut at ``scored`` and
+    re-addressed to segment ``i``'s views and suffixed CTE names."""
+    import re
+
+    body = _ivfadc_search_tvf_sql(rotation)
+    chain = body.split("RETURN\nWITH ", 1)[1]
+    chain = chain.split(
+        "\nSELECT query_id, neighbor_id, rank, cosine_adc FROM (", 1
+    )[0].rstrip()
+    for view, seg_view in (
+        ("ivfadc_index_store", f"ivfadc_seg{i}_store"),
+        ("ivfadc_model_codebook", f"ivfadc_seg{i}_codebook"),
+        ("ivfadc_model_coarse", f"ivfadc_seg{i}_coarse"),
+        ("ivfadc_model_rotation", f"ivfadc_seg{i}_rotation"),
+    ):
+        chain = chain.replace(view, seg_view)
+    for name in _SEG_TVF_CTES:
+        chain = re.sub(rf"\b{name}\b", f"{name}_s{i}", chain)
+    return chain
+
+
+def register_ivfadc_segments_tvf(
+    spark: SparkSession,
+    index_paths: list[str],
+    where: str | None = None,
+) -> str:
+    """Register ``tvf_ivfadc_segments_search(query_lo, query_hi, k,
+    nprobe)`` over SEVERAL stored artifacts — the pure-SQL spelling of
+    :func:`~..extensions.ann_store.search_segments`: each segment's
+    model sidecar becomes its own view set, each segment's chain
+    probes its own coarse, applies its own rotation (post_int via the
+    rotation view in exact BIGINTs; ``pre`` float models via the
+    literal-folded deterministic projection; mixed-basis segment sets
+    are fine), excludes its own tombstones, and the merged global
+    top-k dedups re-admitted ids at their best score.  Segments must
+    agree on ``(m, dim)`` and sit on the registered m=4 layout —
+    refused loudly otherwise, same as the operator.  ``where``
+    pre-filters every segment's store view (parquet-pushed), the
+    operator's hybrid dial."""
+    from ..extensions import ann_store
+
+    if not index_paths:
+        raise ValueError(
+            "register_ivfadc_segments_tvf needs at least one segment"
+        )
+    models = [ann_store.load_ivfadc(p) for p in index_paths]
+    geoms = {(mdl.m, mdl.dim) for mdl in models}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"segments disagree on (m, dim): {sorted(geoms)} —"
+            " reconstructed-cosine scores across different PQ"
+            " geometries are not comparable"
+        )
+    if models[0].m != 4:
+        raise ValueError(
+            "tvf_ivfadc_segments_search is analyzed against the"
+            f" registered m=4 code layout; these artifacts have"
+            f" m={models[0].m}"
+        )
+    chains, unions = [], []
+    for i, (path, mdl) in enumerate(zip(index_paths, models)):
+        dsub = mdl.dim // mdl.m
+        spark.createDataFrame(
+            [
+                (int(cid), j // dsub, j, int(v))
+                for cid, cq in mdl.centroid_rows
+                for j, v in enumerate(cq)
+            ],
+            "cid int, s int, i int, ce long",
+        ).createOrReplaceTempView(f"ivfadc_seg{i}_codebook")
+        spark.createDataFrame(
+            [
+                (int(lid), j, int(v))
+                for lid, cq in mdl.coarse_rows
+                for j, v in enumerate(cq)
+            ],
+            "lid long, i int, le long",
+        ).createOrReplaceTempView(f"ivfadc_seg{i}_coarse")
+        if mdl.rotation is not None and mdl.rotation["mode"] == "post_int":
+            spark.createDataFrame(
+                [
+                    (c, j, int(w))
+                    for c, row in enumerate(mdl.rotation["components"])
+                    for j, w in enumerate(row)
+                ],
+                "c int, i int, w long",
+            ).createOrReplaceTempView(f"ivfadc_seg{i}_rotation")
+        store = spark.read.parquet(path)
+        if where is not None:
+            store = store.filter(where)
+        dele = ann_store.deleted_ids(spark, path)
+        if dele is not None:
+            store = store.join(F.broadcast(dele), "vec_id", "left_anti")
+        store.createOrReplaceTempView(f"ivfadc_seg{i}_store")
+        chains.append(_segment_scored_chain(i, mdl.rotation))
+        unions.append(
+            f"SELECT query_id, neighbor_id, cosine_adc FROM scored_s{i}"
+        )
+    body = (
+        "CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_segments_search(\n"
+        "    query_lo BIGINT, query_hi BIGINT, k INT, nprobe INT)\n"
+        "RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,\n"
+        "               cosine_adc DOUBLE)\n"
+        "RETURN\nWITH "
+        + ",\n".join(chains)
+        + ",\nseg_union AS (\n  "
+        + "\n  UNION ALL\n  ".join(unions)
+        + "\n), merged AS (\n"
+        "  SELECT query_id, neighbor_id, max(cosine_adc) AS cosine_adc\n"
+        "  FROM seg_union GROUP BY query_id, neighbor_id\n"
+        ")\n"
+        "SELECT query_id, neighbor_id, rank, cosine_adc FROM (\n"
+        "  SELECT query_id, neighbor_id, cosine_adc,\n"
+        "         cast(row_number() OVER (PARTITION BY query_id\n"
+        "                                 ORDER BY cosine_adc DESC,\n"
+        "                                          neighbor_id ASC) AS INT)\n"
+        "           AS rank\n"
+        "  FROM merged)\n"
+        "WHERE rank <= k\n"
+    )
+    spark.sql(body)
+    return "tvf_ivfadc_segments_search"

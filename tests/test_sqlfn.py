@@ -463,3 +463,68 @@ def test_tvf_ivfadc_search_adaptive_target(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="target_candidates requires"):
         register_ivfadc_search_tvf(spark, path, target_candidates=60)
+
+
+def test_tvf_ivfadc_segments_matches_operator(spark, tmp_path):
+    """Multi-segment search from pure SQL: two segments with different
+    models and different bases (raw + Hadamard post_int), one with a
+    tombstone, searched through tvf_ivfadc_segments_search — rows
+    identical to ann_store.search_segments on the same stores, with
+    and without the where dial; mixed geometry refuses."""
+    import pytest as _pytest
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivfadc_segments_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    prep = similarity.prepare(emb_raw)
+    had = similarity.hadamard_rows(64)
+    rot_prep = similarity.rotate_quantized(prep, had)
+
+    def build(base, lo, hi, pred, path, rotation=None):
+        coarse = base.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        corpus = base.filter(pred)
+        coarse_rows = [
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        ]
+        res = similarity.residualize(
+            similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+        )
+        cb = similarity.pq_train_codebooks(res, k=8, m=4, dim=64, iters=1)
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                    residual=True),
+            path, coarse_rows, cb, m=4, dim=64, rotation=rotation,
+        )
+        return path
+
+    even = (F.col("vec_id") >= 28) & (F.col("vec_id") % 2 == 0)
+    odd = (F.col("vec_id") >= 28) & (F.col("vec_id") % 2 == 1)
+    pa = build(prep, 8, 10, even, str(tmp_path / "sa"))
+    pb = build(rot_prep, 10, 12, odd, str(tmp_path / "sb"),
+               rotation={"mode": "post_int", "components": had})
+    assert ann_store.delete_vectors(spark, pa, "vec_id = 30") == 1
+
+    emb_q = emb_raw.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    register_ivfadc_segments_tvf(spark, [pa, pb])
+    got = spark.sql("SELECT * FROM tvf_ivfadc_segments_search(12, 28, 3, 1)")
+    want = ann_store.search_segments(spark, [pa, pb], emb_q, k=3, nprobe=1)
+    assert rows(got) == rows(want) and len(rows(got)) > 0
+
+    register_ivfadc_segments_tvf(spark, [pa, pb], where="vec_id % 3 = 1")
+    got_f = spark.sql(
+        "SELECT * FROM tvf_ivfadc_segments_search(12, 28, 3, 1)"
+    )
+    want_f = ann_store.search_segments(
+        spark, [pa, pb], emb_q, k=3, nprobe=1, where="vec_id % 3 = 1"
+    )
+    assert rows(got_f) == rows(want_f)
+
+    with _pytest.raises(ValueError, match="at least one segment"):
+        register_ivfadc_segments_tvf(spark, [])
