@@ -62,68 +62,68 @@ def _ordered_sql(sql: str) -> str:
     )
 
 
-# Round-12 driver window (dict ORDER is part of the driver contract:
+# Round-13 driver window (dict ORDER is part of the driver contract:
 # the correctness gate checks the FIRST 50 entries).  Leads with the
-# four queries new this round, then rotates the ENTIRE remaining
-# r8-witnessed block back in (42 queries — the oldest latest witnesses
-# after r11's refresh), topped up with the four oldest r9 witnesses.
-# Everything displaced carries an r9/r10/r11 green witness, so the
-# union invariant (CORRECTNESS_r01..r12 covers every registered query
-# with a green latest witness) is preserved; displaced queries are
-# re-verified locally via tools/check_oracle.py each round.
-_R12_WINDOW = [
-    "ext_sim_ivfadc_segments",
-    "ext_sim_ivfadc_deleted",
-    "ext_sim_ivfadc_adaptive",
-    "ext_mm_decode_png",
-    # --- the r8-witnessed block, rotated in whole ---
-    "a4_dedup_5min_grid",
-    "a5_pivot_daily_wide",
-    "a6_melt_wide_to_long",
-    "a7_distinct_partition_keys",
-    "ext_contamination_ngram",
-    "ext_contamination_spans",
-    "ext_dedup_cc_clusters",
-    "ext_dedup_containment",
-    "ext_dedup_embedding_neardup",
-    "ext_dedup_exact_clusters",
-    "ext_mix_token_rates",
-    "ext_mm_blob_stats",
-    "ext_mm_decode_features",
-    "ext_pack_sequences",
-    "ext_sample_shard_plan",
-    "ext_sample_source_caps",
-    "ext_sample_split",
-    "ext_sample_stratified",
-    "ext_sim_cosine_topk",
-    "ext_sim_ivf_topk",
-    "ext_sim_lsh_bucketed_topk",
-    "ext_sim_quantize_int8",
-    "ext_text_chunk_windows",
-    "ext_text_entropy",
-    "ext_text_gopher_rules",
-    "ext_text_hash_classifier",
-    "ext_text_pii_scrub",
-    "ext_text_quality_scores",
-    "ext_text_repetition",
-    "ext_text_top_terms",
-    "j1_full_outer_qh_align",
-    "j2_union_conformed_sources",
-    "j3_coalescing_upsert",
-    "j4_scaffold_align_hours",
-    "j6_cross_join_scaffold",
-    "p1_p3_projection_timerange",
-    "p2_semi_join_stations",
-    "p4_dict_remap",
-    "p6_numeric_validity",
-    "set_anti_join_new_stations",
-    "ts_cusum_drift",
-    "ts_deseasonalized_residuals",
-    # --- oldest r9 witnesses top up the window to 50 ---
-    "ext_decontam_bloom",
-    "ext_sample_unimax",
-    "ext_sim_ann_recall",
-    "ext_sketch_cms_heavy",
+# three queries new this round, then rotates in EVERY below-window
+# stalest witness: the r9 remainder (3) plus the complete r10-witnessed
+# block (44) — 3 + 3 + 44 = 50 exactly, so after this round no latest
+# witness predates r11.  Everything displaced carries an r11/r12 green
+# witness, so the union invariant (CORRECTNESS_r01..r13 covers every
+# registered query with a green latest witness) is preserved; displaced
+# queries are re-verified locally via tools/check_oracle.py each round.
+_R13_WINDOW = [
+    "ext_sim_ivfadc_merge",
+    "ext_sim_ivfadc_maintenance",
+    "ext_sim_ivfadc_budget",
+    # --- the r9 remainder: the three oldest witnesses anywhere ---
+    "ext_sketch_hist_quantiles",
+    "ext_sketch_hll_vocab",
+    "ext_text_bpe_merges",
+    # --- the complete r10-witnessed block ---
+    "ext_dedup_incremental",
+    "ext_diag_psi_drift",
+    "ext_diag_skew_profile",
+    "ext_sample_cluster_balanced",
+    "ext_sim_ivf_pq_refined",
+    "ext_sim_ivf_pq_topk",
+    "ext_sim_pca_gram",
+    "ext_sim_pq_adc_topk",
+    "ext_sim_pq_codes",
+    "ext_sim_pq_train_codebook",
+    "ext_text_bpe_segment",
+    "ext_text_collocations",
+    "ext_text_winnow_fps",
+    "ext_text_winnow_pairs",
+    "fn_formula_estimate",
+    "tpch_q10_returned_item_report",
+    "tpch_q11_important_stock",
+    "tpch_q12_line_priority_counts",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority_exists",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "ts_completeness_daily",
+    "ts_dow_hour_profile",
+    "ts_interpolate_hourly",
+    "ts_moving_avg_1h",
+    "ts_percentile_summary",
+    "ts_spike_flags",
+    "ts_trapezoid_volume",
 ]
 
 
@@ -132,12 +132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every callable is wrapped in :func:`_ordered`, and every oracle in
     :func:`_ordered_sql`, so both sides emit a canonical row order.
-    ``_R12_WINDOW`` leads the dict (the driver's 50-query correctness
+    ``_R13_WINDOW`` leads the dict (the driver's 50-query correctness
     window); the rest keep their registration order.
     """
     raw = _raw_queries()
-    assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(raw)
-    out = {k: raw[k] for k in _R12_WINDOW}
+    # explicit raise, not assert: python -O strips asserts, which would
+    # silently let a malformed window reorder the driver's gated 50
+    if len(_R13_WINDOW) != 50 or not set(_R13_WINDOW) <= set(raw):
+        raise ValueError(
+            f"driver window malformed: {len(_R13_WINDOW)} entries,"
+            f" unknown={sorted(set(_R13_WINDOW) - set(raw))}"
+        )
+    out = {k: raw[k] for k in _R13_WINDOW}
     out.update({k: v for k, v in raw.items() if k not in out})
     return {k: _ordered(v) for k, v in out.items()}
 
@@ -145,14 +151,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order only — since round 12 the driver window (the
     # first 50 entries the correctness gate checks) is defined
-    # explicitly by ``_R12_WINDOW`` above and applied in ``queries()``;
+    # explicitly by ``_R13_WINDOW`` above and applied in ``queries()``;
     # this dict's order is the fallback ordering for everything below
     # the window.  The union invariant (since r5) stands: the union of
     # CORRECTNESS_r01..r0N rows covers every registered query with its
     # latest check green, and displaced queries are re-verified locally
     # via tools/check_oracle.py each round.
     return {
-        # --- new this round (r12): driver verifies first ---
+        # --- new this round (r13): driver verifies first ---
+        "ext_sim_ivfadc_merge": extensions.sim_ivfadc_merge,
+        "ext_sim_ivfadc_maintenance": extensions.sim_ivfadc_maintenance,
+        "ext_sim_ivfadc_budget": extensions.sim_ivfadc_budget,
+        # --- r12 heads ---
         "ext_sim_ivfadc_segments": extensions.sim_ivfadc_segments,
         "ext_sim_ivfadc_deleted": extensions.sim_ivfadc_deleted,
         "ext_sim_ivfadc_adaptive": extensions.sim_ivfadc_adaptive,
@@ -404,6 +414,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_sim_ivfadc_segments": extensions.SIM_IVFADC_SEGMENTS_SQL,
         "ext_sim_ivfadc_deleted": extensions.SIM_IVFADC_DELETED_SQL,
         "ext_sim_ivfadc_adaptive": extensions.SIM_IVFADC_ADAPTIVE_SQL,
+        "ext_sim_ivfadc_merge": extensions.SIM_IVFADC_MERGE_SQL,
+        "ext_sim_ivfadc_maintenance": extensions.SIM_IVFADC_MAINTENANCE_SQL,
+        "ext_sim_ivfadc_budget": extensions.SIM_IVFADC_BUDGET_SQL,
         "ext_mm_decode_png": extensions.MM_DECODE_PNG_SQL,
         "ext_sim_pq_train_codebook": extensions.SIM_PQ_TRAIN_CODEBOOK_SQL,
         "ext_dedup_incremental": extensions.DEDUP_INCREMENTAL_SQL,

@@ -405,9 +405,11 @@ def delete_vectors(spark: SparkSession, path: str, where) -> int:
     deletions are small relative to the corpus by assumption, and a
     corpus-scale deletion is exactly when the caller should rewrite
     via :func:`compact_deleted` instead.  Returns the number of NEWLY
-    matched vec_ids (already-tombstoned ids count again only if the
-    predicate re-matches them; the search-side distinct absorbs
-    duplicates).
+    tombstoned vec_ids: matched ids already in the side table are
+    anti-joined out BEFORE counting and appending, so (a) callers
+    summing return values across overlapping deletes count each
+    deletion exactly once, and (b) the side table never accumulates
+    duplicate rows (re-running a GDPR sweep appends nothing).
 
     Tombstones are PER-STORE, which is what makes delete-then-reinsert
     work under the segment model: re-admission lands in a fresh
@@ -419,6 +421,9 @@ def delete_vectors(spark: SparkSession, path: str, where) -> int:
     table — deletion wins within a store, by design."""
     loaded = load_ivfadc(path)  # validates the artifact before mutating
     ids = loaded.frame(spark).filter(where).select("vec_id").distinct()
+    already = deleted_ids(spark, path)
+    if already is not None:
+        ids = ids.join(F.broadcast(already), "vec_id", "left_anti")
     n = ids.count()
     if n:
         ids.write.mode("append").parquet(os.path.join(path, TOMBSTONE_DIR))
@@ -533,6 +538,260 @@ def search_segments(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_adc")
     )
+
+
+def merge_segments(
+    spark: SparkSession,
+    paths: list[str],
+    dest: str,
+    raw_emb: DataFrame | None = None,
+    allow_requantize: bool = False,
+    assign: str = "local",
+    encode: str = "native",
+) -> dict:
+    """Fold segments back into ONE store — the lifecycle CLOSER that
+    :func:`search_segments` was missing: after a rebalance the swept
+    store is a frozen base and admission accumulates fresh segments,
+    so search cost grows linearly with the segment count (each segment
+    re-prepares and re-probes every query) and nothing shrinks the set
+    — the FAISS/Lucene answer is a segment merge, and this is it.
+    ``paths[0]`` is the BASE: its model (coarse + codebook) and basis
+    (sidecar rotation) define the merged store; every other segment's
+    live rows are folded into that model.
+
+    Three fold tiers, strictest first — the tier is chosen PER
+    SEGMENT, so one merge can carry one segment and re-encode another:
+
+    1. **Carry** (segment model+basis == base's, the admission norm —
+       fresh segments are usually encoded with the frozen base's own
+       model): code rows move as-is.  Bit-exact, zero re-encoding —
+       a scan→write copy, no shuffle.
+    2. **Re-encode from raw** (``raw_emb`` — (vec_id, embedding) rows
+       covering the segment's live ids): the segment's vectors are
+       admitted into the base's basis+model from their ORIGINALS —
+       :func:`apply_rotation` then the scan-local
+       ``ivf_pq_index(assign="local", residual=True)`` encode, exactly
+       a fresh admission, hence bit-identical to having streamed them
+       into the base in the first place.  Ids missing from ``raw_emb``
+       fail loudly (a vector that cannot be re-encoded must not
+       silently vanish from the corpus).
+    3. **Requantize reconstructions** (``allow_requantize=True``, same
+       BASIS only): decode each code back to its quantized
+       reconstruction (:func:`~.similarity.ivfadc_decode`) and encode
+       that against the base model.  This COMPOUNDS quantization error
+       (the reason :func:`rebalance_ivfadc` demands ``corpus_prepared``
+       instead of decoding) — opt-in, for callers whose raw vectors
+       are gone; recall parity is probed, never bit-pinned.  Cross-
+       BASIS requantize is refused outright: inverting a rotation on
+       the quantized grid is not exact (a Hadamard inverse divides by
+       the dimension), so the round-trip would silently shear every
+       vector.
+
+    Tombstones are RESOLVED, not copied: each segment's ``_deleted``
+    side table drops that segment's own rows before the fold (the
+    per-store semantics every search applies), and the merged store
+    starts tombstone-free.  Duplicate vec_ids across segments resolve
+    LATER-SEGMENT-WINS on live rows — re-admission supersedes the
+    frozen base, matching :func:`search_segments` (whose max-score
+    dedup is the search-time view of the same rule; the merged store
+    keeps one physical copy, the latest admission).  Note the
+    composition: a fresh segment's tombstone kills only the fresh
+    copy, so a base copy of the same id SURVIVES the merge — exactly
+    what ``search_segments`` returns on the pre-merge set.
+
+    ``dest == paths[0]`` merges IN PLACE through the crash-recoverable
+    staged swap (:func:`~..streaming.documents.compact_corpus` —
+    snapshot guard, ``.precompact`` recovery), the base's model
+    sidecar written INTO the stage so table and model swap together
+    and the base's ``_deleted`` vanishes atomically with the rows it
+    named.  Any other ``dest`` writes a NEW artifact (sidecar
+    committed after the table — :func:`save_ivfadc`'s atomicity
+    story) and leaves every source segment untouched; ``dest`` equal
+    to a NON-base source is refused (overwriting an input mid-scan).
+    Either way, run quiesced like every sweep, and retire the folded
+    fresh segments afterwards — searches go back to ONE path.
+
+    Scale shape: carry is a pruned scan → partitioned write; the
+    later-wins resolution anti-joins each segment against the LIVE id
+    sets of later segments (fresh segments are small next to the
+    frozen base by construction — corpus-scale duplication belongs in
+    a rebalance); re-encode is scan-local (coarse argmin + codebook
+    lookups as literals); nothing collects corpus-scale data.
+
+    Returns ``{merged, dest, segments, rows, carried, reencoded,
+    requantized, dropped_deleted, superseded}``."""
+    from ..streaming.documents import compact_corpus
+
+    if not paths:
+        raise ValueError("merge_segments needs at least one segment path")
+    if dest in paths[1:]:
+        raise ValueError(
+            "dest must be the base segment (in-place swap) or a fresh"
+            " directory — overwriting a non-base source segment while"
+            " it is being read would corrupt the merge"
+        )
+    idxs = [load_ivfadc(p) for p in paths]
+    base = idxs[0]
+    geoms = {(ix.m, ix.dim) for ix in idxs}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"segments disagree on (m, dim): {sorted(geoms)} — rebuild"
+            " to one geometry before merging"
+        )
+    cols = (
+        ["vec_id"]
+        + [f"code_{s}" for s in range(base.m)]
+        + ["sq_err", "rn", "list_id"]
+    )
+
+    def _same_model(ix: IvfadcIndex) -> bool:
+        return (
+            ix.coarse_rows == base.coarse_rows
+            and ix.centroid_rows == base.centroid_rows
+            and ix.rotation == base.rotation
+        )
+
+    # live rows per segment: own tombstones out, then later-wins —
+    # anti-join against every LATER segment's live id set
+    lives = []
+    dropped_deleted = 0
+    for p, ix in zip(paths, idxs):
+        rows = ix.frame(spark)
+        dele = deleted_ids(spark, p)
+        if dele is not None:
+            n0 = rows.count()
+            rows = rows.join(F.broadcast(dele), "vec_id", "left_anti")
+            dropped_deleted += n0 - rows.count()
+        lives.append(rows)
+    superseded = 0
+    for i in range(len(lives) - 1):
+        later = reduce(
+            lambda a, b: a.unionByName(b),
+            [lv.select("vec_id") for lv in lives[i + 1:]],
+        ).distinct()
+        n0 = lives[i].count()
+        lives[i] = lives[i].join(later, "vec_id", "left_anti")
+        superseded += n0 - lives[i].count()
+
+    parts, report = [], {"carried": 0, "reencoded": 0, "requantized": 0}
+    for i, (p, ix) in enumerate(zip(paths, idxs)):
+        live = lives[i]
+        if i == 0 or _same_model(ix):
+            # carried rows are counted at the end as the remainder —
+            # one total count instead of one job per carried segment
+            part = live.select(*cols)
+            if i == 0:
+                base_live = part
+                continue
+        elif raw_emb is not None:
+            ids = live.select("vec_id")
+            src = raw_emb.join(ids, "vec_id", "semi")
+            n_ids, n_src = ids.count(), src.count()
+            if n_src != n_ids:
+                raise ValueError(
+                    f"raw_emb covers {n_src} of segment {p!r}'s {n_ids}"
+                    " live ids — a vector that cannot be re-encoded"
+                    " must not silently vanish from the merged corpus"
+                )
+            part = similarity.ivf_pq_index(
+                apply_rotation(src, base.rotation),
+                None,
+                base.centroid_rows,
+                m=base.m,
+                dim=base.dim,
+                assign=assign,
+                residual=True,
+                coarse_rows=base.coarse_rows,
+                encode=encode,
+            ).select(*cols)
+            report["reencoded"] += n_ids
+        elif allow_requantize and ix.rotation == base.rotation:
+            recon = similarity.ivfadc_decode(
+                live, ix.coarse_rows, ix.centroid_rows, m=ix.m, dim=ix.dim
+            )
+            part = similarity.ivf_pq_index(
+                recon,
+                None,
+                base.centroid_rows,
+                m=base.m,
+                dim=base.dim,
+                assign=assign,
+                residual=True,
+                coarse_rows=base.coarse_rows,
+                encode=encode,
+            ).select(*cols)
+            report["requantized"] += part.count()
+        else:
+            raise ValueError(
+                f"segment {p!r} has a different model"
+                + (" and a different basis" if ix.rotation != base.rotation
+                   else "")
+                + " — pass raw_emb to re-encode from originals (exact),"
+                " or allow_requantize=True to re-encode decoded"
+                " reconstructions (same basis only; compounds"
+                " quantization error)"
+            )
+        parts.append(part)
+
+    def _merged(base_part: DataFrame) -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), [base_part, *parts])
+
+    def finalize(staged: str) -> None:
+        write_ivfadc_model(
+            staged, base.coarse_rows, base.centroid_rows,
+            m=base.m, dim=base.dim, rotation=base.rotation,
+        )
+
+    if dest == paths[0]:
+        # in-place: the staged swap drops the base's _deleted side
+        # table atomically with the rows it named.  The transform
+        # re-derives the base's live rows from the frame compact_corpus
+        # hands it (its snapshot-guarded read), not from our earlier
+        # plan over the same directory.
+        base_dele = deleted_ids(spark, paths[0])
+        later_ids = (
+            reduce(
+                lambda a, b: a.unionByName(b),
+                [lv.select("vec_id") for lv in lives[1:]],
+            ).distinct()
+            if len(lives) > 1
+            else None
+        )
+
+        def transform(old_codes: DataFrame) -> DataFrame:
+            live0 = old_codes
+            if base_dele is not None:
+                live0 = live0.join(
+                    F.broadcast(base_dele), "vec_id", "left_anti"
+                )
+            if later_ids is not None:
+                live0 = live0.join(later_ids, "vec_id", "left_anti")
+            return _merged(live0.select(*cols))
+
+        kept, _ = compact_corpus(
+            spark, dest, transform, partition_by=("list_id",),
+            finalize=finalize,
+        )
+        n_rows = int(kept)
+    else:
+        merged = _merged(base_live)
+        _local_path(dest)  # refuse remote schemes before the write
+        merged.write.partitionBy("list_id").mode("overwrite").parquet(dest)
+        finalize(dest)
+        n_rows = spark.read.parquet(dest).count()
+
+    report["carried"] = int(
+        n_rows - report["reencoded"] - report["requantized"]
+    )
+    report.update(
+        merged=True,
+        dest=dest,
+        segments=len(paths),
+        rows=n_rows,
+        dropped_deleted=int(dropped_deleted),
+        superseded=int(superseded),
+    )
+    return report
 
 
 def rebalance_ivfadc(

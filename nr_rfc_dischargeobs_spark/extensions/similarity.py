@@ -2399,9 +2399,21 @@ def ivfadc_topk(
     table (≤ n_lists rows — the same model-scale plan-build job as
     ``probe_matching_only``, which this implies), then the probe-side
     window; the scan cost is ~target·m bytes per query regardless of
-    how selective ``where`` is.  Requires ``where`` — with no filter
-    every list is full and a plain higher nprobe says the same thing
-    cheaper.
+    how selective ``where`` is.
+
+    UNFILTERED, the same dial is nprobe AUTO-TUNE (round 13): with no
+    predicate the per-list counts are plain list sizes (same one
+    aggregate; for a stored artifact they are also free from the
+    ``list_id`` partition stats), and the walk gives "probe until
+    ~N candidates are scanned" — the dial a production caller can
+    actually set without knowing this corpus's list-occupancy
+    distribution.  A fixed nprobe scans wildly different byte counts
+    across skewed corpora and across queries (a query near a hot list
+    scans 10× a query near cold ones); a candidate target holds
+    cost-per-query roughly constant and makes recall tuning portable
+    across corpus versions.  ``target ≥ corpus`` degenerates to the
+    full probe (≡ exact ADC over all lists) and a tiny target to the
+    ``nprobe`` floor — both endpoints pinned in tests.
 
     ``anti`` is the EXCLUSION side of hybrid search — a (vec_id)
     frame of ids that must not appear (the stored-index tombstone
@@ -2438,14 +2450,10 @@ def ivfadc_topk(
         )
     probe_counts: dict[int, int] | None = None
     if target_candidates is not None:
-        if where is None:
-            raise ValueError(
-                "target_candidates requires a where predicate — with no"
-                " filter every list is full; raise nprobe instead"
-            )
-        # per-list MATCHING occupancy: the probe_matching_only distinct
-        # upgraded to a count — same pruned scan, same ≤ n_lists output
-        # rows, one model-scale plan-build job that serves both dials
+        # per-list occupancy: under ``where`` the MATCHING counts (the
+        # probe_matching_only distinct upgraded to a count); unfiltered
+        # the plain list sizes (nprobe auto-tune).  Same pruned scan,
+        # same ≤ n_lists output rows, one model-scale plan-build job
         probe_counts = {
             int(r["list_id"]): int(r["cnt"])
             for r in index.groupBy("list_id")

@@ -3653,6 +3653,196 @@ QUALIFY rank <= 3
 )
 
 
+# --- segment merge + maintenance + unfiltered budget (round 13) -----------
+
+
+def _ensure_merged_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once for the MERGED store: the full segment lifecycle run
+    as one unit — base segment (even corpus ids, standard full-corpus
+    model) with ``vec_id % 10 = 4`` tombstoned, fresh segment (odd ids
+    PLUS the re-admitted % 10 = 4 ids and the still-live % 10 = 6
+    overlap ids, same model — the admission norm), then
+    :func:`~..extensions.ann_store.merge_segments` folds them into one
+    store.  Every resolution rule fires on the way: the base's stale
+    tombstoned copies drop, the re-admitted fresh copies win
+    (delete-then-reinsert), the % 10 = 6 duplicates land exactly once
+    (later-wins), and the merged store starts tombstone-free — so the
+    merged table is EXACTLY the full corpus encoded once with the
+    shared model, which is what makes the search hash-checkable
+    against the plain single-store oracle.  The fingerprint commits
+    only after the merge (crash → rebuild)."""
+    from ..extensions import ann_store
+
+    path = _session_store_path(sf_dir, "mrg")
+    fpr = _ivfadc_store_fingerprint(sf_dir, variant="merged-lifecycle")
+    if not _session_store_fresh(path, fpr):
+        with _build_lock(path):
+            if not _session_store_fresh(path, fpr):
+                coarse, _, corpus, coarse_rows, cb = _ivfadc_parts(
+                    spark, sf_dir, iters=1
+                )
+                even = corpus.filter(F.col("vec_id") % 2 == 0)
+                readmit = corpus.filter(F.col("vec_id") % 10 == 4)
+                overlap = corpus.filter(F.col("vec_id") % 10 == 6)
+                fresh_rows = corpus.filter(
+                    F.col("vec_id") % 2 == 1
+                ).unionByName(readmit).unionByName(overlap)
+                base_p, fresh_p = path + "_base", path + "_fresh"
+                ann_store.save_ivfadc(
+                    similarity.ivf_pq_index(
+                        even, coarse, cb, m=4, dim=64, residual=True
+                    ),
+                    base_p, coarse_rows, cb, m=4, dim=64,
+                )
+                ann_store.delete_vectors(spark, base_p, "vec_id % 10 = 4")
+                ann_store.save_ivfadc(
+                    similarity.ivf_pq_index(
+                        fresh_rows, coarse, cb, m=4, dim=64, residual=True
+                    ),
+                    fresh_p, coarse_rows, cb, m=4, dim=64,
+                )
+                ann_store.merge_segments(spark, [base_p, fresh_p], path)
+                _commit_store_fingerprint(path, fpr)
+    return path
+
+
+def sim_ivfadc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-merge lifecycle — the CLOSER of the ANN store loop
+    (:func:`~..extensions.ann_store.merge_segments`): a frozen base
+    segment with tombstones plus a fresh admission segment carrying
+    re-admitted and duplicate ids fold back into ONE store, and this
+    row searches the merged result.  Because the merge resolves
+    everything (stale copies out, latest admission wins, each id
+    exactly once, same model carried bit-exact), the merged search is
+    value-identical to searching a single index built over the whole
+    corpus — the oracle — which is precisely the property a merge
+    must have: afterwards, searches read ONE path at single-index
+    cost (the 1M probe pins the cost reversion in SCALE_PROBE.json).
+    Session-scoped build discipline: the timed body is load +
+    search."""
+    from ..extensions import ann_store
+
+    path = _ensure_merged_store(spark, sf_dir)
+    queries = similarity.prepare(load(spark, sf_dir, "embeddings")).filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
+
+
+# merged-search ≡ single-index search over the full corpus (see
+# _ensure_merged_store for why that identity is the merge's contract)
+SIM_IVFADC_MERGE_SQL = SIM_IVFADC_TOPK_SQL
+
+
+def _ensure_maintained_store(spark: SparkSession, sf_dir: str) -> str:
+    """The tombstoned store variant PURGED: same build + ``vec_id % 7
+    = 3`` soft-delete as ``_ensure_deleted_store``, then
+    :func:`~..extensions.ann_store.compact_deleted` physically drops
+    the rows through the staged swap — build, delete, and purge commit
+    as one fingerprinted unit."""
+    from ..extensions import ann_store
+
+    path = _session_store_path(sf_dir, "mnt")
+    fpr = _ivfadc_store_fingerprint(sf_dir, variant="maintained-mod7")
+    if not _session_store_fresh(path, fpr):
+        with _build_lock(path):
+            if not _session_store_fresh(path, fpr):
+                coarse, _, corpus, coarse_rows, cb = _ivfadc_parts(
+                    spark, sf_dir, iters=1
+                )
+                ann_store.save_ivfadc(
+                    similarity.ivf_pq_index(
+                        corpus, coarse, cb, m=4, dim=64, residual=True
+                    ),
+                    path, coarse_rows, cb, m=4, dim=64,
+                )
+                ann_store.delete_vectors(spark, path, "vec_id % 7 = 3")
+                rep = ann_store.compact_deleted(spark, path)
+                if not rep["compacted"]:  # pragma: no cover - build guard
+                    raise RuntimeError(
+                        "maintenance store build: nothing purged"
+                    )
+                _commit_store_fingerprint(path, fpr)
+    return path
+
+
+def sim_ivfadc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE under the driver's gate: the ``vec_id % 7 =
+    3`` tombstones of the deletion tier are PHYSICALLY PURGED
+    (:func:`~..extensions.ann_store.compact_deleted` — anti-join
+    rewrite through the crash-recoverable staged swap, model sidecar
+    unchanged, ``_deleted`` dropped atomically with the rows it
+    named), and the search runs over the purged store.  The oracle is
+    the SAME exclusion chain as ``ext_sim_ivfadc_deleted`` — proving
+    purge-then-search ≡ tombstone-then-search, the identity that makes
+    soft deletion safe to defer: the bytes can follow the GDPR flag at
+    leisure because search results never depend on WHICH of the two
+    states the store is in.  (The rebalance fold-in purge is pinned by
+    tests and the 1M lifecycle probe.)"""
+    from ..extensions import ann_store
+
+    path = _ensure_maintained_store(spark, sf_dir)
+    queries = similarity.prepare(load(spark, sf_dir, "embeddings")).filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.load_ivfadc(path).search(queries, k=3, nprobe=2)
+
+
+SIM_IVFADC_MAINTENANCE_SQL = SIM_IVFADC_DELETED_SQL
+
+
+def sim_ivfadc_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNFILTERED candidate-budget search — nprobe AUTO-TUNE
+    (``ivfadc_topk(target_candidates=…)`` with no predicate, round
+    13): each query walks its distance-ranked occupied lists until
+    ~800 candidates are in scope (floor nprobe=1), so the scanned-byte
+    budget per query is set directly instead of via a per-corpus
+    nprobe guess — the dial stays calibrated as the corpus grows and
+    as list occupancy skews, where a fixed nprobe scans 10× different
+    byte counts across queries.  Same session-scoped base store; the
+    oracle mirrors the cumulative walk over plain list sizes."""
+    from ..extensions import ann_store
+
+    path = _ensure_base_store(spark, sf_dir)
+    queries = similarity.prepare(load(spark, sf_dir, "embeddings")).filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.load_ivfadc(path).search(
+        queries, k=3, nprobe=1, target_candidates=800
+    )
+
+
+# the unfiltered walk: per-list sizes (no predicate), ranked by query
+# distance, cut at the 800-candidate running total, floor nprobe=1
+_BUDGET_PROBE_CTES = """), mcounts AS (
+  SELECT cl.lid, COUNT(*) AS cnt
+  FROM corpus_list cl
+  GROUP BY 1
+), qa2 AS (
+  SELECT qa.vec_id, qa.lid, mcounts.cnt,
+         ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                            ORDER BY qa.d, qa.lid) AS pr
+  FROM qa JOIN mcounts ON qa.lid = mcounts.lid
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid, pr, cnt,
+           SUM(cnt) OVER (PARTITION BY vec_id ORDER BY pr) AS cum
+    FROM qa2
+  )
+  WHERE pr <= 1 OR cum - cnt < 800
+), recon AS ("""
+
+SIM_IVFADC_BUDGET_SQL = _IVFADC_CTES.rstrip() + _IVFADC_SEARCH_CTES.format(
+    where=""
+).replace(
+    """), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM qa
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) <= 2
+), recon AS (""",
+    _BUDGET_PROBE_CTES,
+)
+
+
 def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-leakage screen: benchmark vec_id < 30
     broadcast against the vec_id ≥ 30 corpus, cosine ≥ 0.3 counted per

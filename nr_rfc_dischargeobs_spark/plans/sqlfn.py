@@ -618,6 +618,7 @@ def register_ivfadc_search_tvf(
     index_path: str,
     where: str | None = None,
     target_candidates: int | None = None,
+    probe_matching_only: bool = False,
 ) -> str:
     """Register ``tvf_ivfadc_search`` over a :func:`~..extensions.
     ann_store.save_ivfadc` artifact: loads the MODEL SIDECAR (the
@@ -634,6 +635,14 @@ def register_ivfadc_search_tvf(
     lands in the parquet scan (pre-filter, true top-k among matching),
     exactly like ``ivfadc_topk(where=…)``; registering the same
     artifact under different predicates is cheap (views are metadata).
+    ``target_candidates`` materializes the per-list counts view at
+    registration and swaps in the adaptive cumulative-walk probe block
+    — filtered, that is the hybrid candidate-budget dial; UNFILTERED
+    (since round 13) the counts are plain list sizes and the dial is
+    nprobe auto-tune ("probe until ~N candidates"), mirroring
+    ``ivfadc_topk``.  ``probe_matching_only`` (filtered only) restricts
+    the coarse view to matched lists — the operator's coarse-miss
+    repair without the budget walk.
 
     ROTATED artifacts register transparently for BOTH modes:
     ``post_int`` (exact integer tier — the matrix becomes the
@@ -672,14 +681,6 @@ def register_ivfadc_search_tvf(
         ],
         "cid int, s int, i int, ce long",
     ).createOrReplaceTempView("ivfadc_model_codebook")
-    spark.createDataFrame(
-        [
-            (int(lid), i, int(v))
-            for lid, cq in model.coarse_rows
-            for i, v in enumerate(cq)
-        ],
-        "lid long, i int, le long",
-    ).createOrReplaceTempView("ivfadc_model_coarse")
     store = spark.read.parquet(index_path)
     if where is not None:
         store = store.filter(where)
@@ -690,15 +691,14 @@ def register_ivfadc_search_tvf(
     if dele is not None:
         store = store.join(F.broadcast(dele), "vec_id", "left_anti")
     store.createOrReplaceTempView("ivfadc_index_store")
+    coarse_rows = model.coarse_rows
     if target_candidates is not None:
-        if where is None:
-            raise ValueError(
-                "target_candidates requires a where predicate - with no"
-                " filter every list is full; raise nprobe instead"
-            )
         # the operator's plan-build counts aggregate, run at
         # REGISTRATION (the TVF's deploy time) over the same filtered,
-        # tombstone-excluded store - <= n_lists rows into a temp view
+        # tombstone-excluded store - <= n_lists rows into a temp view.
+        # With a where predicate these are MATCHING counts (the hybrid
+        # budget dial); without, plain list sizes (nprobe auto-tune) -
+        # same semantics as ivfadc_topk since round 13
         spark.createDataFrame(
             [
                 (int(r["list_id"]), int(r["cnt"]))
@@ -708,6 +708,31 @@ def register_ivfadc_search_tvf(
             ],
             "lid long, cnt long",
         ).createOrReplaceTempView("ivfadc_model_list_counts")
+    elif probe_matching_only:
+        if where is None:
+            raise ValueError(
+                "probe_matching_only requires a where predicate — with"
+                " no filter every list matches and the dial is a no-op"
+            )
+        # the operator's coarse-restriction, applied to the coarse VIEW
+        # at registration: the qa ranking then spends the nprobe budget
+        # on nearest MATCHING lists only (the correlated-predicate
+        # coarse-miss repair, ivfadc_topk's probe_matching_only)
+        matched = {
+            int(r["list_id"])
+            for r in store.select("list_id").distinct().collect()
+        }
+        coarse_rows = [
+            (lid, cq) for lid, cq in coarse_rows if int(lid) in matched
+        ]
+    spark.createDataFrame(
+        [
+            (int(lid), i, int(v))
+            for lid, cq in coarse_rows
+            for i, v in enumerate(cq)
+        ],
+        "lid long, i int, le long",
+    ).createOrReplaceTempView("ivfadc_model_coarse")
     spark.sql(_ivfadc_search_tvf_sql(rotation, target_candidates))
     return "tvf_ivfadc_search"
 
@@ -727,12 +752,18 @@ _SEG_TVF_CTES = (
 ).split()
 
 
-def _segment_scored_chain(i: int, rotation: dict | None) -> str:
+def _segment_scored_chain(
+    i: int, rotation: dict | None, target_candidates: int | None = None
+) -> str:
     """The single-store TVF body's WITH-chain, cut at ``scored`` and
-    re-addressed to segment ``i``'s views and suffixed CTE names."""
+    re-addressed to segment ``i``'s views and suffixed CTE names.
+    ``target_candidates`` swaps in the adaptive probe block, reading
+    segment ``i``'s OWN counts view (each segment budgets its walk
+    against its own list occupancies, exactly as ``search_segments``
+    threads the dial per segment)."""
     import re
 
-    body = _ivfadc_search_tvf_sql(rotation)
+    body = _ivfadc_search_tvf_sql(rotation, target_candidates)
     chain = body.split("RETURN\nWITH ", 1)[1]
     chain = chain.split(
         "\nSELECT query_id, neighbor_id, rank, cosine_adc FROM (", 1
@@ -742,6 +773,7 @@ def _segment_scored_chain(i: int, rotation: dict | None) -> str:
         ("ivfadc_model_codebook", f"ivfadc_seg{i}_codebook"),
         ("ivfadc_model_coarse", f"ivfadc_seg{i}_coarse"),
         ("ivfadc_model_rotation", f"ivfadc_seg{i}_rotation"),
+        ("ivfadc_model_list_counts", f"ivfadc_seg{i}_counts"),
     ):
         chain = chain.replace(view, seg_view)
     for name in _SEG_TVF_CTES:
@@ -753,6 +785,8 @@ def register_ivfadc_segments_tvf(
     spark: SparkSession,
     index_paths: list[str],
     where: str | None = None,
+    probe_matching_only: bool = False,
+    target_candidates: int | None = None,
 ) -> str:
     """Register ``tvf_ivfadc_segments_search(query_lo, query_hi, k,
     nprobe)`` over SEVERAL stored artifacts — the pure-SQL spelling of
@@ -764,9 +798,21 @@ def register_ivfadc_segments_tvf(
     are fine), excludes its own tombstones, and the merged global
     top-k dedups re-admitted ids at their best score.  Segments must
     agree on ``(m, dim)`` and sit on the registered m=4 layout —
-    refused loudly otherwise, same as the operator.  ``where``
-    pre-filters every segment's store view (parquet-pushed), the
-    operator's hybrid dial."""
+    refused loudly otherwise, same as the operator.
+
+    ALL THREE hybrid dials thread through per segment, exactly as
+    :func:`~..extensions.ann_store.search_segments` passes them to
+    each :meth:`~..extensions.ann_store.IvfadcIndex.search`: ``where``
+    pre-filters every segment's store view (parquet-pushed);
+    ``probe_matching_only`` restricts each segment's coarse view to
+    ITS OWN matched lists (each segment computes its own matched set
+    from its own pruned scan); ``target_candidates`` materializes a
+    per-segment counts view at registration and swaps in the adaptive
+    cumulative-walk probe block per chain, so each segment budgets
+    ~target candidates against its own occupancies (unfiltered, that
+    is per-segment nprobe auto-tune).  Operator ≡ TVF bit-parity on
+    the mixed-basis + tombstoned + filtered + budgeted composition is
+    pinned in tests."""
     from ..extensions import ann_store
 
     if not index_paths:
@@ -787,6 +833,11 @@ def register_ivfadc_segments_tvf(
             f" registered m=4 code layout; these artifacts have"
             f" m={models[0].m}"
         )
+    if probe_matching_only and target_candidates is None and where is None:
+        raise ValueError(
+            "probe_matching_only requires a where predicate — with"
+            " no filter every list matches and the dial is a no-op"
+        )
     chains, unions = [], []
     for i, (path, mdl) in enumerate(zip(index_paths, models)):
         dsub = mdl.dim // mdl.m
@@ -798,14 +849,6 @@ def register_ivfadc_segments_tvf(
             ],
             "cid int, s int, i int, ce long",
         ).createOrReplaceTempView(f"ivfadc_seg{i}_codebook")
-        spark.createDataFrame(
-            [
-                (int(lid), j, int(v))
-                for lid, cq in mdl.coarse_rows
-                for j, v in enumerate(cq)
-            ],
-            "lid long, i int, le long",
-        ).createOrReplaceTempView(f"ivfadc_seg{i}_coarse")
         if mdl.rotation is not None and mdl.rotation["mode"] == "post_int":
             spark.createDataFrame(
                 [
@@ -822,7 +865,38 @@ def register_ivfadc_segments_tvf(
         if dele is not None:
             store = store.join(F.broadcast(dele), "vec_id", "left_anti")
         store.createOrReplaceTempView(f"ivfadc_seg{i}_store")
-        chains.append(_segment_scored_chain(i, mdl.rotation))
+        coarse_rows = mdl.coarse_rows
+        if target_candidates is not None:
+            # THIS segment's per-list counts over ITS filtered,
+            # tombstone-excluded store — ≤ n_lists rows per segment
+            spark.createDataFrame(
+                [
+                    (int(r["list_id"]), int(r["cnt"]))
+                    for r in store.groupBy("list_id")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                ],
+                "lid long, cnt long",
+            ).createOrReplaceTempView(f"ivfadc_seg{i}_counts")
+        elif probe_matching_only:
+            matched = {
+                int(r["list_id"])
+                for r in store.select("list_id").distinct().collect()
+            }
+            coarse_rows = [
+                (lid, cq) for lid, cq in coarse_rows if int(lid) in matched
+            ]
+        spark.createDataFrame(
+            [
+                (int(lid), j, int(v))
+                for lid, cq in coarse_rows
+                for j, v in enumerate(cq)
+            ],
+            "lid long, i int, le long",
+        ).createOrReplaceTempView(f"ivfadc_seg{i}_coarse")
+        chains.append(
+            _segment_scored_chain(i, mdl.rotation, target_candidates)
+        )
         unions.append(
             f"SELECT query_id, neighbor_id, cosine_adc FROM scored_s{i}"
         )

@@ -141,12 +141,22 @@ def tombstone_stream(
     """Streaming DELETIONS: a stream of ``(vec_id)`` delete events
     lands in the index's ``_deleted`` side table
     (:data:`~..extensions.ann_store.TOMBSTONE_DIR`), so GDPR requests
-    flow through the same micro-batch machinery as admissions — every
-    search surface (operator, :func:`~..extensions.ann_store.
-    search_segments`, SQL TVF) anti-joins the table and the vectors
-    stop ranking within one trigger interval; the bytes follow at the
-    next :func:`~..extensions.ann_store.compact_deleted` /
-    ``rebalance_ivfadc`` sweep.
+    flow through the same micro-batch machinery as admissions; the
+    bytes follow at the next :func:`~..extensions.ann_store.
+    compact_deleted` / ``rebalance_ivfadc`` sweep.
+
+    Visibility contract, per surface — stated precisely because the
+    GDPR clock cares: the OPERATOR surfaces
+    (:meth:`~..extensions.ann_store.IvfadcIndex.search`,
+    :func:`~..extensions.ann_store.search_segments`) resolve the side
+    table per search call, so streamed deletions stop ranking there
+    within one trigger interval.  The SQL TVFs
+    (``register_ivfadc_search_tvf`` / ``register_ivfadc_segments_tvf``)
+    SNAPSHOT the tombstones at REGISTRATION time — the registered view
+    freezes both the tombstone listing and the decision that there were
+    none — so deletions streamed after registration keep ranking in a
+    TVF until it is re-registered.  Re-register after a deletion batch
+    (metadata-cheap) if the SQL surface must reflect it.
 
     Replay-idempotence here is SEMANTIC, not structural — and that is
     sufficient, stated: tombstones are a SET under union (deletion is
@@ -161,7 +171,27 @@ def tombstone_stream(
     CONFLICTING_PARTITION_COLUMN_NAMES hazard the store tests pin).
 
     Returns the started ``StreamingQuery``."""
-    from ..extensions.ann_store import TOMBSTONE_DIR
+    import os
+
+    from ..extensions.ann_store import MODEL_FILE, TOMBSTONE_DIR, _local_path
+
+    # validate ONCE at stream start that index_dir actually holds an
+    # IVFADC store (delete_vectors gets this from load_ivfadc) — a
+    # typo'd index_dir would otherwise silently create an orphan
+    # tombstone table that suppresses nothing.  Saved artifacts carry
+    # the model sidecar; streamed stores may not be deployed yet
+    # (write_ivfadc_model comes later), so any non-underscore table
+    # content also qualifies.
+    local = _local_path(index_dir)
+    if not os.path.isdir(local) or not (
+        os.path.exists(os.path.join(local, MODEL_FILE))
+        or any(not f.startswith(("_", ".")) for f in os.listdir(local))
+    ):
+        raise ValueError(
+            f"tombstone_stream: {index_dir!r} is not an IVFADC store"
+            " (no model sidecar and no table data) — refusing to land"
+            " tombstones that would suppress nothing"
+        )
 
     target = f"{index_dir.rstrip('/')}/{TOMBSTONE_DIR}"
 

@@ -657,6 +657,290 @@ def test_search_segments_overlap_dedups(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# merge_segments (round 13): the lifecycle closer — fold fresh segments
+# back into the frozen base as ONE store
+# ---------------------------------------------------------------------------
+
+
+def test_merge_segments_carry_matches_search_segments(spark, tmp_path):
+    """Same-model merge (the admission norm): codes carry bit-exact,
+    per-segment tombstones resolve (the base's stale copy of a
+    delete-then-reinsert id drops, the fresh copy wins), an id live in
+    BOTH segments lands exactly once (later-wins), the merged store is
+    tombstone-free, and searching it is row-identical to
+    search_segments over the pre-merge set."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+    even_ids = sorted(int(r["vec_id"]) for r in even.select("vec_id")
+                      .collect())
+    victim, overlap = even_ids[0], even_ids[1]
+
+    base = str(tmp_path / "base")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(even, coarse, cb, m=4, dim=64,
+                                residual=True),
+        base, coarse_rows, cb, m=4, dim=64,
+    )
+    assert ann_store.delete_vectors(spark, base, f"vec_id = {victim}") == 1
+    fresh = str(tmp_path / "fresh")
+    readmit = corpus.filter(F.col("vec_id").isin([victim, overlap]))
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(odd.unionByName(readmit), coarse, cb,
+                                m=4, dim=64, residual=True),
+        fresh, coarse_rows, cb, m=4, dim=64,
+    )
+
+    emb_q = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    want = sorted(map(tuple, ann_store.search_segments(
+        spark, [base, fresh], emb_q, k=3, nprobe=2
+    ).collect()))
+
+    dest = str(tmp_path / "merged")
+    rep = ann_store.merge_segments(spark, [base, fresh], dest)
+    n_corpus = corpus.count()
+    assert rep["merged"] is True and rep["segments"] == 2
+    assert rep["rows"] == n_corpus  # every id exactly once
+    assert rep["reencoded"] == rep["requantized"] == 0
+    assert rep["carried"] == n_corpus
+    assert rep["dropped_deleted"] == 1  # the base's stale victim copy
+    assert rep["superseded"] == 1  # the base's overlap copy
+    merged = ann_store.load_ivfadc(dest)
+    assert ann_store.deleted_ids(spark, dest) is None
+    table = merged.frame(spark)
+    assert table.count() == table.select("vec_id").distinct().count()
+    got = sorted(map(tuple,
+                     merged.search_embeddings(emb_q, k=3,
+                                              nprobe=2).collect()))
+    assert got == want and got
+
+
+def test_merge_segments_reencode_from_raw(spark, tmp_path):
+    """Mixed-basis merge: a Hadamard-rotated fresh segment with its own
+    model folds into a raw-basis base via raw_emb re-encoding — the
+    merged store is bit-identical to building ONE store over the raw
+    union with the base's model (re-encode ≡ fresh admission), and a
+    raw_emb that misses a live id refuses loudly."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    emb_raw = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    base = str(tmp_path / "base")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(even, coarse, cb, m=4, dim=64,
+                                residual=True),
+        base, coarse_rows, cb, m=4, dim=64,
+    )
+    # rotated fresh segment, own coarse + own codebook (different
+    # model AND different basis)
+    had = similarity.hadamard_rows(64)
+    rot = similarity.rotate_quantized(
+        similarity.prepare(emb_raw), had
+    )
+    rcoarse = rot.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 12))
+    rodd = rot.filter((F.col("vec_id") >= 28) & (F.col("vec_id") % 2 == 1))
+    rcoarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in rcoarse.select("vec_id", "q").collect()
+    ]
+    rcb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(rodd, rcoarse, 1, None), rcoarse_rows
+        ),
+        k=8, m=4, dim=64, iters=1,
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(rodd, rcoarse, rcb, m=4, dim=64,
+                                residual=True),
+        fresh, rcoarse_rows, rcb, m=4, dim=64,
+        rotation={"mode": "post_int", "components": had},
+    )
+
+    dest = str(tmp_path / "merged")
+    rep = ann_store.merge_segments(
+        spark, [base, fresh], dest, raw_emb=emb_raw
+    )
+    n_odd = rodd.count()
+    assert rep["reencoded"] == n_odd and rep["rows"] == corpus.count()
+
+    # bit-identity with the direct single-store build over the union
+    direct = str(tmp_path / "direct")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        direct, coarse_rows, cb, m=4, dim=64,
+    )
+    cols = ["vec_id", "code_0", "code_1", "code_2", "code_3", "rn",
+            "list_id"]
+    got_rows = sorted(map(tuple, spark.read.parquet(dest)
+                          .select(*cols).collect()))
+    want_rows = sorted(map(tuple, spark.read.parquet(direct)
+                           .select(*cols).collect()))
+    assert got_rows == want_rows
+
+    with pytest.raises(ValueError, match="live ids"):
+        ann_store.merge_segments(
+            spark, [base, fresh], str(tmp_path / "m2"),
+            raw_emb=emb_raw.filter(F.col("vec_id") % 4 != 1),
+        )
+
+
+def test_merge_segments_requantize_and_refusals(spark, tmp_path):
+    """Different-model same-basis segments refuse a plain merge (the
+    compounding-quantization-error rationale), fold under
+    allow_requantize=True as encode(decode(codes)) against the base
+    model (pinned against the explicit decode→encode chain), and a
+    different-BASIS segment refuses even requantize (grid inversion is
+    not exact); mixed (m, dim) geometry refuses outright."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path / "base")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(even, coarse, cb, m=4, dim=64,
+                                residual=True),
+        base, coarse_rows, cb, m=4, dim=64,
+    )
+    # same basis (raw), DIFFERENT model: own coarse + own codebook
+    emb = similarity.prepare(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    ocoarse = emb.filter((F.col("vec_id") >= 28) & (F.col("vec_id") < 32))
+    ocoarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in ocoarse.select("vec_id", "q").collect()
+    ]
+    ocb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(odd, ocoarse, 1, None), ocoarse_rows
+        ),
+        k=8, m=4, dim=64, iters=1,
+    )
+    fresh = str(tmp_path / "fresh")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(odd, ocoarse, ocb, m=4, dim=64,
+                                residual=True),
+        fresh, ocoarse_rows, ocb, m=4, dim=64,
+    )
+
+    with pytest.raises(ValueError, match="pass raw_emb"):
+        ann_store.merge_segments(spark, [base, fresh],
+                                 str(tmp_path / "m0"))
+
+    dest = str(tmp_path / "merged")
+    rep = ann_store.merge_segments(
+        spark, [base, fresh], dest, allow_requantize=True
+    )
+    assert rep["requantized"] == odd.count()
+    # the requantized rows ARE encode(decode(codes)) against base model
+    recon = similarity.ivfadc_decode(
+        spark.read.parquet(fresh), ocoarse_rows, ocb, m=4, dim=64
+    )
+    want_part = similarity.ivf_pq_index(
+        recon, None, cb, m=4, dim=64, assign="local", residual=True,
+        coarse_rows=coarse_rows,
+    )
+    cols = ["vec_id", "code_0", "code_1", "code_2", "code_3", "rn",
+            "list_id"]
+    got_odd = sorted(map(tuple, spark.read.parquet(dest)
+                         .filter(F.col("vec_id") % 2 == 1)
+                         .select(*cols).collect()))
+    want_odd = sorted(map(tuple, want_part.select(*cols).collect()))
+    assert got_odd == want_odd and got_odd
+
+    # cross-basis requantize refused (the guard reads only the sidecar
+    # rotation specs, so the same codes with a rotation spec attached
+    # exercise it)
+    had = similarity.hadamard_rows(64)
+    rfresh = str(tmp_path / "rfresh")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(odd, ocoarse, ocb, m=4, dim=64,
+                                residual=True),
+        rfresh, ocoarse_rows, ocb, m=4, dim=64,
+        rotation={"mode": "post_int", "components": had},
+    )
+    with pytest.raises(ValueError, match="different basis"):
+        ann_store.merge_segments(
+            spark, [base, rfresh], str(tmp_path / "m3"),
+            allow_requantize=True,
+        )
+
+    # geometry mismatch refused
+    mini = spark.createDataFrame(
+        [(i, [0.1 * i, -0.05 * i, 0.2, 0.3]) for i in range(1, 7)],
+        "vec_id long, embedding array<float>",
+    )
+    mprep = similarity.prepare(mini)
+    mrows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in mprep.filter(F.col("vec_id") <= 2).collect()
+    ]
+    mcb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign_local(mprep, mrows), mrows
+        ),
+        k=2, m=2, dim=4, iters=1,
+    )
+    tiny = str(tmp_path / "tiny")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(mprep, None, mcb, m=2, dim=4,
+                                residual=True, coarse_rows=mrows,
+                                assign="local"),
+        tiny, mrows, mcb, m=2, dim=4,
+    )
+    with pytest.raises(ValueError, match="disagree on"):
+        ann_store.merge_segments(spark, [base, tiny],
+                                 str(tmp_path / "m4"))
+
+
+def test_merge_segments_in_place_swap_and_dest_guard(spark, tmp_path):
+    """dest == base merges IN PLACE through the staged swap: the
+    base's _deleted side table vanishes atomically with the rows it
+    named, the refreshed sidecar rides the swap, and post-merge search
+    over the ONE store equals the pre-merge segment search; a dest
+    naming a non-base source refuses."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path / "base")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(even, coarse, cb, m=4, dim=64,
+                                residual=True),
+        base, coarse_rows, cb, m=4, dim=64,
+    )
+    victim = int(even.select("vec_id").orderBy("vec_id")
+                 .first()["vec_id"])
+    assert ann_store.delete_vectors(spark, base, f"vec_id = {victim}") == 1
+    fresh = str(tmp_path / "fresh")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(odd, coarse, cb, m=4, dim=64,
+                                residual=True),
+        fresh, coarse_rows, cb, m=4, dim=64,
+    )
+    emb_q = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    want = sorted(map(tuple, ann_store.search_segments(
+        spark, [base, fresh], emb_q, k=3, nprobe=2
+    ).collect()))
+
+    with pytest.raises(ValueError, match="non-base source"):
+        ann_store.merge_segments(spark, [base, fresh], fresh)
+
+    rep = ann_store.merge_segments(spark, [base, fresh], base)
+    assert rep["rows"] == corpus.count() - 1  # victim stays deleted
+    assert ann_store.deleted_ids(spark, base) is None
+    assert not os.path.isdir(os.path.join(base, ann_store.TOMBSTONE_DIR))
+    got = sorted(map(tuple, ann_store.load_ivfadc(base)
+                     .search_embeddings(emb_q, k=3, nprobe=2).collect()))
+    assert got == want and got
+
+
+# ---------------------------------------------------------------------------
 # tombstones (round 12): delete_vectors / compact_deleted / rebalance purge
 # ---------------------------------------------------------------------------
 
@@ -696,8 +980,15 @@ def test_delete_vectors_search_parity_with_rebuilt_index(spark, tmp_path):
                       .search(queries, k=3, nprobe=2).collect()))
     assert got == want
 
-    # idempotent re-delete: distinct absorbs the duplicate append
-    assert ann_store.delete_vectors(spark, path, pred) == 2
+    # idempotent re-delete: already-tombstoned ids are anti-joined out
+    # BEFORE counting/appending — the return value counts each deletion
+    # exactly once across overlapping predicates, and the side table
+    # never accumulates duplicate rows
+    assert ann_store.delete_vectors(spark, path, pred) == 0
+    side = spark.read.parquet(
+        os.path.join(path, ann_store.TOMBSTONE_DIR)
+    )
+    assert side.count() == side.distinct().count() == 2
     again = sorted(map(tuple,
                        loaded.search(queries, k=3, nprobe=2).collect()))
     assert again == want
@@ -839,8 +1130,31 @@ def test_adaptive_target_candidates_dial(spark, tmp_path):
     ).collect()))
     assert tight == floor
 
-    with pytest.raises(ValueError, match="target_candidates requires"):
-        loaded.search(queries, k=3, nprobe=1, target_candidates=10)
+    # UNFILTERED (round 13), the dial is nprobe auto-tune over plain
+    # list sizes — endpoints pin the same two semantics: an unreachable
+    # target probes every occupied list (== full probe), target 1
+    # probes exactly the nearest occupied list.  Fixture sanity first:
+    # with every list occupied, "occupied" and "all" coincide, so the
+    # plain-nprobe spellings are the exact oracles.
+    occupied = {
+        int(r["list_id"])
+        for r in loaded.frame(spark).select("list_id").distinct().collect()
+    }
+    assert occupied == {lid for lid, _ in coarse_rows}
+    full_u = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=len(coarse_rows)
+    ).collect()))
+    big_u = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=1, target_candidates=10**9
+    ).collect()))
+    assert big_u == full_u
+    floor_u = sorted(map(tuple, loaded.search(queries, k=3,
+                                              nprobe=1).collect()))
+    tight_u = sorted(map(tuple, loaded.search(
+        queries, k=3, nprobe=1, target_candidates=1
+    ).collect()))
+    assert tight_u == floor_u
+
     empty = loaded.search(
         queries, k=3, nprobe=1, where="vec_id < 0", target_candidates=10
     )

@@ -461,8 +461,26 @@ def test_tvf_ivfadc_search_adaptive_target(spark, tmp_path):
     )
     assert rows(got) == rows(want) and len(rows(got)) > 0
 
-    with _pytest.raises(ValueError, match="target_candidates requires"):
-        register_ivfadc_search_tvf(spark, path, target_candidates=60)
+    # UNFILTERED target (round 13): nprobe auto-tune from plain list
+    # sizes, TVF == operator bit-for-bit
+    register_ivfadc_search_tvf(spark, path, target_candidates=60)
+    got_u = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 1)")
+    want_u = handle.search(queries, k=3, nprobe=1, target_candidates=60)
+    assert rows(got_u) == rows(want_u) and len(rows(got_u)) > 0
+
+    # probe_matching_only without the budget walk: the coarse view is
+    # restricted to matched lists at registration — operator parity
+    register_ivfadc_search_tvf(
+        spark, path, where=pred, probe_matching_only=True
+    )
+    got_m = spark.sql("SELECT * FROM tvf_ivfadc_search(12, 28, 3, 1)")
+    want_m = handle.search(
+        queries, k=3, nprobe=1, where=pred, probe_matching_only=True
+    )
+    assert rows(got_m) == rows(want_m) and len(rows(got_m)) > 0
+
+    with _pytest.raises(ValueError, match="probe_matching_only requires"):
+        register_ivfadc_search_tvf(spark, path, probe_matching_only=True)
 
 
 def test_tvf_ivfadc_segments_matches_operator(spark, tmp_path):
@@ -526,5 +544,46 @@ def test_tvf_ivfadc_segments_matches_operator(spark, tmp_path):
     )
     assert rows(got_f) == rows(want_f)
 
+    # the FULL hybrid composition (round 13): mixed-basis + tombstoned
+    # + filtered + candidate-budgeted, per-segment counts views driving
+    # each chain's adaptive walk — operator == TVF bit-for-bit
+    register_ivfadc_segments_tvf(
+        spark, [pa, pb], where="vec_id % 3 = 1", target_candidates=5
+    )
+    got_b = spark.sql(
+        "SELECT * FROM tvf_ivfadc_segments_search(12, 28, 3, 1)"
+    )
+    want_b = ann_store.search_segments(
+        spark, [pa, pb], emb_q, k=3, nprobe=1, where="vec_id % 3 = 1",
+        target_candidates=5,
+    )
+    assert rows(got_b) == rows(want_b) and len(rows(got_b)) > 0
+
+    # matching-only dial (no budget): per-segment coarse restriction
+    register_ivfadc_segments_tvf(
+        spark, [pa, pb], where="vec_id % 3 = 1", probe_matching_only=True
+    )
+    got_m = spark.sql(
+        "SELECT * FROM tvf_ivfadc_segments_search(12, 28, 3, 1)"
+    )
+    want_m = ann_store.search_segments(
+        spark, [pa, pb], emb_q, k=3, nprobe=1, where="vec_id % 3 = 1",
+        probe_matching_only=True,
+    )
+    assert rows(got_m) == rows(want_m) and len(rows(got_m)) > 0
+
+    # UNFILTERED budget through segments: per-segment nprobe auto-tune
+    register_ivfadc_segments_tvf(spark, [pa, pb], target_candidates=8)
+    got_u = spark.sql(
+        "SELECT * FROM tvf_ivfadc_segments_search(12, 28, 3, 1)"
+    )
+    want_u = ann_store.search_segments(
+        spark, [pa, pb], emb_q, k=3, nprobe=1, target_candidates=8
+    )
+    assert rows(got_u) == rows(want_u) and len(rows(got_u)) > 0
+
+    with _pytest.raises(ValueError, match="probe_matching_only requires"):
+        register_ivfadc_segments_tvf(spark, [pa, pb],
+                                     probe_matching_only=True)
     with _pytest.raises(ValueError, match="at least one segment"):
         register_ivfadc_segments_tvf(spark, [])
