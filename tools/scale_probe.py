@@ -1146,6 +1146,194 @@ def r12_adaptive_tier(spark, t: dict, n: int) -> None:
             df.unpersist()
 
 
+def r13_tier(spark, t: dict, n: int) -> None:
+    """Round-13 probe: the END-TO-END store lifecycle at scale, one
+    quotable artifact with per-stage timings — build (ingest), delete
+    (GDPR latency), purge sweep, fresh admission, multi-segment search
+    (the pre-merge steady state), **segment merge**, and post-merge
+    search.  The headline is the merge's COST REVERSION: round 12
+    measured two-segment search at ~2× single-index cost
+    (``seg_search_recall10_np8`` 21.5 s vs ``seg_combined_recall10_np8``
+    9.6 s) with nothing to shrink the segment set; ``merge_segments``
+    is the closer, and ``lc_merged_search`` must land back at
+    single-index cost with recall ≈ the combined-index anchor.  Same
+    fixture and recipe as the r12 tier (m=16, k=16, 64-list base,
+    16-list fresh with its OWN model — so the merge exercises the
+    re-encode-from-raw path, the hard one).
+
+    Second half: the UNFILTERED candidate-budget curve
+    (``target_candidates`` with no predicate — nprobe auto-tune) on
+    the merged 1M store: recall@10 should walk up with the budget
+    while the fixed nprobe=8 anchor is stuck at 8 lists' worth.
+    """
+    import shutil
+    import tempfile
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+
+    m_, k_ = 16, 16
+    held = []
+
+    def _train_save(prep_part, lists, path, sample_mod=20):
+        sample = prep_part.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+        )
+        coarse = similarity.kmeans_lite(
+            sample, k=lists, iters=3,
+            seeds=similarity.farthest_first_seeds(sample, lists),
+        )
+        coarse_rows = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        )
+        res_sample = similarity.residualize(
+            similarity.ivf_assign_local(sample, coarse_rows), coarse_rows
+        )
+        cb = similarity.pq_train_codebooks(
+            res_sample, k=k_, m=m_, dim=64, iters=4
+        )
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                prep_part, None, cb, m=m_, dim=64, residual=True,
+                coarse_rows=coarse_rows, assign="arrow",
+            ),
+            path, coarse_rows, cb, m=m_, dim=64,
+        )
+
+    def _stage(key, fn, **extra):
+        t0 = time.time()
+        out = fn()
+        t[key] = {"sec": round(time.time() - t0, 1), **extra}
+        print(f"  {t[key]['sec']:7.1f} s  {key}", file=sys.stderr)
+        return out
+
+    try:
+        total = n + n // 10
+        emb = synth_clustered_embs(spark, total).persist()
+        held.append(emb)
+        emb.count()
+        prep = similarity.prepare(emb).persist()
+        held.append(prep)
+        prep.count()
+        q_raw = emb.filter(F.col("vec_id") < 256)
+        base_p = prep.filter(
+            (F.col("vec_id") >= 256) & (F.col("vec_id") < n)
+        )
+        fresh_p = prep.filter(F.col("vec_id") >= n)
+        root = tempfile.mkdtemp(prefix="nr_rfc_probe_lc_")
+        base_path, fresh_path = root + "/base", root + "/fresh"
+        merged_path = root + "/merged"
+
+        # 1: ingest — the frozen base
+        _stage("lc_base_build", lambda: _train_save(base_p, 64, base_path),
+               rows=n)
+        # 2: GDPR deletes — latency is one small parquet append
+        ndel = _stage(
+            "lc_delete_1pct",
+            lambda: ann_store.delete_vectors(
+                spark, base_path, "vec_id % 100 = 7"
+            ),
+        )
+        t["lc_delete_1pct"]["rows"] = int(ndel)
+        # 3: purge sweep — the staged-swap rewrite, bytes actually gone
+        rep = _stage(
+            "lc_compact_deleted",
+            lambda: ann_store.compact_deleted(spark, base_path),
+        )
+        t["lc_compact_deleted"].update(
+            purged=rep["purged"], kept=rep["kept"]
+        )
+        # re-delete a fresh 1% AFTER the purge so the merge still has
+        # tombstones to resolve (the steady state: deletes keep landing)
+        ndel2 = _stage(
+            "lc_delete_post_sweep",
+            lambda: ann_store.delete_vectors(
+                spark, base_path, "vec_id % 100 = 11"
+            ),
+        )
+        t["lc_delete_post_sweep"]["rows"] = int(ndel2)
+        # 4: fresh admission segment, own (smaller) model
+        _stage("lc_fresh_build",
+               lambda: _train_save(fresh_p, 16, fresh_path),
+               rows=n // 10)
+
+        surv = prep.filter(
+            (F.col("vec_id") >= n)
+            | ((F.col("vec_id") >= 256)
+               & (F.col("vec_id") % 100 != 7)
+               & (F.col("vec_id") % 100 != 11))
+        )
+        exact10 = similarity.brute_force_topk_arrow(
+            prep.filter(F.col("vec_id") < 256), surv, k=10
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+
+        def _recall(df):
+            return round(similarity.ann_recall(df, exact10).agg(
+                F.avg("recall").alias("r")
+            ).collect()[0].r, 4)
+
+        # 5: the pre-merge steady state — two segments per search
+        r_seg = _stage(
+            "lc_segment_search_np8",
+            lambda: _recall(ann_store.search_segments(
+                spark, [base_path, fresh_path], q_raw, k=10, nprobe=8
+            )),
+        )
+        t["lc_segment_search_np8"]["mean_recall_at_10"] = r_seg
+        # 6: THE CLOSER — fold the fresh segment into the base (its own
+        # model differs, so this is the re-encode-from-raw path)
+        mrep = _stage(
+            "lc_merge_segments",
+            lambda: ann_store.merge_segments(
+                spark, [base_path, fresh_path], merged_path, raw_emb=emb,
+                assign="arrow",
+            ),
+        )
+        t["lc_merge_segments"].update(
+            rows=mrep["rows"], carried=mrep["carried"],
+            reencoded=mrep["reencoded"],
+            dropped_deleted=mrep["dropped_deleted"],
+        )
+        # 7: post-merge — ONE path, single-index cost again
+        merged = ann_store.load_ivfadc(merged_path)
+        r_m = _stage(
+            "lc_merged_search_np8",
+            lambda: _recall(merged.search_embeddings(q_raw, k=10,
+                                                     nprobe=8)),
+        )
+        t["lc_merged_search_np8"]["mean_recall_at_10"] = r_m
+
+        # --- unfiltered candidate-budget curve on the merged store ---
+        anchor = _stage(
+            "lc_budget_anchor_np8",
+            lambda: _recall(merged.search_embeddings(q_raw, k=10,
+                                                     nprobe=8)),
+        )
+        t["lc_budget_anchor_np8"]["mean_recall_at_10"] = anchor
+        # at 1M/64 lists (~15.6k/list) the three targets land below, at,
+        # and ABOVE the np8 anchor's 8-lists-worth of candidates — the
+        # curve should cross the anchor on the way up
+        for target in (16_000, 64_000, 256_000):
+            r_b = _stage(
+                f"lc_budget_target_{target // 1000}k",
+                lambda target=target: _recall(merged.search_embeddings(
+                    q_raw, k=10, nprobe=1, target_candidates=target
+                )),
+            )
+            t[f"lc_budget_target_{target // 1000}k"].update(
+                mean_recall_at_10=r_b, floor_nprobe=1,
+            )
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["r13_lifecycle_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r13 lifecycle: {str(ex)[:160]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -1176,6 +1364,12 @@ def main() -> int:
     ap.add_argument("--only-r12b", action="store_true",
                     help="run ONLY the adaptive-nprobe recall-vs-"
                          "budget sub-tier (fast re-measure)")
+    ap.add_argument("--only-r13", action="store_true",
+                    help="run ONLY the round-13 tier (end-to-end store "
+                         "lifecycle with per-stage timings: build, "
+                         "delete, purge, admit, segment search, MERGE, "
+                         "post-merge cost reversion, unfiltered "
+                         "candidate-budget curve)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -1240,6 +1434,14 @@ def main() -> int:
 
     if args.only_r12:
         r12_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r13:
+        r13_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
