@@ -335,7 +335,7 @@ PNG_SCHEMA = StructType(
         StructField("png_ok", LongType()),       # 1 decoded / 0 rejected
         StructField("width", LongType()),
         StructField("height", LongType()),
-        StructField("channels", LongType()),     # 3 RGB / 4 RGBA
+        StructField("channels", LongType()),     # 1 gray / 2 gray+alpha / 3 RGB / 4 RGBA
         StructField("n_pixels", LongType()),
         # exact-integer features over the decoded raw pixel stream in
         # row-major RGB(A) order: the positional weighted sum pins byte
@@ -358,16 +358,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def png_pixels(payload: bytes) -> np.ndarray | None:
-    """Decode a non-interlaced 8-bit PNG to an (h, w, c) uint8 array —
-    stdlib only: chunk walk with CRC verification, IDAT concatenation
-    through ``zlib.decompress``, then per-scanline reversal of all
-    five PNG filters (None/Sub/Up/Average/Paeth).  Covered profiles:
-    grayscale (color type 0 → c=1), RGB (2 → c=3), palette (3 → the
-    PLTE lookup expands to c=3), RGBA (6 → c=4), all at bit depth 8.
-    Returns ``None`` for anything outside these profiles (bad
-    signature or CRC, interlaced, 16-bit or sub-byte depths,
-    gray+alpha, palette without/overflowing PLTE, truncated or
-    over-long inflate output) — fail-soft like :func:`bmp_pixels`.
+    """Decode a non-interlaced PNG to an (h, w, c) array — stdlib
+    only: chunk walk with CRC verification, IDAT concatenation through
+    ``zlib.decompress``, then per-scanline reversal of all five PNG
+    filters (None/Sub/Up/Average/Paeth).  Covered profiles: grayscale
+    (color type 0 → c=1), RGB (2 → c=3), palette (3 → the PLTE lookup
+    expands to c=3), gray+alpha (4 → c=2), RGBA (6 → c=4), at bit
+    depth 8 (uint8 out) and — for the non-palette types — depth 16
+    (big-endian samples, uint16 out; filters operate on BYTES with the
+    left-neighbor offset at bytes-per-pixel, per spec §9).  Returns
+    ``None`` for anything outside these profiles (bad signature or
+    CRC, interlaced, sub-byte depths, 16-bit palette, palette
+    without/overflowing PLTE, truncated or over-long inflate output)
+    — fail-soft like :func:`bmp_pixels`.
 
     The filter reversal is sequential by construction (each byte
     depends on the reconstructed left neighbor), so this is a
@@ -403,18 +406,23 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color not in (0, 2, 3, 6) or comp or filt or interlace:
+    if depth not in (8, 16) or color not in (0, 2, 3, 4, 6):
         return None
+    if comp or filt or interlace:
+        return None
+    if color == 3 and depth != 8:
+        return None  # the spec caps palette indices at 8 bits
     if w == 0 or h == 0 or w * h > 50_000_000:  # same sanity bound as BMP
         return None
     if color == 3 and (plte is None or len(plte) % 3 or not plte):
         return None  # palette image without a usable PLTE
-    c = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    c = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * c
+    bpp = c * (depth // 8)  # filter offset is BYTES per pixel (spec §9)
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -431,13 +439,13 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
         elif ft in (1, 3, 4):
             recon = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
-                left = recon[x - c] if x >= c else 0
+                left = recon[x - bpp] if x >= bpp else 0
                 if ft == 1:
                     pred = left
                 elif ft == 3:
                     pred = (left + prior[x]) >> 1
                 else:
-                    upleft = prior[x - c] if x >= c else 0
+                    upleft = prior[x - bpp] if x >= bpp else 0
                     pred = _paeth(int(left), int(prior[x]), int(upleft))
                 recon[x] = (line[x] + pred) & 0xFF
         else:
@@ -452,13 +460,19 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             return None
         return pal[idx]
+    if depth == 16:
+        # big-endian 16-bit samples: recombine the reconstructed bytes
+        hi = out[:, 0::2].astype(np.uint16)
+        lo = out[:, 1::2].astype(np.uint16)
+        return ((hi << 8) | lo).reshape(h, w, c)
     return out.reshape(h, w, c)
 
 
 def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
     """The inverse path, used by fixtures and the registered decode
-    row's deterministic payload generator: encode an (h, w, 1|3|4)
-    uint8 array as a valid PNG (grayscale / RGB / RGBA).  ``filters="cycle"`` rotates through all
+    row's deterministic payload generator: encode an (h, w, 1|2|3|4)
+    uint8 (depth 8) or uint16 (depth 16, big-endian) array as a valid
+    PNG (grayscale / gray+alpha / RGB / RGBA).  ``filters="cycle"`` rotates through all
     five filter types row by row so a decode of the output exercises
     every reversal arm; ``"none"`` writes filter 0 only.  Independent
     arithmetic from :func:`png_pixels` (forward filters here, inverse
@@ -469,10 +483,23 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
     import zlib
 
     h, w, c = pixels.shape
-    if c not in (1, 3, 4) or pixels.dtype != np.uint8:
-        raise ValueError("encode_png takes (h, w, 1|3|4) uint8 pixels")
-    stride = w * c
-    flat = pixels.reshape(h, stride).astype(np.int64)
+    if c not in (1, 2, 3, 4) or pixels.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            "encode_png takes (h, w, 1|2|3|4) uint8 or uint16 pixels"
+        )
+    depth = 8 if pixels.dtype == np.uint8 else 16
+    # filters operate on the BYTE stream with the left neighbor at
+    # bytes-per-pixel (spec §9) — 16-bit samples serialize big-endian
+    # first, so one filter implementation covers both depths and stays
+    # the exact inverse of png_pixels' reversal
+    bpp = c * (depth // 8)
+    stride = w * bpp
+    flat = (
+        np.ascontiguousarray(pixels.reshape(h, w * c).astype(">u2"))
+        .view(np.uint8)
+        if depth == 16
+        else pixels.reshape(h, stride)
+    ).astype(np.int64)
     lines = []
     prior = np.zeros(stride, dtype=np.int64)
     for y in range(h):
@@ -481,18 +508,20 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
         if ft == 0:
             enc = row
         elif ft == 1:
-            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   row[:-bpp]])
             enc = (row - left) & 0xFF
         elif ft == 2:
             enc = (row - prior) & 0xFF
         elif ft == 3:
-            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   row[:-bpp]])
             enc = (row - ((left + prior) >> 1)) & 0xFF
         else:
             enc = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
-                left = row[x - c] if x >= c else 0
-                upleft = prior[x - c] if x >= c else 0
+                left = row[x - bpp] if x >= bpp else 0
+                upleft = prior[x - bpp] if x >= bpp else 0
                 enc[x] = (
                     row[x]
                     - _paeth(int(left), int(prior[x]), int(upleft))
@@ -507,7 +536,7 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0
+        ">IIBBBBB", w, h, depth, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0
     )
     return (
         PNG_SIG
@@ -518,7 +547,8 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
 
 
 def decode_png(blobs: DataFrame) -> DataFrame:
-    """Real PNG decode over binary payloads (gray/RGB/palette/RGBA —
+    """Real PNG decode over binary payloads (gray / gray+alpha / RGB /
+    palette / RGBA at depth 8; the non-palette types at depth 16 too —
     see :func:`png_pixels`) — the :func:`decode_bmp`
     posture for the second pure format: Arrow-batched ``mapInPandas``
     over (doc_id, blob, mime, n_bytes), each payload through

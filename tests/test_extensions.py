@@ -1027,10 +1027,10 @@ def test_decode_png_frame_fail_soft_and_features(spark):
 
 
 def test_png_pixels_gray_and_palette_profiles():
-    """Round-12 profile widening: 8-bit grayscale round-trips through
-    encode_png; palette images decode through the PLTE lookup (hand-
-    built bytes); palette-index overflow, missing PLTE, and the
-    uncovered gray+alpha type all refuse."""
+    """Profile widening (r12 + r13): 8-bit grayscale round-trips
+    through encode_png; palette images decode through the PLTE lookup
+    (hand-built bytes); gray+alpha decodes (r13); palette-index
+    overflow and missing PLTE refuse."""
     import struct
     import zlib
 
@@ -1068,10 +1068,66 @@ def test_png_pixels_gray_and_palette_profiles():
     no_plte = (PNG_SIG + head + chunk(b"IDAT", zlib.compress(raw))
                + chunk(b"IEND", b""))
     assert png_pixels(no_plte) is None
+    # gray+alpha (color type 4) decodes since r13 — hand-built bytes
     ga_head = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
     ga = (PNG_SIG + ga_head
           + chunk(b"IDAT",
                   zlib.compress(bytes([0, 10, 20, 10, 20,
                                        0, 30, 40, 30, 40])))
           + chunk(b"IEND", b""))
-    assert png_pixels(ga) is None
+    ga_px = png_pixels(ga)
+    ga_want = np.array([[[10, 20], [10, 20]],
+                        [[30, 40], [30, 40]]], dtype=np.uint8)
+    assert ga_px is not None and (ga_px == ga_want).all()
+
+
+def test_png_pixels_16bit_profiles():
+    """r13 depth widening: 16-bit gray/gray+alpha/RGB/RGBA round-trip
+    through encode_png (big-endian samples; filters on BYTES with the
+    bytes-per-pixel left offset, per spec §9) and a hand-built 16-bit
+    Sub-filtered image decodes against spec arithmetic; 16-bit palette
+    and sub-byte depths refuse."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        PNG_SIG, encode_png, png_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 65536, size=(5, 4, c), dtype=np.uint16)
+        for f in ("cycle", "none"):
+            out = png_pixels(encode_png(arr, filters=f))
+            assert out is not None and out.dtype == np.uint16
+            assert out.shape == (5, 4, c) and (out == arr).all()
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    # hand-built 1×2 16-bit grayscale, filter 1 (Sub): the left
+    # neighbor for byte x is byte x-2 (bytes per pixel), NOT x-1 —
+    # pixel0 = 0x0102 raw; pixel1 bytes = (0x03+0x01, 0x04+0x02)
+    head = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+    img = (PNG_SIG + head
+           + chunk(b"IDAT", zlib.compress(bytes([1, 1, 2, 3, 4])))
+           + chunk(b"IEND", b""))
+    px = png_pixels(img)
+    assert px is not None and px.dtype == np.uint16
+    assert px.reshape(-1).tolist() == [0x0102, 0x0406]
+
+    # 16-bit palette is out of spec; sub-byte depths stay refused
+    pal_head = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+    pal = (PNG_SIG + pal_head
+           + chunk(b"PLTE", bytes([1, 2, 3]))
+           + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+           + chunk(b"IEND", b""))
+    assert png_pixels(pal) is None
+    four_head = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0))
+    four = (PNG_SIG + four_head
+            + chunk(b"IDAT", zlib.compress(bytes([0, 0x12])))
+            + chunk(b"IEND", b""))
+    assert png_pixels(four) is None

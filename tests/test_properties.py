@@ -311,16 +311,18 @@ def test_span_dedup_matches_python_reference(spark, data):
 @given(
     h=st.integers(1, 9),
     w=st.integers(1, 9),
-    c=st.sampled_from([1, 3, 4]),
+    c=st.sampled_from([1, 2, 3, 4]),
+    depth=st.sampled_from([8, 16]),
     seed=st.integers(0, 2**31 - 1),
     filters=st.sampled_from(["cycle", "none"]),
 )
-def test_png_encode_decode_round_trip(h, w, c, seed, filters):
+def test_png_encode_decode_round_trip(h, w, c, depth, seed, filters):
     """encode_png → png_pixels is the identity for every (h, w,
-    gray/RGB/RGBA) shape and both filter modes — the property that pins the
-    five filter-reversal arms against their forward filters over
-    arbitrary pixel content (the hand-built-byte unit test pins the
-    decoder against the spec independently)."""
+    gray/gray+alpha/RGB/RGBA) shape at both bit depths and both filter
+    modes — the property that pins the five filter-reversal arms
+    against their forward filters over arbitrary pixel content (the
+    hand-built-byte unit tests pin the decoder against the spec
+    independently, including the 16-bit bytes-per-pixel offset)."""
     import numpy as np
 
     from nr_rfc_dischargeobs_spark.extensions.multimodal import (
@@ -328,7 +330,10 @@ def test_png_encode_decode_round_trip(h, w, c, seed, filters):
     )
 
     rng = np.random.default_rng(seed)
-    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if depth == 8:
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    else:
+        arr = rng.integers(0, 65536, size=(h, w, c), dtype=np.uint16)
     out = png_pixels(encode_png(arr, filters=filters))
     assert out is not None and out.shape == (h, w, c)
-    assert (out == arr).all()
+    assert out.dtype == arr.dtype and (out == arr).all()
