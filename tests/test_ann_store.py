@@ -1263,6 +1263,21 @@ def test_full_lifecycle_rebalance_stream_admit_segment_search(
     ).collect()))
     assert sorted(map(tuple, rows_)) == want
 
+    # --- r13: the loop CLOSES — merge the fresh segment back into the
+    # (rebalanced, hence different-model) base.  The fresh segment was
+    # streamed with the pre-sweep coarse, so this is the re-encode-from-
+    # raw path; afterwards ONE store serves both generations.
+    merged_dir = str(tmp_path / "merged")
+    mrep = ann_store.merge_segments(
+        spark, [base_dir, fresh_dir], merged_dir, raw_emb=emb_new
+    )
+    assert mrep["reencoded"] == 8 and mrep["rows"] == 20
+    one = ann_store.load_ivfadc(merged_dir).search_embeddings(
+        queries, k=4, nprobe=2
+    )
+    seen_one = {int(r["neighbor_id"]) for r in one.collect()}
+    assert seen_one & set(range(1, 13)) and seen_one & set(range(20, 28))
+
 
 def test_readmission_after_delete_via_fresh_segment(spark, tmp_path):
     """Delete-then-reinsert, the production sequence: a vec_id
