@@ -640,3 +640,52 @@ def png_fixture_blobs(ids: DataFrame, doc_id: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(run, schema=schema)
+
+
+def png_fixture_blobs_wide(
+    ids: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """:func:`png_fixture_blobs` for the WIDENED profile grid (round
+    13): doc ``d`` becomes a ``((d % 3) + 2) × ((d % 5) + 2)`` image
+    with ``(d % 4) + 1`` channels — gray / gray+alpha / RGB / RGBA —
+    at bit depth 16 when ``d % 3 = 0`` (big-endian samples,
+    ``sample k = (d·97 + k·13) mod 65536``) and depth 8 otherwise
+    (``sample k = (d·31 + k·7) mod 256``), encoded through
+    :func:`encode_png` with cycling filters.  Pure id arithmetic, so
+    the DuckDB twin recomputes the decoded per-sample features without
+    touching PNG — every new r13 profile sits under the same
+    encode→decode round-trip hash the 8-bit RGB/RGBA row pinned."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, nb = [], []
+            for d in pdf[doc_id]:
+                d = int(d)
+                w, h, c = d % 5 + 2, d % 3 + 2, d % 4 + 1
+                n = w * h * c
+                k = np.arange(n, dtype=np.int64)
+                if d % 3 == 0:
+                    flat = ((d * 97 + k * 13) % 65536).astype(np.uint16)
+                else:
+                    flat = ((d * 31 + k * 7) % 256).astype(np.uint8)
+                b = encode_png(flat.reshape(h, w, c))
+                blobs.append(b)
+                nb.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[doc_id],
+                    "blob": blobs,
+                    "mime": ["image/png"] * len(blobs),
+                    "n_bytes": nb,
+                }
+            )
+
+    return ids.mapInPandas(run, schema=schema)

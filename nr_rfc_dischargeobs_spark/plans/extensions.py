@@ -1200,6 +1200,57 @@ GROUP BY 1, 3, 4, 5, 6
 """
 
 
+def mm_decode_png_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDENED PNG profile grid under the same end-to-end hash
+    (round 13): deterministic images across every supported
+    non-palette profile — gray / gray+alpha / RGB / RGBA, bit depth
+    16 for every third doc (big-endian samples; scanline filters
+    operate on bytes with the bytes-per-pixel left offset) — encoded
+    with cycling filters and decoded back by
+    :func:`~..extensions.multimodal.png_pixels`.  The DuckDB twin
+    recomputes the per-SAMPLE features (``byte_sum``/``weighted_sum``
+    are sample sums: bytes at depth 8, 16-bit words at depth 16) from
+    the id arithmetic alone, so the hash proves the r13 decoder arms
+    — gray+alpha channel interleave, 16-bit byte recombination, the
+    2-or-more-byte filter offset — invert the encoder exactly."""
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    feats = multimodal.decode_png(
+        multimodal.png_fixture_blobs_wide(ids)
+    )
+    return feats.select(
+        "doc_id", "png_ok", "width", "height", "channels", "n_pixels",
+        "byte_sum", "weighted_sum",
+    )
+
+
+MM_DECODE_PNG_WIDE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 5 + 2 AS w,
+         doc_id % 3 + 2 AS h,
+         doc_id % 4 + 1 AS c,
+         CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS depth
+  FROM documents
+), v AS (
+  SELECT doc_id, w, h, c, k,
+         CASE WHEN depth = 16 THEN (doc_id * 97 + k * 13) % 65536
+              ELSE (doc_id * 31 + k * 7) % 256 END AS val
+  FROM (SELECT doc_id, w, h, c, depth,
+               unnest(range(w * h * c)) AS k FROM d)
+)
+SELECT d.doc_id AS doc_id,
+       CAST(1 AS BIGINT) AS png_ok,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.c AS BIGINT) AS channels,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(SUM(v.val) AS BIGINT) AS byte_sum,
+       CAST(SUM((v.k + 1) * v.val) AS BIGINT) AS weighted_sum
+FROM d JOIN v ON d.doc_id = v.doc_id
+GROUP BY 1, 3, 4, 5, 6
+"""
+
+
 # -------------------------------------------- curation round-3 additions
 
 
