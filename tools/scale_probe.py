@@ -1334,6 +1334,88 @@ def r13_tier(spark, t: dict, n: int) -> None:
             df.unpersist()
 
 
+def r13_budget_tier(spark, t: dict, n: int) -> None:
+    """Unfiltered candidate-budget curve on the RANDOM fixture — the
+    counterpart of the r13 lifecycle tier's clustered curve.  On
+    clustered data every query's true neighbors live in ONE list, so
+    recall is budget-insensitive and the dial converts directly into
+    byte savings (10.7 s at ~1 list vs 13.6 s at nprobe=8, same
+    recall).  On random data the true top-10 scatter across lists, so
+    recall must WALK UP with the budget — the curve a caller tuning
+    "candidates per query" actually reads — while the fixed-np8 anchor
+    sits at 8 lists' worth."""
+    import shutil
+    import tempfile
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+
+    m_, k_ = 16, 16
+    held = []
+    try:
+        prep = similarity.prepare(synth_random_embs(spark, n)).persist()
+        held.append(prep)
+        prep.count()
+        q_raw_prep = prep.filter(F.col("vec_id") < 256)
+        corpus = prep.filter(F.col("vec_id") >= 256)
+        sample = corpus.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0
+        )
+        coarse = similarity.kmeans_lite(
+            sample, k=64, iters=3,
+            seeds=similarity.farthest_first_seeds(sample, 64),
+        )
+        coarse_rows = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        )
+        cb = similarity.pq_train_codebooks(
+            similarity.residualize(
+                similarity.ivf_assign_local(sample, coarse_rows),
+                coarse_rows,
+            ),
+            k=k_, m=m_, dim=64, iters=4,
+        )
+        root = tempfile.mkdtemp(prefix="nr_rfc_probe_bud_")
+        t0 = time.time()
+        ix = ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                corpus, None, cb, m=m_, dim=64, residual=True,
+                coarse_rows=coarse_rows, assign="arrow",
+            ),
+            root + "/ix", coarse_rows, cb, m=m_, dim=64,
+        )
+        t["bud_random_build"] = {
+            "sec": round(time.time() - t0, 1), "rows": n - 256,
+        }
+        exact10 = similarity.brute_force_topk_arrow(
+            q_raw_prep, corpus, k=10
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+
+        def _run(key, **kw):
+            t0 = time.time()
+            r = round(similarity.ann_recall(
+                ix.search(q_raw_prep, k=10, **kw), exact10
+            ).agg(F.avg("recall").alias("r")).collect()[0].r, 4)
+            t[key] = {"sec": round(time.time() - t0, 1),
+                      "mean_recall_at_10": r, **kw}
+            print(f"  {t[key]['sec']:7.1f} s  recall@10 {r}  {key}",
+                  file=sys.stderr)
+
+        _run("bud_random_anchor_np8", nprobe=8)
+        for target in (16_000, 64_000, 256_000):
+            _run(f"bud_random_target_{target // 1000}k",
+                 nprobe=1, target_candidates=target)
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["r13_budget_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r13 budget: {str(ex)[:160]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -1364,6 +1446,10 @@ def main() -> int:
     ap.add_argument("--only-r12b", action="store_true",
                     help="run ONLY the adaptive-nprobe recall-vs-"
                          "budget sub-tier (fast re-measure)")
+    ap.add_argument("--only-r13b", action="store_true",
+                    help="run ONLY the unfiltered candidate-budget "
+                         "curve on the random fixture (the recall-"
+                         "gradient counterpart of the lifecycle tier)")
     ap.add_argument("--only-r13", action="store_true",
                     help="run ONLY the round-13 tier (end-to-end store "
                          "lifecycle with per-stage timings: build, "
@@ -1434,6 +1520,14 @@ def main() -> int:
 
     if args.only_r12:
         r12_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r13b:
+        r13_budget_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
