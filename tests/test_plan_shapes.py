@@ -56,7 +56,7 @@ def test_store_range_read_prunes_partitions(spark, tmp_path):
 
 
 def test_no_python_eval_outside_the_recurrence(spark):
-    """Every plan except the four STATED Python kernels must stay fully
+    """Every plan except the STATED Python kernels must stay fully
     JVM-side — no Arrow/Batch Python eval nodes.  The whitelist is the
     audited list (PLANS.md): the A2 recurrence (output depends on prior
     output), the gated multimodal decode, the IVF-PQ refine stage's
@@ -72,6 +72,7 @@ def test_no_python_eval_outside_the_recurrence(spark):
         "ext_mm_decode_features",
         "ext_sim_ivf_pq_refined",
         "ext_mm_decode_png",
+        "ext_mm_decode_png_wide",  # r13: same fixture-gen + decode pair
     }
     offenders = []
     for name, fn in e.queries().items():
