@@ -617,6 +617,12 @@ def merge_segments(
     frozen base by construction — corpus-scale duplication belongs in
     a rebalance); re-encode is scan-local (coarse argmin + codebook
     lookups as literals); nothing collects corpus-scale data.
+    STREAMED source segments (the ``batch_id=N/list_id=K/`` layout of
+    :func:`~..streaming.ann.ivfadc_index_stream`, deployed with a
+    model sidecar) merge transparently: the canonical column selection
+    drops ``batch_id``, so the merge is ALSO the compaction of the
+    segment's batch history into the flat layout — pinned by the
+    full-lifecycle test, which merges a streamed admission directory.
 
     Returns ``{merged, dest, segments, rows, carried, reencoded,
     requantized, dropped_deleted, superseded}``."""
