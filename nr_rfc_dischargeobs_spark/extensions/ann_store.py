@@ -189,6 +189,56 @@ class IvfadcIndex:
             target_candidates=target_candidates,
         )
 
+    def range_search_embeddings(
+        self,
+        emb: DataFrame,
+        threshold: float,
+        nprobe: int = 2,
+        where=None,
+        probe_matching_only: bool = False,
+        target_candidates: int | None = None,
+    ) -> DataFrame:
+        """Range search from RAW embeddings — :meth:`prepare_queries`
+        then :meth:`range_search` (the :meth:`search_embeddings`
+        posture for the radius question)."""
+        return self.range_search(
+            self.prepare_queries(emb), threshold, nprobe=nprobe,
+            where=where, probe_matching_only=probe_matching_only,
+            target_candidates=target_candidates,
+        )
+
+    def range_search(
+        self,
+        queries: DataFrame,
+        threshold: float,
+        nprobe: int = 2,
+        where=None,
+        probe_matching_only: bool = False,
+        target_candidates: int | None = None,
+    ) -> DataFrame:
+        """All probed neighbors with reconstructed cosine >=
+        ``threshold`` — :func:`~.similarity.ivfadc_range` over the
+        stored table (FAISS ``range_search``): the same probed pruned
+        scan and hybrid dials as :meth:`search`, with the rank window
+        DELETED — a scan-local predicate instead of a per-query sort
+        exchange.  Tombstones anti-joined like every search surface.
+        Output: (query_id, neighbor_id, cosine_adc), unranked."""
+        spark = queries.sparkSession
+        return similarity.ivfadc_range(
+            queries,
+            self.frame(spark),
+            self.coarse_frame(spark),
+            self.centroid_rows,
+            threshold,
+            nprobe=nprobe,
+            m=self.m,
+            dim=self.dim,
+            where=where,
+            probe_matching_only=probe_matching_only,
+            anti=deleted_ids(spark, self.path),
+            target_candidates=target_candidates,
+        )
+
     def search(
         self,
         queries: DataFrame,

@@ -2427,6 +2427,92 @@ def ivfadc_topk(
 
     Output: (query_id, neighbor_id, rank, cosine_adc).
     """
+    scored = _ivfadc_scored(
+        queries, index, coarse_centroids, centroid_rows, nprobe, m, dim,
+        where, probe_matching_only, anti, target_candidates,
+    )
+    if scored is None:
+        return queries.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, rank int, cosine_adc double",
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_adc")
+    )
+
+
+def ivfadc_range(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    threshold: float,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    where: Column | str | None = None,
+    probe_matching_only: bool = False,
+    anti: DataFrame | None = None,
+    target_candidates: int | None = None,
+) -> DataFrame:
+    """RANGE search over a residual index — FAISS ``range_search``
+    for the IVFADC tier: every probed neighbor whose reconstructed
+    cosine is ``>= threshold``, instead of the k best.  The radius
+    question ("everything closer than tau" — duplicate sweeps, recall
+    harvesting, near-dup candidate generation) is answered CHEAPER
+    than top-k: the plan is :func:`ivfadc_topk`'s probed pruned scan
+    and exact-integer ADC scoring with the rank WINDOW deleted — a
+    scan-local predicate replaces the per-query sort exchange, so
+    range search adds ZERO exchanges over the probe join and scales
+    embarrassingly.  The candidate set is still nprobe-bounded (probed
+    lists only — like FAISS, recall depends on nprobe; raise it or
+    use ``target_candidates`` to budget coverage), and every hybrid
+    dial composes exactly as in :func:`ivfadc_topk`: ``where``
+    pre-filters the scan, ``probe_matching_only`` repairs correlated
+    predicates, ``anti`` excludes tombstones, ``target_candidates``
+    sets the per-query scan budget.
+
+    Output: (query_id, neighbor_id, cosine_adc) — unranked (no rank
+    column, by construction: ranking is the cost this operator
+    exists to avoid); order is engine-dependent, sort downstream if
+    needed.  Pinned in tests: range(tau) row-set == the full-probe
+    top-k slate filtered to score >= tau."""
+    scored = _ivfadc_scored(
+        queries, index, coarse_centroids, centroid_rows, nprobe, m, dim,
+        where, probe_matching_only, anti, target_candidates,
+    )
+    if scored is None:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_adc double"
+        )
+    return scored.filter(F.col("cosine_adc") >= float(threshold))
+
+
+def _ivfadc_scored(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    nprobe: int,
+    m: int,
+    dim: int,
+    where,
+    probe_matching_only: bool,
+    anti,
+    target_candidates,
+) -> DataFrame | None:
+    """The shared IVFADC probe + ADC-score pipeline (everything in
+    :func:`ivfadc_topk`'s contract up to the per-pair ``cosine_adc``
+    frame, dials included) — :func:`ivfadc_topk` ranks it,
+    :func:`ivfadc_range` thresholds it.  Returns ``None`` when the
+    hybrid dials prove no candidate can exist (nothing matches the
+    predicate anywhere), so each caller can emit its own typed empty
+    frame."""
     cents, dsub = _pq_check(centroid_rows, m, dim)
     if "rn" not in index.columns:
         raise ValueError(
@@ -2461,11 +2547,7 @@ def ivfadc_topk(
             .collect()
         }
         if not probe_counts:
-            return queries.sparkSession.createDataFrame(
-                [],
-                "query_id long, neighbor_id long, rank int,"
-                " cosine_adc double",
-            )
+            return None
         coarse_centroids = coarse_centroids.filter(
             F.col("vec_id").isin(list(probe_counts))
         )
@@ -2491,11 +2573,7 @@ def ivfadc_topk(
             # zero candidates is the empty frame, stated directly — an
             # empty coarse set would otherwise fold into a typeless
             # map() literal and fail analysis
-            return queries.sparkSession.createDataFrame(
-                [],
-                "query_id long, neighbor_id long, rank int,"
-                " cosine_adc double",
-            )
+            return None
         coarse_centroids = coarse_centroids.filter(
             F.col("vec_id").isin(matched)
         )
@@ -2548,14 +2626,7 @@ def ivfadc_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_adc").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine_adc")
-    )
+    return scored
 
 
 def ivfadc_decode(

@@ -3842,6 +3842,40 @@ def sim_ivfadc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_IVFADC_MAINTENANCE_SQL = SIM_IVFADC_DELETED_SQL
 
 
+def sim_ivfadc_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search over the stored index — FAISS ``range_search`` for
+    the IVFADC tier (round 13): every probed neighbor with
+    reconstructed cosine >= 0.2, instead of the 3 best.  The radius
+    question (duplicate sweeps, recall harvesting, near-dup candidate
+    generation) answered CHEAPER than top-k: same probed pruned scan
+    and exact-integer ADC scoring, rank window DELETED — a scan-local
+    predicate replaces the per-query sort exchange, so the plan adds
+    zero exchanges over the probe join.  Same session-scoped base
+    store; the oracle is the shared scoring chain with the threshold
+    predicate in place of the rank qualifier."""
+    from ..extensions import ann_store
+
+    path = _ensure_base_store(spark, sf_dir)
+    queries = similarity.prepare(load(spark, sf_dir, "embeddings")).filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.load_ivfadc(path).range_search(
+        queries, 0.2, nprobe=2
+    )
+
+
+SIM_IVFADC_RANGE_SQL = (
+    _IVFADC_CTES.rstrip()
+    + _IVFADC_SEARCH_CTES.format(where="").split(
+        "\nSELECT query_id, neighbor_id,"
+    )[0]
+    + """
+SELECT query_id, neighbor_id, cosine_adc FROM scored
+WHERE cosine_adc >= 0.2
+"""
+)
+
+
 def sim_ivfadc_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNFILTERED candidate-budget search — nprobe AUTO-TUNE
     (``ivfadc_topk(target_candidates=…)`` with no predicate, round

@@ -656,6 +656,60 @@ def test_search_segments_overlap_dedups(spark, tmp_path):
     assert got == want
 
 
+def test_range_search_equals_thresholded_full_slate(spark, tmp_path):
+    """ivfadc_range (FAISS range_search): the row-set equals the same
+    probe's top-k slate with an unreachable k, filtered to the
+    threshold — same candidates, same exact scores, no rank.  The
+    plan contains NO window (the per-query sort exchange is the cost
+    range search exists to avoid), tombstones are anti-joined on the
+    store surface, and a nothing-matches predicate yields the typed
+    empty frame."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    path = str(tmp_path / "ix")
+    ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, m=4, dim=64,
+                                residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    loaded = ann_store.load_ivfadc(path)
+    tau = 0.2
+    got = loaded.range_search(queries, tau, nprobe=2)
+    # the candidate-side rank window is gone: the only Window left is
+    # the probe-side query→list assignment (tiny query set), i.e. one
+    # FEWER Window node than the same probe's top-k plan
+    def _windows(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Window"
+        )
+    assert _windows(got) < _windows(loaded.search(queries, k=3, nprobe=2))
+    got_rows = sorted(map(tuple, got.collect()))
+    big_k = corpus.count()
+    want = sorted(
+        (int(r["query_id"]), int(r["neighbor_id"]),
+         float(r["cosine_adc"]))
+        for r in loaded.search(queries, k=big_k, nprobe=2).collect()
+        if r["cosine_adc"] >= tau
+    )
+    assert got_rows == want and got_rows
+    assert got.columns == ["query_id", "neighbor_id", "cosine_adc"]
+
+    # tombstones suppress range results like every other surface
+    victim = got_rows[0][1]
+    assert ann_store.delete_vectors(spark, path, f"vec_id = {victim}") == 1
+    after = {int(r["neighbor_id"])
+             for r in loaded.range_search(queries, tau, nprobe=2).collect()}
+    assert victim not in after and after
+
+    # hybrid dial composes; nothing-matches yields the typed empty
+    filt = loaded.range_search(queries, -1.0, nprobe=1,
+                               where="vec_id % 3 = 1")
+    assert all(int(r["neighbor_id"]) % 3 == 1 for r in filt.collect())
+    empty = loaded.range_search(queries, 0.0, nprobe=1, where="vec_id < 0",
+                                target_candidates=10)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine_adc"]
+
+
 # ---------------------------------------------------------------------------
 # merge_segments (round 13): the lifecycle closer — fold fresh segments
 # back into the frozen base as ONE store
