@@ -613,6 +613,75 @@ WHERE rank <= k
 IVFADC_SEARCH_TVF = _ivfadc_search_tvf_sql(None)
 
 
+def _ivfadc_range_tvf_sql(
+    rotation: dict | None, target_candidates: int | None = None
+) -> str:
+    """``tvf_ivfadc_range`` — the range-search twin of the search TVF
+    body: identical probe + scoring chain, with the rank window
+    replaced by a runtime threshold predicate.  Unlike ``where``
+    (which must bind at registration), the radius ``tau`` IS
+    expressible as a runtime argument — the one dial SQL macros can
+    take — so one registration serves every threshold."""
+    body = _ivfadc_search_tvf_sql(rotation, target_candidates)
+    body = body.replace(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_search(\n"
+        "    query_lo BIGINT, query_hi BIGINT, k INT, nprobe INT)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_range(\n"
+        "    query_lo BIGINT, query_hi BIGINT, tau DOUBLE, nprobe INT)",
+    )
+    body = body.replace(
+        "RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,\n"
+        "               cosine_adc DOUBLE)",
+        "RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT,\n"
+        "               cosine_adc DOUBLE)",
+    )
+    tail = """
+SELECT query_id, neighbor_id, rank, cosine_adc FROM (
+  SELECT query_id, neighbor_id, cosine_adc,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_adc DESC,
+                                          neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= k
+"""
+    if tail not in body:
+        raise AssertionError("search TVF tail changed — update range twin")
+    return body.replace(
+        tail,
+        "\nSELECT query_id, neighbor_id, cosine_adc FROM scored\n"
+        "WHERE cosine_adc >= tau\n",
+    )
+
+
+def register_ivfadc_range_tvf(
+    spark: SparkSession,
+    index_path: str,
+    where: str | None = None,
+    target_candidates: int | None = None,
+    probe_matching_only: bool = False,
+) -> str:
+    """Register ``tvf_ivfadc_range(query_lo, query_hi, tau, nprobe)``
+    over a stored artifact — the pure-SQL spelling of
+    :func:`~..extensions.ann_store.IvfadcIndex.range_search` (FAISS
+    ``range_search``): every probed neighbor scoring ≥ the RUNTIME
+    threshold ``tau``, no rank window.  Delegates view
+    materialization (store + model + rotation + tombstones + optional
+    counts/matched-coarse) to :func:`register_ivfadc_search_tvf` —
+    both TVFs read the same views, so registering range also
+    (re)registers search; the dials bind identically.  Operator ≡ TVF
+    bit-parity incl. rotated/filtered/tombstoned pinned in tests."""
+    from ..extensions import ann_store
+
+    register_ivfadc_search_tvf(
+        spark, index_path, where=where,
+        target_candidates=target_candidates,
+        probe_matching_only=probe_matching_only,
+    )
+    rotation = ann_store.load_ivfadc(index_path).rotation
+    spark.sql(_ivfadc_range_tvf_sql(rotation, target_candidates))
+    return "tvf_ivfadc_range"
+
+
 def register_ivfadc_search_tvf(
     spark: SparkSession,
     index_path: str,

@@ -483,6 +483,64 @@ def test_tvf_ivfadc_search_adaptive_target(spark, tmp_path):
         register_ivfadc_search_tvf(spark, path, probe_matching_only=True)
 
 
+def test_tvf_ivfadc_range_matches_operator(spark, tmp_path):
+    """Range search from pure SQL: tvf_ivfadc_range(lo, hi, tau,
+    nprobe) — the threshold is a RUNTIME argument, so one registration
+    serves every radius — rows identical to IvfadcIndex.range_search
+    on the same artifact, with the filtered dial and tombstones
+    composing like the search TVF (whose views it shares)."""
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+    from nr_rfc_dischargeobs_spark.plans.sqlfn import (
+        register_ivfadc_range_tvf,
+    )
+
+    emb_raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_raw.createOrReplaceTempView("embeddings")
+    prep = similarity.prepare(emb_raw)
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.collect()
+    ]
+    cb = similarity.pq_train_codebooks(
+        similarity.residualize(
+            similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
+        ),
+        k=8, m=4, dim=64, iters=1,
+    )
+    path = str(tmp_path / "range_artifact")
+    handle = ann_store.save_ivfadc(
+        similarity.ivf_pq_index(corpus, coarse, cb, residual=True),
+        path, coarse_rows, cb, m=4, dim=64,
+    )
+    assert register_ivfadc_range_tvf(spark, path) == "tvf_ivfadc_range"
+    for tau in (0.2, -1.0):
+        got = spark.sql(
+            f"SELECT * FROM tvf_ivfadc_range(12, 28, {tau}, 2)"
+        )
+        want = handle.range_search(queries, tau, nprobe=2)
+        assert rows(got) == rows(want) and len(rows(got)) > 0
+
+    # tombstones snapshot at registration, exactly like the search TVF
+    victim = int(spark.sql(
+        "SELECT neighbor_id FROM tvf_ivfadc_range(12, 28, 0.2, 2)"
+    ).first()["neighbor_id"])
+    assert ann_store.delete_vectors(spark, path, f"vec_id = {victim}") == 1
+    register_ivfadc_range_tvf(spark, path)  # re-register → sees them
+    got_d = spark.sql("SELECT * FROM tvf_ivfadc_range(12, 28, -1.0, 2)")
+    assert victim not in {int(r["neighbor_id"]) for r in got_d.collect()}
+    assert rows(got_d) == rows(handle.range_search(queries, -1.0, nprobe=2))
+
+    # the filtered dial binds at registration and composes
+    register_ivfadc_range_tvf(spark, path, where="vec_id % 3 = 1")
+    got_f = spark.sql("SELECT * FROM tvf_ivfadc_range(12, 28, -1.0, 2)")
+    want_f = handle.range_search(queries, -1.0, nprobe=2,
+                                 where="vec_id % 3 = 1")
+    assert rows(got_f) == rows(want_f) and len(rows(got_f)) > 0
+
+
 def test_tvf_ivfadc_segments_matches_operator(spark, tmp_path):
     """Multi-segment search from pure SQL: two segments with different
     models and different bases (raw + Hadamard post_int), one with a
