@@ -590,6 +590,64 @@ def search_segments(
     )
 
 
+def range_search_segments(
+    spark: SparkSession,
+    paths: list[str],
+    emb: DataFrame,
+    threshold: float,
+    nprobe: int = 2,
+    where=None,
+    probe_matching_only: bool = False,
+    target_candidates: int | None = None,
+) -> DataFrame:
+    """RANGE search over SEVERAL stored indexes as one — the radius
+    question (:meth:`IvfadcIndex.range_search`) asked of the frozen
+    base + fresh admission segments that :func:`search_segments`
+    reads: every probed neighbor in ANY segment whose reconstructed
+    cosine is ``>= threshold``.  Per segment this is exactly
+    :meth:`IvfadcIndex.range_search_embeddings` — own coarse, own
+    sidecar rotation on the raw queries, own tombstones, all hybrid
+    dials — and the merge is even lighter than top-k's: a
+    max-per-(query, neighbor) dedup (a re-admitted vector appears in
+    two segments; per-segment thresholding commutes with the max,
+    since any copy ≥ tau implies the max is) and NO rank window at
+    all, so the only exchange the merge adds is the dedup groupBy on
+    the already-thresholded rows.  Geometry must agree across
+    segments for the same reason as :func:`search_segments` — the
+    threshold is one scale only if every score approximates the same
+    true cosine.
+
+    Output: (query_id, neighbor_id, cosine_adc) — unranked, like
+    :func:`~.similarity.ivfadc_range`.  Pinned in tests: equals
+    :func:`search_segments` with a full-width slate filtered to
+    score >= tau."""
+    if not paths:
+        raise ValueError(
+            "range_search_segments needs at least one segment path"
+        )
+    idxs = [load_ivfadc(p) for p in paths]
+    geoms = {(ix.m, ix.dim) for ix in idxs}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"segments disagree on (m, dim): {sorted(geoms)} —"
+            " reconstructed-cosine scores across different PQ"
+            " geometries are not one comparable threshold scale;"
+            " rebuild to one geometry before merging"
+        )
+    slates = [
+        ix.range_search_embeddings(
+            emb, threshold, nprobe=nprobe, where=where,
+            probe_matching_only=probe_matching_only,
+            target_candidates=target_candidates,
+        )
+        for ix in idxs
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), slates)
+    return union.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine_adc").alias("cosine_adc")
+    )
+
+
 def merge_segments(
     spark: SparkSession,
     paths: list[str],

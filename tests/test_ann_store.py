@@ -710,6 +710,71 @@ def test_range_search_equals_thresholded_full_slate(spark, tmp_path):
     assert empty.columns == ["query_id", "neighbor_id", "cosine_adc"]
 
 
+def test_range_search_segments_matches_thresholded_merge(spark, tmp_path):
+    """range_search_segments: the radius question over the frozen-base
+    + fresh-segment set.  Row-set equals search_segments with an
+    unreachable k filtered to the threshold (per-segment thresholding
+    commutes with the max-dedup), the degenerate same-path-twice case
+    equals the single-index range search exactly (overlap dedups to
+    the best score), tombstones suppress like every surface, and the
+    geometry/empty refusals match search_segments'."""
+    coarse, queries, corpus, coarse_rows, cb = _trained_parts(spark)
+    seg_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    seg_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    paths = []
+    for name, part in (("a", seg_a), ("b", seg_b)):
+        p = str(tmp_path / f"rseg_{name}")
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(part, coarse, cb, m=4, dim=64,
+                                    residual=True),
+            p, coarse_rows, cb, m=4, dim=64,
+        )
+        paths.append(p)
+    pa, pb = paths
+    emb_q = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+
+    tau = 0.2
+    got = ann_store.range_search_segments(
+        spark, [pa, pb], emb_q, tau, nprobe=2
+    )
+    assert got.columns == ["query_id", "neighbor_id", "cosine_adc"]
+    got_rows = sorted(map(tuple, got.collect()))
+    big_k = corpus.count()
+    want = sorted(
+        (int(r["query_id"]), int(r["neighbor_id"]), float(r["cosine_adc"]))
+        for r in ann_store.search_segments(
+            spark, [pa, pb], emb_q, k=big_k, nprobe=2
+        ).collect()
+        if r["cosine_adc"] >= tau
+    )
+    assert got_rows == want and got_rows
+
+    # overlap dedups: the same path twice is the degenerate re-admission
+    # case and must equal the single-index range search exactly
+    single = sorted(map(tuple, ann_store.load_ivfadc(pa)
+                        .range_search_embeddings(emb_q, tau, nprobe=2)
+                        .collect()))
+    twice = sorted(map(tuple, ann_store.range_search_segments(
+        spark, [pa, pa], emb_q, tau, nprobe=2
+    ).collect()))
+    assert twice == single
+
+    # tombstones suppress range results across the segment merge
+    victim = got_rows[0][1]
+    seg_of = pa if victim % 2 == 0 else pb
+    assert ann_store.delete_vectors(spark, seg_of,
+                                    f"vec_id = {victim}") == 1
+    after = {int(r["neighbor_id"])
+             for r in ann_store.range_search_segments(
+                 spark, [pa, pb], emb_q, tau, nprobe=2).collect()}
+    assert victim not in after and after
+
+    with pytest.raises(ValueError, match="at least one segment"):
+        ann_store.range_search_segments(spark, [], emb_q, tau)
+
+
 # ---------------------------------------------------------------------------
 # merge_segments (round 13): the lifecycle closer — fold fresh segments
 # back into the frozen base as ONE store
