@@ -881,7 +881,15 @@ def register_ivfadc_segments_tvf(
     ~target candidates against its own occupancies (unfiltered, that
     is per-segment nprobe auto-tune).  Operator ≡ TVF bit-parity on
     the mixed-basis + tombstoned + filtered + budgeted composition is
-    pinned in tests."""
+    pinned in tests.
+
+    Also registers ``tvf_ivfadc_segments_range(query_lo, query_hi,
+    tau, nprobe)`` over the same views — the pure-SQL spelling of
+    :func:`~..extensions.ann_store.range_search_segments` (the rank
+    tail replaced by the runtime threshold on the merged max), the
+    same way the single-store range TVF rides the search TVF's
+    registration.  Both TVFs snapshot tombstones at registration —
+    re-register after deletions (see :func:`register_ivfadc_search_tvf`)."""
     from ..extensions import ann_store
 
     if not index_paths:
@@ -969,12 +977,8 @@ def register_ivfadc_segments_tvf(
         unions.append(
             f"SELECT query_id, neighbor_id, cosine_adc FROM scored_s{i}"
         )
-    body = (
-        "CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_segments_search(\n"
-        "    query_lo BIGINT, query_hi BIGINT, k INT, nprobe INT)\n"
-        "RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,\n"
-        "               cosine_adc DOUBLE)\n"
-        "RETURN\nWITH "
+    prefix = (
+        "WITH "
         + ",\n".join(chains)
         + ",\nseg_union AS (\n  "
         + "\n  UNION ALL\n  ".join(unions)
@@ -982,6 +986,13 @@ def register_ivfadc_segments_tvf(
         "  SELECT query_id, neighbor_id, max(cosine_adc) AS cosine_adc\n"
         "  FROM seg_union GROUP BY query_id, neighbor_id\n"
         ")\n"
+    )
+    body = (
+        "CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_segments_search(\n"
+        "    query_lo BIGINT, query_hi BIGINT, k INT, nprobe INT)\n"
+        "RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT, rank INT,\n"
+        "               cosine_adc DOUBLE)\n"
+        "RETURN\n" + prefix +
         "SELECT query_id, neighbor_id, rank, cosine_adc FROM (\n"
         "  SELECT query_id, neighbor_id, cosine_adc,\n"
         "         cast(row_number() OVER (PARTITION BY query_id\n"
@@ -992,4 +1003,18 @@ def register_ivfadc_segments_tvf(
         "WHERE rank <= k\n"
     )
     spark.sql(body)
+    # the range twin rides the SAME registration (same views, same
+    # per-segment chains): the rank tail is replaced by the runtime
+    # threshold — the pure-SQL spelling of range_search_segments, with
+    # per-segment thresholding folded into the post-merge predicate
+    # (equivalent, since any copy >= tau implies the max is)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tvf_ivfadc_segments_range(\n"
+        "    query_lo BIGINT, query_hi BIGINT, tau DOUBLE, nprobe INT)\n"
+        "RETURNS TABLE (query_id BIGINT, neighbor_id BIGINT,\n"
+        "               cosine_adc DOUBLE)\n"
+        "RETURN\n" + prefix +
+        "SELECT query_id, neighbor_id, cosine_adc FROM merged\n"
+        "WHERE cosine_adc >= tau\n"
+    )
     return "tvf_ivfadc_segments_search"

@@ -593,6 +593,17 @@ def test_tvf_ivfadc_segments_matches_operator(spark, tmp_path):
     want = ann_store.search_segments(spark, [pa, pb], emb_q, k=3, nprobe=1)
     assert rows(got) == rows(want) and len(rows(got)) > 0
 
+    # the range twin rides the same registration (round 13): operator
+    # == TVF on the mixed-basis + tombstoned set, runtime threshold,
+    # no rank window
+    got_r = spark.sql(
+        "SELECT * FROM tvf_ivfadc_segments_range(12, 28, 0.2, 1)"
+    )
+    want_r = ann_store.range_search_segments(
+        spark, [pa, pb], emb_q, 0.2, nprobe=1
+    )
+    assert rows(got_r) == rows(want_r) and len(rows(got_r)) > 0
+
     register_ivfadc_segments_tvf(spark, [pa, pb], where="vec_id % 3 = 1")
     got_f = spark.sql(
         "SELECT * FROM tvf_ivfadc_segments_search(12, 28, 3, 1)"
