@@ -19,10 +19,11 @@ value-hash-oracled end to end, not just rows-counted.  ``mode="real"``
 raises ``NotImplementedError`` at the exact call site a codec belongs —
 EXCEPT for the pure formats: :func:`decode_bmp` (round 11) really decodes
 uncompressed 24-bit BMP with plain byte arithmetic (header parse, row
-de-padding, bottom-up flip, BGR→RGB), and :func:`decode_png` (round 12)
-really decodes non-interlaced 8-bit gray/RGB/palette/RGBA PNG via the
-stdlib (chunk walk + CRC verify, ``zlib`` inflate, all five scanline-
-filter reversals) — both emit exact-integer image features, so the
+de-padding, bottom-up flip, BGR→RGB), and :func:`decode_png` (rounds
+12–13) really decodes gray/gray+alpha/RGB/palette/RGBA PNG at depths
+8 and 16, sequential or Adam7-interlaced, via the stdlib (chunk walk +
+CRC verify, ``zlib`` inflate, all five scanline-filter reversals, the
+§8.2 pass scatter) — both emit exact-integer image features, so the
 real-decode tier is exercised end to end without any codec dependency;
 JPEG and MP4 stay honestly gated.
 """
@@ -320,9 +321,10 @@ def decode_bmp(blobs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# round 12: a second REAL decoder via the stdlib — PNG (non-interlaced,
-# 8-bit RGB/RGBA).  zlib ships with Python, so inflate + per-scanline
-# filter reversal needs no codec library; JPEG/MP4 stay honestly gated.
+# rounds 12-13: a second REAL decoder via the stdlib — PNG (all five
+# color types at depths 8/16, sequential + Adam7).  zlib ships with
+# Python, so inflate + per-scanline filter reversal + the pass scatter
+# need no codec library; JPEG/MP4 stay honestly gated.
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -357,8 +359,59 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass — the
+# spec §8.2 interlace pattern.  Each pass is an independently filtered
+# sub-image; empty passes (zero width or height) contribute no bytes.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(
+    raw: bytes, offset: int, h: int, stride: int, bpp: int
+) -> np.ndarray | None:
+    """Reverse the five PNG scanline filters over ``h`` lines of
+    ``stride`` bytes starting at ``offset`` (each line prefixed by its
+    filter-type byte) — the shared kernel under both the sequential
+    (whole image) and Adam7 (per pass) layouts.  Returns the
+    reconstructed ``(h, stride)`` uint8 array, or ``None`` on an
+    unknown filter type.  Types 1/3/4 reverse via a per-byte loop —
+    inherently sequential (each byte depends on the reconstructed left
+    neighbor), documented fixture/edge-scale."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        base = offset + y * (1 + stride)
+        ft = raw[base]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int64)
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prior[x]) >> 1
+                else:
+                    upleft = prior[x - bpp] if x >= bpp else 0
+                    pred = _paeth(int(left), int(prior[x]), int(upleft))
+                recon[x] = (line[x] + pred) & 0xFF
+        else:
+            return None  # unknown filter type
+        out[y] = recon
+        prior = recon.astype(np.int64)
+    return out
+
+
 def png_pixels(payload: bytes) -> np.ndarray | None:
-    """Decode a non-interlaced PNG to an (h, w, c) array — stdlib
+    """Decode a PNG to an (h, w, c) array — stdlib
     only: chunk walk with CRC verification, IDAT concatenation through
     ``zlib.decompress``, then per-scanline reversal of all five PNG
     filters (None/Sub/Up/Average/Paeth).  Covered profiles: grayscale
@@ -366,9 +419,11 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
     expands to c=3), gray+alpha (4 → c=2), RGBA (6 → c=4), at bit
     depth 8 (uint8 out) and — for the non-palette types — depth 16
     (big-endian samples, uint16 out; filters operate on BYTES with the
-    left-neighbor offset at bytes-per-pixel, per spec §9).  Returns
+    left-neighbor offset at bytes-per-pixel, per spec §9), sequential
+    AND Adam7-interlaced layouts (spec §8.2: seven independently
+    filtered sub-images scattered onto the full grid).  Returns
     ``None`` for anything outside these profiles (bad signature or
-    CRC, interlaced, sub-byte depths, 16-bit palette, palette
+    CRC, sub-byte depths, 16-bit palette, palette
     without/overflowing PLTE, truncated or over-long inflate output)
     — fail-soft like :func:`bmp_pixels`.
 
@@ -408,7 +463,7 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
     )
     if depth not in (8, 16) or color not in (0, 2, 3, 4, 6):
         return None
-    if comp or filt or interlace:
+    if comp or filt or interlace not in (0, 1):
         return None
     if color == 3 and depth != 8:
         return None  # the spec caps palette indices at 8 bits
@@ -423,35 +478,36 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
         return None
     bpp = c * (depth // 8)  # filter offset is BYTES per pixel (spec §9)
     stride = w * bpp
-    if len(raw) != h * (1 + stride):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        ft = raw[y * (1 + stride)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
-        ).astype(np.int64)
-        if ft == 0:
-            recon = line
-        elif ft == 2:
-            recon = (line + prior) & 0xFF
-        elif ft in (1, 3, 4):
-            recon = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
-                    pred = (left + prior[x]) >> 1
-                else:
-                    upleft = prior[x - bpp] if x >= bpp else 0
-                    pred = _paeth(int(left), int(prior[x]), int(upleft))
-                recon[x] = (line[x] + pred) & 0xFF
-        else:
-            return None  # unknown filter type
-        out[y] = recon
-        prior = recon.astype(np.int64)
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            return None
+        out = _unfilter(raw, 0, h, stride, bpp)
+        if out is None:
+            return None
+    else:
+        # Adam7: each non-empty pass is its own filtered sub-image
+        # (filter state resets per pass), scattered back onto the full
+        # byte grid at the pass's (x0, y0, dx, dy) lattice
+        plan = []
+        total = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            plan.append((x0, y0, dx, dy, wp, hp, total))
+            total += hp * (1 + wp * bpp)
+        if len(raw) != total:
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for x0, y0, dx, dy, wp, hp, offset in plan:
+            sub = _unfilter(raw, offset, hp, wp * bpp, bpp)
+            if sub is None:
+                return None
+            rows = np.arange(y0, h, dy)
+            cols = np.arange(x0, w, dx) * bpp
+            for b in range(bpp):
+                out[np.ix_(rows, cols + b)] = sub[:, b::bpp]
     if color == 3:
         # palette expansion: each reconstructed byte indexes PLTE's RGB
         # triples; an index past the palette is a corrupt image
@@ -468,43 +524,21 @@ def png_pixels(payload: bytes) -> np.ndarray | None:
     return out.reshape(h, w, c)
 
 
-def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
-    """The inverse path, used by fixtures and the registered decode
-    row's deterministic payload generator: encode an (h, w, 1|2|3|4)
-    uint8 (depth 8) or uint16 (depth 16, big-endian) array as a valid
-    PNG (grayscale / gray+alpha / RGB / RGBA).  ``filters="cycle"`` rotates through all
-    five filter types row by row so a decode of the output exercises
-    every reversal arm; ``"none"`` writes filter 0 only.  Independent
-    arithmetic from :func:`png_pixels` (forward filters here, inverse
-    there), and the unit tests additionally pin the decoder against
-    hand-built arrays — so an encoder bug cannot silently cancel a
-    decoder bug."""
-    import struct
-    import zlib
-
-    h, w, c = pixels.shape
-    if c not in (1, 2, 3, 4) or pixels.dtype not in (np.uint8, np.uint16):
-        raise ValueError(
-            "encode_png takes (h, w, 1|2|3|4) uint8 or uint16 pixels"
-        )
-    depth = 8 if pixels.dtype == np.uint8 else 16
-    # filters operate on the BYTE stream with the left neighbor at
-    # bytes-per-pixel (spec §9) — 16-bit samples serialize big-endian
-    # first, so one filter implementation covers both depths and stays
-    # the exact inverse of png_pixels' reversal
-    bpp = c * (depth // 8)
-    stride = w * bpp
-    flat = (
-        np.ascontiguousarray(pixels.reshape(h, w * c).astype(">u2"))
-        .view(np.uint8)
-        if depth == 16
-        else pixels.reshape(h, stride)
-    ).astype(np.int64)
-    lines = []
+def _filter_lines(
+    flat: np.ndarray, bpp: int, filters: str, y0: int = 0
+) -> list[bytes]:
+    """Apply the forward PNG scanline filters to a ``(h, stride)``
+    int64 byte grid — one prefixed line per row, filter state starting
+    fresh (prior = zeros), the shared kernel under the sequential and
+    Adam7 layouts.  ``y0`` offsets the "cycle" rotation so interlaced
+    passes keep cycling through all five types across pass
+    boundaries."""
+    stride = flat.shape[1]
+    lines: list[bytes] = []
     prior = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
+    for y in range(flat.shape[0]):
         row = flat[y]
-        ft = (y % 5) if filters == "cycle" else 0
+        ft = ((y0 + y) % 5) if filters == "cycle" else 0
         if ft == 0:
             enc = row
         elif ft == 1:
@@ -528,6 +562,64 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
                 ) & 0xFF
         lines.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
         prior = row
+    return lines
+
+
+def encode_png(
+    pixels: np.ndarray, filters: str = "cycle", interlace: bool = False
+) -> bytes:
+    """The inverse path, used by fixtures and the registered decode
+    row's deterministic payload generator: encode an (h, w, 1|2|3|4)
+    uint8 (depth 8) or uint16 (depth 16, big-endian) array as a valid
+    PNG (grayscale / gray+alpha / RGB / RGBA).  ``filters="cycle"`` rotates through all
+    five filter types row by row so a decode of the output exercises
+    every reversal arm; ``"none"`` writes filter 0 only.
+    ``interlace=True`` writes the Adam7 layout (spec §8.2): the byte
+    grid is sliced into the seven pass lattices, each pass filtered as
+    its own sub-image with fresh filter state.  Independent
+    arithmetic from :func:`png_pixels` (forward filters + forward
+    pass extraction here, inverse reversal + scatter there), and the
+    unit tests additionally pin the decoder against hand-built
+    arrays — so an encoder bug cannot silently cancel a
+    decoder bug."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    if c not in (1, 2, 3, 4) or pixels.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            "encode_png takes (h, w, 1|2|3|4) uint8 or uint16 pixels"
+        )
+    depth = 8 if pixels.dtype == np.uint8 else 16
+    # filters operate on the BYTE stream with the left neighbor at
+    # bytes-per-pixel (spec §9) — 16-bit samples serialize big-endian
+    # first, so one filter implementation covers both depths and stays
+    # the exact inverse of png_pixels' reversal
+    bpp = c * (depth // 8)
+    stride = w * bpp
+    flat = (
+        np.ascontiguousarray(pixels.reshape(h, w * c).astype(">u2"))
+        .view(np.uint8)
+        if depth == 16
+        else pixels.reshape(h, stride)
+    ).astype(np.int64)
+    if not interlace:
+        lines = _filter_lines(flat, bpp, filters)
+    else:
+        lines = []
+        n_lines = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            rows = np.arange(y0, h, dy)
+            cols = np.arange(x0, w, dx) * bpp
+            sub = np.zeros((hp, wp * bpp), dtype=np.int64)
+            for b in range(bpp):
+                sub[:, b::bpp] = flat[np.ix_(rows, cols + b)]
+            lines.extend(_filter_lines(sub, bpp, filters, y0=n_lines))
+            n_lines += hp
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -536,7 +628,8 @@ def encode_png(pixels: np.ndarray, filters: str = "cycle") -> bytes:
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, depth, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0
+        ">IIBBBBB", w, h, depth, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0,
+        1 if interlace else 0,
     )
     return (
         PNG_SIG
@@ -651,7 +744,10 @@ def png_fixture_blobs_wide(
     at bit depth 16 when ``d % 3 = 0`` (big-endian samples,
     ``sample k = (d·97 + k·13) mod 65536``) and depth 8 otherwise
     (``sample k = (d·31 + k·7) mod 256``), encoded through
-    :func:`encode_png` with cycling filters.  Pure id arithmetic, so
+    :func:`encode_png` with cycling filters — and every ``d % 7 = 1``
+    doc written ADAM7-INTERLACED: the decoded pixels are identical by
+    construction, so the unchanged arithmetic twin also witnesses the
+    interlace pass scatter end to end.  Pure id arithmetic, so
     the DuckDB twin recomputes the decoded per-sample features without
     touching PNG — every new r13 profile sits under the same
     encode→decode round-trip hash the 8-bit RGB/RGBA row pinned."""
@@ -676,7 +772,8 @@ def png_fixture_blobs_wide(
                     flat = ((d * 97 + k * 13) % 65536).astype(np.uint16)
                 else:
                     flat = ((d * 31 + k * 7) % 256).astype(np.uint8)
-                b = encode_png(flat.reshape(h, w, c))
+                b = encode_png(flat.reshape(h, w, c),
+                               interlace=(d % 7 == 1))
                 blobs.append(b)
                 nb.append(len(b))
             yield pd.DataFrame(
@@ -684,6 +781,220 @@ def png_fixture_blobs_wide(
                     "doc_id": pdf[doc_id],
                     "blob": blobs,
                     "mime": ["image/png"] * len(blobs),
+                    "n_bytes": nb,
+                }
+            )
+
+    return ids.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# round 13: the JPEG HEADER tier — a real marker-segment walk (the
+# metadata a 100 TB curation pipeline extracts to filter/route images
+# BEFORE deciding what to decode: dimensions, component count,
+# baseline-vs-progressive, Exif presence).  Entropy decode (the actual
+# pixels) stays honestly gated behind the mode="real" call site — only
+# the header structure is parsed, and that parse is complete and real:
+# big-endian segment lengths, fill-byte tolerance, standalone markers,
+# every SOFn variant, stop at SOS.
+# ---------------------------------------------------------------------------
+
+JPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("jpeg_ok", LongType()),   # 1 parsed / 0 rejected
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("precision", LongType()),
+        StructField("progressive", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("has_jfif", LongType()),
+        StructField("has_exif", LongType()),
+    ]
+)
+
+
+def jpeg_header(payload: bytes) -> dict | None:
+    """Parse a JPEG's marker-segment header region — stdlib-only, no
+    entropy decode: SOI, then a walk of length-prefixed segments
+    (tolerating 0xFF fill bytes before markers and the standalone
+    RST/TEM markers), stopping at SOS (start of entropy-coded data) or
+    EOI.  The frame header (any SOFn except the non-frame DHT/JPG/DAC
+    codes C4/C8/CC) yields sample precision, height, width, and
+    component count; SOF2 marks the stream progressive.  APP0/APP1
+    identifiers flag JFIF/Exif presence.  Returns ``None`` fail-soft
+    (like :func:`png_pixels`) for anything structurally broken: missing
+    SOI, a non-marker byte where a marker must be, a segment length
+    pointing past the payload, a truncated SOF, or no SOF before
+    SOS/EOI.  Pixel decode stays gated at the ``mode="real"`` call
+    site — this tier answers the metadata questions only."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n_segments = 0
+    sof = None
+    progressive = 0
+    has_jfif = has_exif = 0
+    while pos + 2 <= len(payload):
+        # optional fill bytes: any run of 0xFF collapses before the
+        # marker code (spec B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos] == 0xFF \
+                and payload[pos + 1] == 0xFF:
+            pos += 1
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header region ends
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            continue
+        if pos + 2 > len(payload):
+            return None
+        seglen = int.from_bytes(payload[pos:pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(payload):
+            return None
+        data = payload[pos + 2:pos + seglen]
+        n_segments += 1
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if len(data) < 6:
+                return None
+            ncomp = data[5]
+            if len(data) < 6 + 3 * ncomp:
+                return None
+            sof = (
+                int(data[0]),
+                int.from_bytes(data[1:3], "big"),
+                int.from_bytes(data[3:5], "big"),
+                int(ncomp),
+            )
+            progressive = 1 if marker == 0xC2 else 0
+        elif marker == 0xE0 and data[:5] == b"JFIF\x00":
+            has_jfif = 1
+        elif marker == 0xE1 and data[:6] == b"Exif\x00\x00":
+            has_exif = 1
+        pos += seglen
+    if sof is None:
+        return None
+    precision, height, width, ncomp = sof
+    return {
+        "width": width,
+        "height": height,
+        "channels": ncomp,
+        "precision": precision,
+        "progressive": progressive,
+        "n_segments": n_segments,
+        "has_jfif": has_jfif,
+        "has_exif": has_exif,
+    }
+
+
+def decode_jpeg_headers(blobs: DataFrame) -> DataFrame:
+    """JPEG header metadata over binary payloads — the
+    :func:`decode_png` posture for the marker-walk tier:
+    Arrow-batched ``mapInPandas`` over (doc_id, blob, mime, n_bytes),
+    each payload through :func:`jpeg_header`, exact-integer metadata
+    out.  Structurally broken payloads emit ``jpeg_ok = 0`` with NULL
+    fields — fail-soft, one row per input."""
+
+    fields = ("width", "height", "channels", "precision",
+              "progressive", "n_segments", "has_jfif", "has_exif")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+                "jpeg_ok": [],
+                **{f: [] for f in fields},
+            }
+            for b in pdf["blob"]:
+                hdr = None if b is None else jpeg_header(bytes(b))
+                if hdr is None:
+                    out["jpeg_ok"].append(0)
+                    for f in fields:
+                        out[f].append(None)
+                    continue
+                out["jpeg_ok"].append(1)
+                for f in fields:
+                    out[f].append(hdr[f])
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=JPEG_SCHEMA)
+
+
+def jpeg_fixture_blobs(ids: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG header streams from bare ids — the
+    registered header row's input generator, the
+    :func:`png_fixture_blobs` pattern: doc ``d`` becomes a
+    structurally valid JPEG header region (SOI, JFIF APP0, an Exif
+    APP1 of id-dependent length when ``d % 3 = 0`` — so the walk must
+    use the big-endian segment lengths, not fixed offsets — a DQT, the
+    frame header, a DHT, then SOS + deterministic entropy filler +
+    EOI) with SOF0 for even ids and progressive SOF2 for odd, ``width
+    = (d·7) % 300 + 16``, ``height = (d·11) % 200 + 16``, grayscale
+    (1 component) when ``d % 5 = 0`` else YCbCr (3).  The entropy
+    bytes are filler — the parser stops at SOS by contract — which is
+    exactly the honesty line: header structure real, pixel decode
+    gated.  Pure id arithmetic, so a DuckDB twin recomputes every
+    extracted field without touching JPEG."""
+    import struct
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(data) + 2
+        ) + data
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, nb = [], []
+            for d in pdf[doc_id]:
+                d = int(d)
+                w, h = (d * 7) % 300 + 16, (d * 11) % 200 + 16
+                ncomp = 1 if d % 5 == 0 else 3
+                b = b"\xff\xd8"  # SOI
+                b += seg(0xE0, b"JFIF\x00" + bytes([1, 2, 0])
+                         + b"\x00\x01\x00\x01\x00\x00")
+                if d % 3 == 0:
+                    exif = bytes((d + i) % 256
+                                 for i in range(d % 17 + 8))
+                    b += seg(0xE1, b"Exif\x00\x00" + exif)
+                b += seg(0xDB, bytes([0]) + bytes(
+                    (d + i) % 255 for i in range(64)))  # DQT
+                sof = bytes([8]) + struct.pack(">HH", h, w) \
+                    + bytes([ncomp])
+                for i in range(ncomp):
+                    sof += bytes([i + 1, 0x11, 0])
+                b += seg(0xC2 if d % 2 else 0xC0, sof)
+                b += seg(0xC4, bytes([0]) + bytes(16))  # DHT stub
+                sos = bytes([ncomp])
+                for i in range(ncomp):
+                    sos += bytes([i + 1, 0])
+                sos += bytes([0, 63, 0])
+                b += seg(0xDA, sos)
+                # entropy filler (never parsed) + EOI
+                b += bytes((d * 3 + i) % 255 for i in range(8))
+                b += b"\xff\xd9"
+                blobs.append(b)
+                nb.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[doc_id],
+                    "blob": blobs,
+                    "mime": ["image/jpeg"] * len(blobs),
                     "n_bytes": nb,
                 }
             )

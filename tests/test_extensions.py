@@ -1131,3 +1131,154 @@ def test_png_pixels_16bit_profiles():
             + chunk(b"IDAT", zlib.compress(bytes([0, 0x12])))
             + chunk(b"IEND", b""))
     assert png_pixels(four) is None
+
+
+def test_png_pixels_adam7_hand_built():
+    """r13 interlace widening: a hand-assembled 5×3 grayscale Adam7
+    PNG decodes to the spec's pass lattice — pixel (x, y) = 10·y + x,
+    streamed in pass order p1(0,0), p2(4,0), p4(2,0), p5(y=2 thirds),
+    p6(odd columns of even rows), p7(row 1), with p3 empty (y0=4 ≥ h)
+    contributing ZERO bytes.  A truncated interlaced stream and an
+    unknown interlace method refuse; the byte-identical sequential
+    image decodes to the same pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        PNG_SIG, encode_png, png_pixels,
+    )
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    # pass streams for w=5, h=3, gray depth 8, all filter type 0
+    raw = bytes(
+        [0, 0]                      # p1: (0,0)
+        + [0, 4]                    # p2: (4,0)
+        + [0, 2]                    # p4: (2,0)   (p3 empty: y0=4 >= 3)
+        + [0, 20, 22, 24]           # p5: (0,2) (2,2) (4,2)
+        + [0, 1, 3] + [0, 21, 23]   # p6: odd cols of rows 0 and 2
+        + [0, 10, 11, 12, 13, 14]   # p7: the whole of row 1
+    )
+    head = chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 1))
+    img = (PNG_SIG + head + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    px = png_pixels(img)
+    assert px is not None and px.shape == (3, 5, 1)
+    want = np.array([[10 * y + x for x in range(5)] for y in range(3)])
+    assert (px.reshape(3, 5) == want).all()
+
+    # the same pixels through the encoder's Adam7 path agree
+    enc = encode_png(want.astype(np.uint8).reshape(3, 5, 1),
+                     interlace=True)
+    assert (png_pixels(enc).reshape(3, 5) == want).all()
+
+    # truncated pass stream: total length no longer matches the pass
+    # plan → refuse (never a partial image)
+    trunc = (PNG_SIG + head + chunk(b"IDAT", zlib.compress(raw[:-1]))
+             + chunk(b"IEND", b""))
+    assert png_pixels(trunc) is None
+
+    # unknown interlace method refuses
+    bad_head = chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 2))
+    bad = (PNG_SIG + bad_head + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    assert png_pixels(bad) is None
+
+
+def test_jpeg_header_hand_built_and_refusals():
+    """r13 JPEG header tier: a hand-assembled marker stream parses to
+    the spec's big-endian fields (SOF2 → progressive, JFIF/Exif
+    identifiers detected, fill bytes before markers tolerated,
+    standalone RST/TEM markers skipped, SOS ends the walk); missing
+    SOI, truncated segment lengths, truncated SOF, and SOF-less
+    streams refuse."""
+    import struct
+
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import jpeg_header
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) \
+            + data
+
+    sof = bytes([12]) + struct.pack(">HH", 480, 640) + bytes([3]) \
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    img = (
+        b"\xff\xd8"
+        + b"\xff"                                   # fill byte
+        + seg(0xE0, b"JFIF\x00" + bytes(7))
+        + seg(0xE1, b"Exif\x00\x00" + bytes(11))
+        + b"\xff\x01"                               # standalone TEM
+        + seg(0xDB, bytes(65))
+        + seg(0xC2, sof)                            # progressive frame
+        + seg(0xC4, bytes(17))
+        + seg(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0]))
+        + b"\x12\x34\x56"
+        + b"\xff\xd9"
+    )
+    hdr = jpeg_header(img)
+    assert hdr == {
+        "width": 640, "height": 480, "channels": 3, "precision": 12,
+        "progressive": 1, "n_segments": 5, "has_jfif": 1, "has_exif": 1,
+    }
+
+    # baseline SOF0, grayscale, no APPn identifiers
+    sof1 = bytes([8]) + struct.pack(">HH", 16, 24) + bytes([1]) \
+        + bytes([1, 0x11, 0])
+    base = b"\xff\xd8" + seg(0xC0, sof1) + seg(0xDA, bytes([1, 1, 0, 0,
+                                                            63, 0]))
+    h2 = jpeg_header(base + b"\xff\xd9")
+    assert h2["width"] == 24 and h2["height"] == 16
+    assert h2["channels"] == 1 and h2["progressive"] == 0
+    assert h2["has_jfif"] == 0 and h2["has_exif"] == 0
+
+    assert jpeg_header(b"") is None
+    assert jpeg_header(b"\x89PNG\r\n\x1a\n") is None          # not JPEG
+    assert jpeg_header(b"\xff\xd8\xff\xd9") is None           # no SOF
+    assert jpeg_header(b"\xff\xd8" + seg(0xC0, sof1[:4])) is None  # short SOF
+    # segment length pointing past the payload refuses
+    bad = b"\xff\xd8\xff\xc0\x00\xff" + bytes(4)
+    assert jpeg_header(bad) is None
+    # a non-marker byte where a marker must be refuses
+    assert jpeg_header(b"\xff\xd8\x00\xc0" + bytes(8)) is None
+
+
+def test_decode_jpeg_headers_fail_soft(spark):
+    """The mapInPandas stage over fixture blobs: parsed payloads carry
+    exact metadata, NULL/garbage payloads emit jpeg_ok=0 with NULL
+    fields, one row per input — and the fixture generator's blobs
+    parse to their generating arithmetic."""
+    from nr_rfc_dischargeobs_spark.extensions.multimodal import (
+        decode_jpeg_headers, jpeg_fixture_blobs,
+    )
+
+    ids = spark.createDataFrame(
+        [(d,) for d in range(40)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decode_jpeg_headers(jpeg_fixture_blobs(ids)).collect()
+    }
+    assert len(got) == 40
+    for d, r in got.items():
+        assert r["jpeg_ok"] == 1
+        assert r["width"] == (d * 7) % 300 + 16
+        assert r["height"] == (d * 11) % 200 + 16
+        assert r["channels"] == (1 if d % 5 == 0 else 3)
+        assert r["precision"] == 8
+        assert r["progressive"] == d % 2
+        assert r["n_segments"] == 4 + (1 if d % 3 == 0 else 0)
+        assert r["has_jfif"] == 1 and r["has_exif"] == (d % 3 == 0)
+
+    broken = spark.createDataFrame(
+        [(0, None, "image/jpeg", None),
+         (1, bytearray(b"\xff\xd8\xff\xd9"), "image/jpeg", 4)],
+        "doc_id long, blob binary, mime string, n_bytes long",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in decode_jpeg_headers(broken).collect()}
+    assert rows[0]["jpeg_ok"] == 0 and rows[0]["width"] is None
+    assert rows[1]["jpeg_ok"] == 0 and rows[1]["n_segments"] is None

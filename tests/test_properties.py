@@ -307,22 +307,27 @@ def test_span_dedup_matches_python_reference(spark, data):
         assert g["clean_text"] == m["clean_text"] == clean
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
-    h=st.integers(1, 9),
-    w=st.integers(1, 9),
+    h=st.integers(1, 11),
+    w=st.integers(1, 11),
     c=st.sampled_from([1, 2, 3, 4]),
     depth=st.sampled_from([8, 16]),
     seed=st.integers(0, 2**31 - 1),
     filters=st.sampled_from(["cycle", "none"]),
+    interlace=st.booleans(),
 )
-def test_png_encode_decode_round_trip(h, w, c, depth, seed, filters):
+def test_png_encode_decode_round_trip(h, w, c, depth, seed, filters,
+                                      interlace):
     """encode_png → png_pixels is the identity for every (h, w,
-    gray/gray+alpha/RGB/RGBA) shape at both bit depths and both filter
-    modes — the property that pins the five filter-reversal arms
-    against their forward filters over arbitrary pixel content (the
-    hand-built-byte unit tests pin the decoder against the spec
-    independently, including the 16-bit bytes-per-pixel offset)."""
+    gray/gray+alpha/RGB/RGBA) shape at both bit depths, both filter
+    modes, and both layouts (sequential + Adam7-interlaced — shapes
+    under 8 px exercise empty passes) — the property that pins the
+    five filter-reversal arms and the pass scatter against their
+    forward twins over arbitrary pixel content (the hand-built-byte
+    unit tests pin the decoder against the spec independently,
+    including the 16-bit bytes-per-pixel offset and the Adam7 pass
+    order)."""
     import numpy as np
 
     from nr_rfc_dischargeobs_spark.extensions.multimodal import (
@@ -334,6 +339,6 @@ def test_png_encode_decode_round_trip(h, w, c, depth, seed, filters):
         arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
     else:
         arr = rng.integers(0, 65536, size=(h, w, c), dtype=np.uint16)
-    out = png_pixels(encode_png(arr, filters=filters))
+    out = png_pixels(encode_png(arr, filters=filters, interlace=interlace))
     assert out is not None and out.shape == (h, w, c)
     assert out.dtype == arr.dtype and (out == arr).all()
