@@ -1251,6 +1251,48 @@ GROUP BY 1, 3, 4, 5, 6
 """
 
 
+def mm_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG HEADER metadata extraction, oracle-hashed end to end
+    (round 13): each doc_id becomes a structurally valid, deterministic
+    JPEG header region (``multimodal.jpeg_fixture_blobs`` — JFIF APP0,
+    an id-length Exif APP1 for every third doc so the walk must use
+    the big-endian segment lengths, DQT, SOF0/progressive-SOF2 frame
+    header carrying id-derived dimensions, DHT, SOS + entropy filler),
+    and :func:`~..extensions.multimodal.jpeg_header` walks the real
+    marker stream back into exact-integer metadata — the
+    dimensions/components/progressive/Exif answers a curation pipeline
+    extracts to filter and route images BEFORE any pixel decode.  The
+    DuckDB twin recomputes every field from the id arithmetic alone,
+    so the hash proves the parser read the actual byte layout; entropy
+    decode stays honestly gated (``multimodal.py`` ``mode="real"``)."""
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    feats = multimodal.decode_jpeg_headers(
+        multimodal.jpeg_fixture_blobs(ids)
+    )
+    return feats.select(
+        "doc_id", "jpeg_ok", "width", "height", "channels", "precision",
+        "progressive", "n_segments", "has_jfif", "has_exif",
+    )
+
+
+MM_JPEG_HEADERS_SQL = """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS jpeg_ok,
+       CAST((doc_id * 7) % 300 + 16 AS BIGINT) AS width,
+       CAST((doc_id * 11) % 200 + 16 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT)
+         AS channels,
+       CAST(8 AS BIGINT) AS precision,
+       CAST(doc_id % 2 AS BIGINT) AS progressive,
+       CAST(4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_segments,
+       CAST(1 AS BIGINT) AS has_jfif,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS has_exif
+FROM documents
+"""
+
+
 # -------------------------------------------- curation round-3 additions
 
 
@@ -3700,6 +3742,40 @@ SELECT query_id, neighbor_id,
        cosine_adc
 FROM merged
 QUALIFY rank <= 3
+"""
+)
+
+
+def sim_ivfadc_segments_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search over the multi-segment store — round 13's two new
+    ANN surfaces composed: the radius question (every probed neighbor
+    with reconstructed cosine >= 0.2, no rank) asked of the SAME
+    mixed-model mixed-basis two-segment set as
+    ``ext_sim_ivfadc_segments``
+    (:func:`~..extensions.ann_store.range_search_segments`).  Each
+    segment answers with its own coarse/rotation/codebook and the
+    merge is lighter than top-k's: per-segment thresholding commutes
+    with the max-per-(query, neighbor) dedup, and there is NO global
+    rank window — the only merge exchange is the dedup groupBy on
+    already-thresholded rows.  The oracle runs both training+search
+    chains and thresholds the merged MAX instead of ranking it."""
+    from ..extensions import ann_store
+
+    pa = _ensure_segment_store(spark, sf_dir, "a")
+    pb = _ensure_segment_store(spark, sf_dir, "b")
+    queries_raw = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 28)
+    )
+    return ann_store.range_search_segments(
+        spark, [pa, pb], queries_raw, 0.2, nprobe=1
+    )
+
+
+SIM_IVFADC_SEGMENTS_RANGE_SQL = (
+    SIM_IVFADC_SEGMENTS_SQL.split("\nSELECT query_id, neighbor_id,")[0]
+    + """
+SELECT query_id, neighbor_id, cosine_adc FROM merged
+WHERE cosine_adc >= 0.2
 """
 )
 
