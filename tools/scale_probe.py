@@ -1416,6 +1416,135 @@ def r13_budget_tier(spark, t: dict, n: int) -> None:
             df.unpersist()
 
 
+def r13_range_tier(spark, t: dict, n: int) -> None:
+    """Range search at scale (round 13): the radius question answered
+    WITHOUT the per-query rank window.  On the clustered 1M fixture —
+    the near-dup-harvest shape range search exists for — build the
+    standard 64-list store, time the top-10 anchor, derive the radius
+    from the anchor itself (the median 10th-neighbor score, so the
+    range answer is "everything at least as close as a typical 10th
+    neighbor" and returns a comparable row volume), then time the same
+    probed scan as a range query: the sort exchange is gone, so the
+    range pass should land at-or-below the top-k pass while returning
+    MORE rows.  Second half: the same radius through
+    ``range_search_segments`` on the base + fresh two-segment posture
+    (per-segment threshold, max-dedup merge, still no rank window)."""
+    import shutil
+    import tempfile
+
+    from nr_rfc_dischargeobs_spark.extensions import ann_store, similarity
+
+    m_, k_ = 16, 16
+    held = []
+
+    def _train_save(prep_part, lists, path):
+        sample = prep_part.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0
+        )
+        coarse = similarity.kmeans_lite(
+            sample, k=lists, iters=3,
+            seeds=similarity.farthest_first_seeds(sample, lists),
+        )
+        coarse_rows = sorted(
+            (int(r["vec_id"]), [int(v) for v in r["q"]])
+            for r in coarse.select("vec_id", "q").collect()
+        )
+        cb = similarity.pq_train_codebooks(
+            similarity.residualize(
+                similarity.ivf_assign_local(sample, coarse_rows),
+                coarse_rows,
+            ),
+            k=k_, m=m_, dim=64, iters=4,
+        )
+        ann_store.save_ivfadc(
+            similarity.ivf_pq_index(
+                prep_part, None, cb, m=m_, dim=64, residual=True,
+                coarse_rows=coarse_rows, assign="arrow",
+            ),
+            path, coarse_rows, cb, m=m_, dim=64,
+        )
+
+    try:
+        total = n + n // 10
+        emb = synth_clustered_embs(spark, total).persist()
+        held.append(emb)
+        emb.count()
+        prep = similarity.prepare(emb).persist()
+        held.append(prep)
+        prep.count()
+        q_raw = emb.filter(F.col("vec_id") < 256)
+        q_prep = prep.filter(F.col("vec_id") < 256)
+        base_part = prep.filter(
+            (F.col("vec_id") >= 256) & (F.col("vec_id") < n)
+        )
+        fresh_part = prep.filter(F.col("vec_id") >= n)
+        root = tempfile.mkdtemp(prefix="nr_rfc_probe_rng_")
+        base_path, fresh_path = root + "/base", root + "/fresh"
+
+        t0 = time.time()
+        _train_save(base_part, 64, base_path)
+        t["rng_base_build"] = {
+            "sec": round(time.time() - t0, 1), "rows": n - 256,
+        }
+        print(f"  {t['rng_base_build']['sec']:7.1f} s  rng_base_build",
+              file=sys.stderr)
+        ix = ann_store.load_ivfadc(base_path)
+
+        # top-k anchor: the rank-window plan this tier compares against
+        t0 = time.time()
+        anchor = ix.search(q_prep, k=10, nprobe=8)
+        n_anchor = force(anchor)
+        t["rng_topk10_np8"] = {
+            "sec": round(time.time() - t0, 1), "rows": n_anchor,
+        }
+        print(f"  {t['rng_topk10_np8']['sec']:7.1f} s  rng_topk10_np8",
+              file=sys.stderr)
+
+        # the radius: median 10th-neighbor score over the 256 queries —
+        # a bounded collect (≤ 256 rows), data-derived so the range
+        # volume is comparable across fixture regenerations
+        tenth = sorted(
+            float(r["cosine_adc"])
+            for r in anchor.filter(F.col("rank") == 10)
+            .select("cosine_adc").collect()
+        )
+        tau = round(tenth[len(tenth) // 2], 4) if tenth else 0.5
+
+        t0 = time.time()
+        n_rng = force(ix.range_search(q_prep, tau, nprobe=8))
+        t["rng_range_np8"] = {
+            "sec": round(time.time() - t0, 1), "rows": n_rng, "tau": tau,
+        }
+        print(f"  {t['rng_range_np8']['sec']:7.1f} s  rng_range_np8 "
+              f"(tau={tau}, rows={n_rng})", file=sys.stderr)
+
+        # the two-segment posture: same radius through the per-segment
+        # range + max-dedup merge (fresh segment has its OWN model)
+        t0 = time.time()
+        _train_save(fresh_part, 16, fresh_path)
+        t["rng_fresh_build"] = {
+            "sec": round(time.time() - t0, 1), "rows": n // 10,
+        }
+        print(f"  {t['rng_fresh_build']['sec']:7.1f} s  rng_fresh_build",
+              file=sys.stderr)
+        t0 = time.time()
+        n_seg = force(ann_store.range_search_segments(
+            spark, [base_path, fresh_path], q_raw, tau, nprobe=8
+        ))
+        t["rng_seg_range_np8"] = {
+            "sec": round(time.time() - t0, 1), "rows": n_seg, "tau": tau,
+        }
+        print(f"  {t['rng_seg_range_np8']['sec']:7.1f} s  "
+              f"rng_seg_range_np8 (rows={n_seg})", file=sys.stderr)
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["r13_range_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  r13 range: {str(ex)[:160]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -1456,6 +1585,11 @@ def main() -> int:
                          "delete, purge, admit, segment search, MERGE, "
                          "post-merge cost reversion, unfiltered "
                          "candidate-budget curve)")
+    ap.add_argument("--only-r13c", action="store_true",
+                    help="run ONLY the range-search tier (top-k anchor "
+                         "vs rank-window-free range pass at the "
+                         "anchor-derived radius, single-store and "
+                         "two-segment)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -1536,6 +1670,14 @@ def main() -> int:
 
     if args.only_r13:
         r13_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_r13c:
+        r13_range_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
