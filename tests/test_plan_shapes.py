@@ -62,9 +62,10 @@ def test_no_python_eval_outside_the_recurrence(spark):
     output), the gated multimodal decode, the IVF-PQ refine stage's
     Arrow re-rank kernel (dense int64 matmul — the BLAS shape; its
     native-expression twin is pinned bit-identical, so the Python node
-    is a measured choice, not a semantic one), and the round-12 real
-    PNG decode (codec work — generation + inflate/filter-reversal are
-    inherently imperative byte work, the tier's raison d'être)."""
+    is a measured choice, not a semantic one), the round-12/13 real
+    PNG decode, and the round-13 JPEG header walk (codec work —
+    generation + inflate/filter-reversal/marker parsing are inherently
+    imperative byte work, the tier's raison d'être)."""
     import __spark_entry__ as e
 
     allowed = {
@@ -73,6 +74,7 @@ def test_no_python_eval_outside_the_recurrence(spark):
         "ext_sim_ivf_pq_refined",
         "ext_mm_decode_png",
         "ext_mm_decode_png_wide",  # r13: same fixture-gen + decode pair
+        "ext_mm_jpeg_headers",  # r13: fixture-gen + marker-walk pair
     }
     offenders = []
     for name, fn in e.queries().items():
