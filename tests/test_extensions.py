@@ -1188,6 +1188,26 @@ def test_png_pixels_adam7_hand_built():
            + chunk(b"IEND", b""))
     assert png_pixels(bad) is None
 
+    # interlaced PALETTE composes for free: the Adam7 scatter operates
+    # on the index bytes BEFORE the PLTE lookup — same 5x3 lattice,
+    # index (x, y) = (x + y) % 4 into a 4-entry palette
+    idx = np.array([[(x + y) % 4 for x in range(5)] for y in range(3)],
+                   dtype=np.uint8)
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    praw = bytes(
+        [0, int(idx[0, 0])] + [0, int(idx[0, 4])] + [0, int(idx[0, 2])]
+        + [0] + [int(idx[2, x]) for x in (0, 2, 4)]
+        + [0] + [int(idx[0, x]) for x in (1, 3)]
+        + [0] + [int(idx[2, x]) for x in (1, 3)]
+        + [0] + [int(idx[1, x]) for x in range(5)]
+    )
+    phead = chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 3, 0, 0, 1))
+    pimg = (PNG_SIG + phead + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(praw)) + chunk(b"IEND", b""))
+    ppx = png_pixels(pimg)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert ppx is not None and (ppx == pal[idx]).all()
+
 
 def test_jpeg_header_hand_built_and_refusals():
     """r13 JPEG header tier: a hand-assembled marker stream parses to

@@ -651,6 +651,16 @@ def test_tvf_ivfadc_segments_matches_operator(spark, tmp_path):
     )
     assert rows(got_u) == rows(want_u) and len(rows(got_u)) > 0
 
+    # the range twin under the SAME budgeted registration: each
+    # segment's adaptive walk drives the thresholded scan too
+    got_ur = spark.sql(
+        "SELECT * FROM tvf_ivfadc_segments_range(12, 28, -1.0, 1)"
+    )
+    want_ur = ann_store.range_search_segments(
+        spark, [pa, pb], emb_q, -1.0, nprobe=1, target_candidates=8
+    )
+    assert rows(got_ur) == rows(want_ur) and len(rows(got_ur)) > 0
+
     with _pytest.raises(ValueError, match="probe_matching_only requires"):
         register_ivfadc_segments_tvf(spark, [pa, pb],
                                      probe_matching_only=True)
