@@ -641,7 +641,8 @@ def encode_png(
 
 def decode_png(blobs: DataFrame) -> DataFrame:
     """Real PNG decode over binary payloads (gray / gray+alpha / RGB /
-    palette / RGBA at depth 8; the non-palette types at depth 16 too —
+    palette / RGBA at depth 8; the non-palette types at depth 16 too;
+    sequential or Adam7-interlaced layouts —
     see :func:`png_pixels`) — the :func:`decode_bmp`
     posture for the second pure format: Arrow-batched ``mapInPandas``
     over (doc_id, blob, mime, n_bytes), each payload through
