@@ -1104,6 +1104,127 @@ def quantize_int8_stats(prepared: DataFrame) -> DataFrame:
     )
 
 
+def sq8_scales(prepared: DataFrame) -> list[int]:
+    """Train the SCALAR quantizer (FAISS ``IndexScalarQuantizer``'s
+    ``QT_8bit``-style symmetric variant): per-dimension ``m_i =
+    max|e_i|`` over the corpus — the same one-aggregate pass as
+    :func:`quantize_int8_stats`'s scale phase, returned as plain
+    Python data (dim ints — a model parameter, the
+    ``centroid_rows`` posture).  Train once, encode/search many."""
+    rows = (
+        prepared.select(F.posexplode(F.col("q")).alias("pos", "e"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("e"))).alias("m"))
+        .collect()
+    )
+    out = [0] * len(rows)
+    for r in rows:
+        out[int(r["pos"])] = int(r["m"])
+    return out
+
+
+def _sq8_scale_arr(scales: list[int]):
+    return F.array(*[F.lit(int(m)).cast("long") for m in scales])
+
+
+def sq8_codes(prepared: DataFrame, scales: list[int]) -> DataFrame:
+    """Encode the corpus onto the per-dimension int8 grid — the
+    scalar-quantization counterpart of :func:`pq_codes`: ``c_i =
+    round(e_i·127/m_i)`` (the :func:`quantize_int8_stats` spelling —
+    one double division, same IEEE op in any engine; ``m_i = 0`` is a
+    constant-zero dimension, code 0), stored as ``array<tinyint>``
+    (|c| ≤ 127 by construction since |e| ≤ m — the 8× compression is
+    the storage layout, not a claim) plus the exact reconstruction
+    norm ``r = Σ (c_i·m_i)²`` as a BIGINT column — the stored-norms
+    discipline (`rn` in the IVFADC index) so search never recomputes
+    it.  Scan-local: the scales fold in as a literal array, the corpus
+    never shuffles.
+
+    Output: (vec_id, sq8 array<tinyint>, r long)."""
+    M = _sq8_scale_arr(scales)
+    code = F.zip_with(
+        F.col("q"), M,
+        lambda e, m: F.when(m == 0, F.lit(0).cast("long")).otherwise(
+            F.round(
+                e.cast("double") * 127 / m.cast("double"), 0
+            ).cast("long")
+        ),
+    )
+    return prepared.select(
+        "vec_id",
+        F.transform(code, lambda c: c.cast("tinyint")).alias("sq8"),
+        F.aggregate(
+            F.zip_with(code, M, lambda c, m: (c * m) * (c * m)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("r"),
+    )
+
+
+def sq8_decode(codes: DataFrame, scales: list[int]) -> DataFrame:
+    """Reconstruct a :func:`prepare`-shaped frame from SQ8 codes —
+    ``q_i = c_i·m_i`` (the reconstruction scaled uniformly by 127,
+    which cancels in every cosine), ``n = r``.  The identity oracle:
+    :func:`sq8_adc_topk` is pinned bit-identical to
+    :func:`brute_force_topk` over this frame."""
+    M = _sq8_scale_arr(scales)
+    return codes.select(
+        "vec_id",
+        F.zip_with(
+            F.col("sq8"), M, lambda c, m: c.cast("long") * m
+        ).alias("q"),
+        F.col("r").alias("n"),
+    )
+
+
+def sq8_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    scales: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric top-k over the SCALAR-quantized corpus — the search
+    half of the SQ8 tier (FAISS ``IndexScalarQuantizer`` search):
+    queries stay exact, the corpus is its 1-byte-per-dim codes + the
+    stored reconstruction norm, and the score is
+    ``cosine(query, reconstruction)`` computed EXACTLY on the integer
+    grid: the numerator ``Σ q_i·c_i·m_i`` and both norms (``qn``,
+    stored ``r``) are BIGINTs, so the one double division is the same
+    IEEE op in every engine — the oracle discipline every cosine
+    kernel here shares.  Versus PQ: no codebook to train and
+    per-dimension (not per-subspace) granularity, at 1 byte/dim
+    instead of m bytes/vector — the standard first rung of the
+    compression ladder, same plan shape as :func:`pq_adc_topk`
+    (bounded query batch broadcast, codes scanned once, never
+    shuffled).  Zero-norm queries and all-zero reconstructions are
+    excluded like every cosine kernel.
+
+    Output: (query_id, neighbor_id, rank, cosine_sq8)."""
+    M = _sq8_scale_arr(scales)
+    q = queries.filter(F.col("n") > 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qarr"),
+        F.col("n").alias("qn"),
+    )
+    joined = codes.filter(F.col("r") > 0).crossJoin(F.broadcast(q))
+    w = F.zip_with(F.col("sq8"), M, lambda c, m: c.cast("long") * m)
+    ndot = F.aggregate(
+        F.zip_with(F.col("qarr"), w, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            ndot.cast("double")
+            / (F.sqrt(F.col("qn").cast("double"))
+               * F.sqrt(F.col("r").cast("double")))
+        ).alias("cosine"),
+    )
+    return _rank_topk(scored, k).withColumnRenamed("cosine", "cosine_sq8")
+
+
 def gram_stats(
     emb: DataFrame,
     dim: int,

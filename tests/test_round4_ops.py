@@ -2592,3 +2592,61 @@ def test_ivf_pq_refine_zero_norm_and_validation(spark):
     for kernel in ("arrow", "native"):
         out = ivf_pq_refine(cand, queries, corpus, k=2, kernel=kernel).collect()
         assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(2, 10)}
+
+
+# ---------------------------------------------------------------- sq8 tier
+
+
+def test_sq8_search_equals_brute_force_over_reconstruction(spark):
+    """The SQ8 identity oracle (round 13): sq8_adc_topk is bit-identical
+    to brute_force_topk over the decoded reconstruction (codes carry
+    the uniform-127 scaling, which cancels in every cosine) — so the
+    only approximation is the quantization itself, and the score math
+    shares the exact-integer one-division discipline.  Structural
+    pins: |code| <= 127 on every dimension (the tinyint layout cannot
+    wrap), a constant-zero dimension encodes to 0, and a zero-norm
+    reconstruction is excluded like every cosine kernel."""
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        brute_force_topk, prepare, sq8_adc_topk, sq8_codes, sq8_decode,
+        sq8_scales,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        v = rng.uniform(-1, 1, size=8)
+        v[5] = 0.0  # dimension 5 is constant zero across the corpus
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [0.0] * 8))  # all-zero corpus vector: excluded
+    emb = _emb(spark, rows)
+    prep = prepare(emb)
+    corpus = prep.filter(F.col("vec_id") >= 10)
+    queries = prep.filter(F.col("vec_id") < 10)
+
+    scales = sq8_scales(corpus)
+    assert len(scales) == 8 and scales[5] == 0
+    codes = sq8_codes(corpus, scales)
+
+    # tinyint layout is safe by construction: |c| <= 127 everywhere,
+    # and the constant-zero dimension encodes to 0
+    mx = codes.select(
+        F.max(F.array_max(
+            F.transform(F.col("sq8"), lambda c: F.abs(c.cast("long")))
+        )).alias("m")
+    ).collect()[0]["m"]
+    assert mx <= 127
+    assert codes.filter(
+        F.element_at(F.col("sq8"), 6).cast("long") != 0
+    ).count() == 0
+
+    got = sorted(map(tuple, sq8_adc_topk(queries, codes, scales,
+                                         k=5).collect()))
+    want = sorted(map(tuple, brute_force_topk(
+        queries, sq8_decode(codes, scales), k=5
+    ).withColumnRenamed("cosine", "cosine_sq8").collect()))
+    assert got == want and got
+
+    # the all-zero vector reconstructs to r = 0 and never ranks
+    assert all(r[1] != 100 for r in got)
