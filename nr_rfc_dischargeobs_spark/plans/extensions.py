@@ -2090,6 +2090,73 @@ FROM err GROUP BY vec_id
 """
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-quantized search (round 13) — the FAISS
+    ``IndexScalarQuantizer`` rung of the compression ladder, below
+    PQ: train per-dimension symmetric scales ``m_i = max|e_i|`` over
+    the corpus (one aggregate — the model is dim ints), encode every
+    vector to 1-byte-per-dim codes ``c_i = round(e_i·127/m_i)`` with
+    the exact reconstruction norm stored alongside
+    (:func:`~..extensions.similarity.sq8_codes`), and search with
+    exact queries against reconstructions
+    (:func:`~..extensions.similarity.sq8_adc_topk`): numerator
+    ``Σ q_i·c_i·m_i`` and both norms are BIGINTs, so the score is the
+    shared one-double-division discipline and the DuckDB twin runs
+    the identical train→encode→search chain.  Pinned in tests:
+    bit-identical to brute force over the decoded reconstruction
+    (:func:`~..extensions.similarity.sq8_decode`).  No codebook to
+    train, per-dimension granularity — the audit row
+    (``ext_sim_quantize_int8``) measures this tier's reconstruction
+    error; this row runs its search."""
+    emb = load(spark, sf_dir, "embeddings")
+    prep = similarity.prepare(emb)
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    scales = similarity.sq8_scales(corpus)
+    codes = similarity.sq8_codes(corpus, scales)
+    return similarity.sq8_adc_topk(queries, codes, scales, k=3)
+
+
+SIM_SQ8_TOPK_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), mx AS (
+  SELECT i, MAX(abs(e)) AS m FROM u WHERE vec_id >= 28 GROUP BY 1
+), code AS (
+  SELECT u.vec_id, u.i, mx.m,
+         CASE WHEN mx.m = 0 THEN 0
+              ELSE CAST(ROUND(CAST(u.e AS DOUBLE) * 127
+                              / CAST(mx.m AS DOUBLE), 0) AS BIGINT)
+         END AS c
+  FROM u JOIN mx ON u.i = mx.i WHERE u.vec_id >= 28
+), r AS (
+  SELECT vec_id, SUM(c * m * c * m) AS r FROM code GROUP BY 1
+), uq AS (
+  SELECT vec_id, e, i FROM u WHERE vec_id >= 12 AND vec_id < 28
+), nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+nd AS (
+  SELECT uq.vec_id AS query_id, code.vec_id AS neighbor_id,
+         SUM(uq.e * code.c * code.m) AS ndot
+  FROM uq JOIN code ON uq.i = code.i GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(ndot AS DOUBLE)
+           / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(r.r AS DOUBLE)))
+           AS cosine_sq8
+  FROM nd JOIN nq ON query_id = nq.vec_id
+  JOIN r ON neighbor_id = r.vec_id
+  WHERE nq.n > 0 AND r.r > 0
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sq8 DESC, neighbor_id ASC)
+            AS INT) AS rank,
+       cosine_sq8
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def sim_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA / OPQ-rotation training aggregate: exact integer covariance
     sufficient statistics (n, Σqᵢ, Σqᵢqⱼ per dimension pair i ≤ j) over
