@@ -1545,6 +1545,66 @@ def r13_range_tier(spark, t: dict, n: int) -> None:
             df.unpersist()
 
 
+def sq8_tier(spark, t: dict, n: int) -> None:
+    """SQ8 at scale (round 13): the scalar-quantizer rung measured on
+    the RANDOM 1M fixture (the honest recall shape — clustered recall
+    saturates).  Train (one aggregate), encode (scan-local tinyint
+    codes + stored norms), then flat search 256 exact queries against
+    the full reconstructed corpus — no coarse pruning, so the search
+    cost is the 1-byte/dim full-scan price and the recall ceiling of
+    the 8-bit grid itself, the number that brackets every IVF-SQ
+    composition from above."""
+    from nr_rfc_dischargeobs_spark.extensions import similarity
+
+    held = []
+    try:
+        prep = similarity.prepare(synth_random_embs(spark, n)).persist()
+        held.append(prep)
+        prep.count()
+        queries = prep.filter(F.col("vec_id") < 256)
+        corpus = prep.filter(F.col("vec_id") >= 256)
+
+        t0 = time.time()
+        scales = similarity.sq8_scales(corpus)
+        t["sq8_train"] = {"sec": round(time.time() - t0, 1),
+                          "dims": len(scales)}
+        print(f"  {t['sq8_train']['sec']:7.1f} s  sq8_train",
+              file=sys.stderr)
+
+        t0 = time.time()
+        codes = similarity.sq8_codes(corpus, scales).persist()
+        held.append(codes)
+        n_codes = codes.count()
+        t["sq8_encode"] = {"sec": round(time.time() - t0, 1),
+                           "rows": n_codes}
+        print(f"  {t['sq8_encode']['sec']:7.1f} s  sq8_encode",
+              file=sys.stderr)
+
+        exact10 = similarity.brute_force_topk_arrow(
+            queries, corpus, k=10
+        ).persist()
+        held.append(exact10)
+        exact10.count()
+
+        t0 = time.time()
+        got = similarity.sq8_adc_topk(queries, codes, scales, k=10)
+        r = round(similarity.ann_recall(got, exact10).agg(
+            F.avg("recall").alias("r")
+        ).collect()[0].r, 4)
+        t["sq8_search_flat"] = {
+            "sec": round(time.time() - t0, 1),
+            "mean_recall_at_10": r,
+        }
+        print(f"  {t['sq8_search_flat']['sec']:7.1f} s  recall@10 {r}"
+              f"  sq8_search_flat", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001 — isolate the tier
+        t["sq8_error"] = str(ex).splitlines()[0][:200]
+        print(f"  FAILED  sq8: {str(ex)[:160]}", file=sys.stderr)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -1590,6 +1650,10 @@ def main() -> int:
                          "vs rank-window-free range pass at the "
                          "anchor-derived radius, single-store and "
                          "two-segment)")
+    ap.add_argument("--only-sq8", action="store_true",
+                    help="run ONLY the SQ8 scalar-quantizer tier "
+                         "(train/encode/flat-search cost + the 8-bit "
+                         "grid's recall ceiling on the random fixture)")
     args = ap.parse_args()
 
     from nr_rfc_dischargeobs_spark.extensions import (
@@ -1678,6 +1742,14 @@ def main() -> int:
 
     if args.only_r13c:
         r13_range_tier(spark, t, args.adc_vecs)
+        out = json.dumps(results)
+        print(out)
+        if args.out:
+            Path(args.out).write_text(out)
+        return 0
+
+    if args.only_sq8:
+        sq8_tier(spark, t, args.adc_vecs)
         out = json.dumps(results)
         print(out)
         if args.out:
