@@ -1127,7 +1127,10 @@ def _sq8_scale_arr(scales: list[int]):
     return F.array(*[F.lit(int(m)).cast("long") for m in scales])
 
 
-def sq8_codes(prepared: DataFrame, scales: list[int]) -> DataFrame:
+def sq8_codes(
+    prepared: DataFrame, scales: list[int],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Encode the corpus onto the per-dimension int8 grid — the
     scalar-quantization counterpart of :func:`pq_codes`: ``c_i =
     round(e_i·127/m_i)`` (the :func:`quantize_int8_stats` spelling —
@@ -1138,9 +1141,10 @@ def sq8_codes(prepared: DataFrame, scales: list[int]) -> DataFrame:
     norm ``r = Σ (c_i·m_i)²`` as a BIGINT column — the stored-norms
     discipline (`rn` in the IVFADC index) so search never recomputes
     it.  Scan-local: the scales fold in as a literal array, the corpus
-    never shuffles.
+    never shuffles.  ``keep`` passes extra columns through (the IVF
+    composition keeps ``list_id``).
 
-    Output: (vec_id, sq8 array<tinyint>, r long)."""
+    Output: (vec_id[, *keep], sq8 array<tinyint>, r long)."""
     M = _sq8_scale_arr(scales)
     code = F.zip_with(
         F.col("q"), M,
@@ -1152,6 +1156,7 @@ def sq8_codes(prepared: DataFrame, scales: list[int]) -> DataFrame:
     )
     return prepared.select(
         "vec_id",
+        *keep,
         F.transform(code, lambda c: c.cast("tinyint")).alias("sq8"),
         F.aggregate(
             F.zip_with(code, M, lambda c, m: (c * m) * (c * m)),
@@ -1200,13 +1205,20 @@ def sq8_adc_topk(
     excluded like every cosine kernel.
 
     Output: (query_id, neighbor_id, rank, cosine_sq8)."""
-    M = _sq8_scale_arr(scales)
     q = queries.filter(F.col("n") > 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qarr"),
         F.col("n").alias("qn"),
     )
     joined = codes.filter(F.col("r") > 0).crossJoin(F.broadcast(q))
+    return _sq8_score_rank(joined, scales, k)
+
+
+def _sq8_score_rank(joined: DataFrame, scales: list[int], k: int) -> DataFrame:
+    """The shared SQ8 scoring tail — (query, code) pairs in, ranked
+    reconstructed cosine out; :func:`sq8_adc_topk` feeds it the full
+    cross product, :func:`ivf_sq8_topk` only the probed lists."""
+    M = _sq8_scale_arr(scales)
     w = F.zip_with(F.col("sq8"), M, lambda c, m: c.cast("long") * m)
     ndot = F.aggregate(
         F.zip_with(F.col("qarr"), w, lambda a, b: a * b),
@@ -1223,6 +1235,62 @@ def sq8_adc_topk(
         ).alias("cosine"),
     )
     return _rank_topk(scored, k).withColumnRenamed("cosine", "cosine_sq8")
+
+
+def ivf_sq8_index(
+    prepared: DataFrame,
+    coarse_rows: list[tuple[int, list[int]]],
+    scales: list[int],
+) -> DataFrame:
+    """IVF-SQ8 index build — the :func:`ivf_pq_index` posture with the
+    scalar quantizer as the code tier: shuffle-free coarse assignment
+    (:func:`ivf_assign_local` — centroids folded into literal argmin
+    expressions) composed with the scan-local SQ8 encode
+    (:func:`sq8_codes` keeping ``list_id``), so the whole build is one
+    pass over the corpus with zero exchanges.  Store it
+    ``partitionBy("list_id")`` like every inverted index here and
+    partition pruning applies before the probe join.
+
+    Output: (vec_id, list_id, sq8 array<tinyint>, r long)."""
+    return sq8_codes(
+        ivf_assign_local(prepared, coarse_rows), scales,
+        keep=("list_id",),
+    )
+
+
+def ivf_sq8_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse_centroids: DataFrame,
+    scales: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-SQ8 search — FAISS ``IndexIVFScalarQuantizer``: each query
+    probes its ``nprobe`` nearest inverted lists (:func:`ivf_assign`
+    on the tiny query side, coarse centroids broadcast) and scores
+    only those lists' 1-byte/dim codes against the exact query — the
+    :func:`ivf_pq_topk` plan shape (index never shuffles, probe side
+    broadcast, unique (query, code) pairs by construction) with the
+    scalar tier's near-lossless grid (recall ceiling ~0.99@10 at 1M,
+    SCALE_PROBE ``sq8_*``) in place of the trained codebook.
+    ``nprobe`` ≥ the list count returns :func:`sq8_adc_topk`'s answer
+    exactly (the recall-oracle identity, pinned in tests).
+
+    Output: (query_id, neighbor_id, rank, cosine_sq8)."""
+    index = _index_barrier(index, "ivf_sq8_topk")
+    q = (
+        ivf_assign(queries, coarse_centroids, nprobe, None)
+        .filter(F.col("n") > 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qarr"),
+            F.col("n").alias("qn"),
+            "list_id",
+        )
+    )
+    joined = index.filter(F.col("r") > 0).join(F.broadcast(q), "list_id")
+    return _sq8_score_rank(joined, scales, k)
 
 
 def gram_stats(

@@ -2650,3 +2650,51 @@ def test_sq8_search_equals_brute_force_over_reconstruction(spark):
 
     # the all-zero vector reconstructs to r = 0 and never ranks
     assert all(r[1] != 100 for r in got)
+
+
+def test_ivf_sq8_full_probe_equals_flat_sq8(spark):
+    """The recall-oracle identity for the IVF-SQ8 composition: probing
+    EVERY list returns exactly the flat sq8_adc_topk answer — the
+    coarse tier only prunes, the scalar grid is untouched.  And the
+    build is the documented one-pass shape: (vec_id, list_id, tinyint
+    codes, stored norm)."""
+    import numpy as np
+
+    from nr_rfc_dischargeobs_spark.extensions.similarity import (
+        ivf_sq8_index, ivf_sq8_topk, prepare, sq8_adc_topk, sq8_scales,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, size=8)])
+            for i in range(60)]
+    emb = _emb(spark, rows)
+    prep = prepare(emb)
+    coarse = prep.filter(F.col("vec_id") < 4)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
+    corpus = prep.filter(F.col("vec_id") >= 10)
+    queries = prep.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 10))
+
+    scales = sq8_scales(corpus)
+    index = ivf_sq8_index(corpus, coarse_rows, scales)
+    assert set(index.columns) == {"vec_id", "list_id", "sq8", "r"}
+
+    full = sorted(map(tuple, ivf_sq8_topk(
+        queries, index, coarse, scales, k=5, nprobe=4
+    ).collect()))
+    flat = sorted(map(tuple, sq8_adc_topk(
+        queries, index.drop("list_id"), scales, k=5
+    ).collect()))
+    assert full == flat and full
+
+    # pruning at nprobe=1: every slate still full (each query finds
+    # candidates in its own nearest list), every neighbor comes from
+    # the probed list only
+    pruned = ivf_sq8_topk(queries, index, coarse, scales, k=2, nprobe=1)
+    per_q = {}
+    for r in pruned.collect():
+        per_q.setdefault(int(r["query_id"]), []).append(int(r["rank"]))
+    assert per_q and all(sorted(v) == list(range(1, len(v) + 1))
+                         for v in per_q.values())
