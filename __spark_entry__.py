@@ -64,12 +64,12 @@ def _ordered_sql(sql: str) -> str:
 
 # Round-13 driver window (dict ORDER is part of the driver contract:
 # the correctness gate checks the FIRST 50 entries).  Leads with the
-# eight queries new this round, then rotates in the below-window
+# nine queries new this round, then rotates in the below-window
 # stalest witnesses: the r9 remainder (3) plus the r10-witnessed block
-# minus its alphabetical tail (39 of 44 — `ts_spike_flags`,
+# minus its alphabetical tail (38 of 44 — `ts_spike_flags`,
 # `ts_trapezoid_volume`, `ts_percentile_summary`, `ts_moving_avg_1h`,
-# and `ts_interpolate_hourly` keep their green r10 witnesses and lead
-# the r14 rotation).  Everything displaced carries an r11/r12 green
+# `ts_interpolate_hourly`, and `ts_dow_hour_profile` keep their green
+# r10 witnesses and lead the r14 rotation).  Everything displaced carries an r11/r12 green
 # witness, so the union invariant (CORRECTNESS_r01..r13 covers every
 # registered query with a green latest witness) is preserved; displaced
 # queries are re-verified locally via tools/check_oracle.py each round.
@@ -82,6 +82,7 @@ _R13_WINDOW = [
     "ext_mm_decode_png_wide",
     "ext_mm_jpeg_headers",
     "ext_sim_sq8_topk",
+    "ext_sim_ivf_sq8_topk",
     # --- the r9 remainder: the three oldest witnesses anywhere ---
     "ext_sketch_hist_quantiles",
     "ext_sketch_hll_vocab",
@@ -125,7 +126,6 @@ _R13_WINDOW = [
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "ts_completeness_daily",
-    "ts_dow_hour_profile",
 ]
 
 
@@ -169,6 +169,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_mm_decode_png_wide": extensions.mm_decode_png_wide,
         "ext_mm_jpeg_headers": extensions.mm_jpeg_headers,
         "ext_sim_sq8_topk": extensions.sim_sq8_topk,
+        "ext_sim_ivf_sq8_topk": extensions.sim_ivf_sq8_topk,
         # --- r12 heads ---
         "ext_sim_ivfadc_segments": extensions.sim_ivfadc_segments,
         "ext_sim_ivfadc_deleted": extensions.sim_ivfadc_deleted,
@@ -430,6 +431,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ext_mm_decode_png_wide": extensions.MM_DECODE_PNG_WIDE_SQL,
         "ext_mm_jpeg_headers": extensions.MM_JPEG_HEADERS_SQL,
         "ext_sim_sq8_topk": extensions.SIM_SQ8_TOPK_SQL,
+        "ext_sim_ivf_sq8_topk": extensions.SIM_IVF_SQ8_TOPK_SQL,
         "ext_mm_decode_png": extensions.MM_DECODE_PNG_SQL,
         "ext_sim_pq_train_codebook": extensions.SIM_PQ_TRAIN_CODEBOOK_SQL,
         "ext_dedup_incremental": extensions.DEDUP_INCREMENTAL_SQL,

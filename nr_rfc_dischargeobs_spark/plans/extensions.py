@@ -2157,6 +2157,104 @@ QUALIFY rank <= 3
 """
 
 
+def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 search (round 13) — FAISS ``IndexIVFScalarQuantizer``,
+    the coarse tier composed onto the scalar grid: corpus assigned to
+    4 inverted lists (coarse = vec_id 8–12, the shuffle-free literal
+    argmin build), encoded 1 byte/dim with stored reconstruction norms
+    (:func:`~..extensions.similarity.ivf_sq8_index` — one pass, zero
+    exchanges), queries probe nprobe=2 of the 4 lists and score only
+    those lists' codes
+    (:func:`~..extensions.similarity.ivf_sq8_topk`).  Versus the flat
+    `ext_sim_sq8_topk` row this adds the Σ|probed lists| pruning —
+    FAISS's IVF-SQ — and versus IVF-PQ it trades the trained codebook
+    for the near-lossless per-dimension grid (recall ceiling 0.9891@10
+    at 1M, SCALE_PROBE ``sq8_*``).  nprobe ≥ list count ≡ the flat
+    row exactly (pinned in tests); the DuckDB twin runs the identical
+    assign→train→encode→probe→score chain."""
+    emb = load(spark, sf_dir, "embeddings")
+    prep = similarity.prepare(emb)
+    coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
+    corpus = prep.filter(F.col("vec_id") >= 28)
+    queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
+    scales = similarity.sq8_scales(corpus)
+    index = similarity.ivf_sq8_index(corpus, coarse_rows, scales)
+    return similarity.ivf_sq8_topk(
+        queries, index, coarse, scales, k=3, nprobe=2
+    )
+
+
+SIM_IVF_SQ8_TOPK_SQL = f"""
+WITH u AS (
+{_UNNEST_Q.format(pred="TRUE")}
+), co AS (
+  SELECT vec_id AS lid, e AS le, i FROM u
+  WHERE vec_id >= 8 AND vec_id < 12
+), nco AS (SELECT lid, SUM(le * le) AS ln FROM co GROUP BY 1),
+uu AS (SELECT vec_id, e, i FROM u WHERE vec_id >= 28),
+nc AS (SELECT vec_id, SUM(e * e) AS n FROM uu GROUP BY 1),
+uq AS (SELECT vec_id, e, i FROM u WHERE vec_id >= 12 AND vec_id < 28),
+nq AS (SELECT vec_id, SUM(e * e) AS n FROM uq GROUP BY 1),
+ca AS (
+  SELECT uu.vec_id, co.lid, nc.n + nco.ln - 2 * SUM(uu.e * co.le) AS d
+  FROM uu JOIN co ON uu.i = co.i
+  JOIN nc ON uu.vec_id = nc.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY 1, 2, nc.n, nco.ln
+), corpus_list AS (
+  SELECT vec_id, lid FROM ca
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) = 1
+), mx AS (
+  SELECT i, MAX(abs(e)) AS m FROM uu GROUP BY 1
+), code AS (
+  SELECT uu.vec_id, uu.i, mx.m,
+         CASE WHEN mx.m = 0 THEN 0
+              ELSE CAST(ROUND(CAST(uu.e AS DOUBLE) * 127
+                              / CAST(mx.m AS DOUBLE), 0) AS BIGINT)
+         END AS c
+  FROM uu JOIN mx ON uu.i = mx.i
+), r AS (
+  SELECT vec_id, SUM(c * m * c * m) AS r FROM code GROUP BY 1
+), qa AS (
+  SELECT uq.vec_id, co.lid, nq.n + nco.ln - 2 * SUM(uq.e * co.le) AS d
+  FROM uq JOIN co ON uq.i = co.i
+  JOIN nq ON uq.vec_id = nq.vec_id
+  JOIN nco ON co.lid = nco.lid
+  GROUP BY 1, 2, nq.n, nco.ln
+), query_probe AS (
+  SELECT vec_id AS query_id, lid FROM qa
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) <= 2
+), nd AS (
+  SELECT qp.query_id, cl.vec_id AS neighbor_id,
+         SUM(uq.e * code.c * code.m) AS ndot
+  FROM query_probe qp
+  JOIN corpus_list cl ON qp.lid = cl.lid
+  JOIN code ON code.vec_id = cl.vec_id
+  JOIN uq ON uq.vec_id = qp.query_id AND uq.i = code.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT nd.query_id, nd.neighbor_id,
+         CAST(ndot AS DOUBLE)
+           / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(r.r AS DOUBLE)))
+           AS cosine_sq8
+  FROM nd JOIN nq ON nd.query_id = nq.vec_id
+  JOIN r ON nd.neighbor_id = r.vec_id
+  WHERE nq.n > 0 AND r.r > 0
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sq8 DESC, neighbor_id ASC)
+            AS INT) AS rank,
+       cosine_sq8
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def sim_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA / OPQ-rotation training aggregate: exact integer covariance
     sufficient statistics (n, Σqᵢ, Σqᵢqⱼ per dimension pair i ≤ j) over
