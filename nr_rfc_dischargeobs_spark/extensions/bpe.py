@@ -9,11 +9,12 @@ symbol pairs, merge the most frequent everywhere, repeat.  The engine
 shape that keeps it cheap is the classic trainer trick lifted to Spark:
 
 - the corpus is scanned ONCE, into the (token, count) vocabulary
-  aggregate — all later work runs on that bounded table (persisted;
-  at web scale it is millions of rows where the corpus is billions);
-- each iteration is one vocabulary-scale aggregation (adjacent-pair
-  counts weighted by token count, map-side combined) whose argmax —
-  ONE row — is the only thing the driver ever collects;
+  aggregate — all later work runs on that bounded table (at web scale
+  it is millions of rows where the corpus is billions);
+- the merge loop runs on the DRIVER over the collected vocabulary
+  (one model-scale collect — exactly the working set the reference
+  trainer's get_stats holds), so ``n_merges`` costs zero extra Spark
+  jobs instead of one sequential job per merge (see ``_train``);
 - applying a merge is a scan-local string ``replace``: symbols are
   bracket-wrapped (``hello`` → ``<h><e><l><l><o>``) so the pattern
   ``<a><b>`` → ``<ab>`` matches exactly at symbol boundaries, and
@@ -26,11 +27,10 @@ Pair counting follows the reference algorithm: overlapping occurrences
 all count (``aaaa`` contributes 3 to (a,a)), ties break deterministically
 by (count DESC, left ASC, right ASC) in binary collation.
 
-Cost model: ``n_merges`` vocabulary-scale jobs.  The registered-query
-dial (≤ a few dozen merges) is corpus analysis — subword statistics,
-vocabulary-growth curves; a production 30k-merge training run would
-batch iterations differently, which is out of scope and stated here
-rather than hidden.
+Cost model: ONE corpus-scale aggregation + one vocabulary-scale
+collect, then driver-local training — n_merges no longer multiplies
+Spark jobs, so a production 30k-merge run costs the same cluster work
+as a 12-merge one.
 
 Tokens are restricted to ``token_pattern`` (default lowercase
 alphanumeric) so the ``<``/``>`` sentinels can never collide with
@@ -64,31 +64,6 @@ def _vocab(docs: DataFrame, text: str, token_pattern: str) -> DataFrame:
     )
 
 
-def _pair_counts(state: DataFrame) -> DataFrame:
-    """Adjacent-pair counts over the current symbolization, weighted by
-    token count (overlapping occurrences all count — the reference
-    algorithm's get_stats)."""
-    sy = F.split(F.expr("trim(BOTH '<>' FROM syms)"), "><")
-    pairs = state.select(
-        "cnt",
-        F.explode(
-            F.when(
-                F.size(sy) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(sy) - 1),
-                    lambda i: F.struct(
-                        F.element_at(sy, i).alias("a"),
-                        F.element_at(sy, i + 1).alias("b"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        ).alias("p"),
-    )
-    return pairs.groupBy(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    ).agg(F.sum("cnt").alias("c"))
-
-
 def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
     return state.withColumn(
         "syms",
@@ -103,34 +78,62 @@ def _train(
     n_merges: int,
     text: str,
     token_pattern: str,
-    cache_registry: list | None,
+    cache_registry: list | None,  # kept for API compat; nothing persists
 ) -> tuple[list[tuple], DataFrame, DataFrame]:
     """Shared loop: returns (merge rows, final symbolized vocabulary,
-    the PERSISTED base-vocab handle).  The vocabulary persists once
-    (the corpus never re-scans); each iteration's argmax is the one
-    driver-side collect — n_merges rows total, the algorithm's own
-    model state, not a data spill.  The handle comes back separately
-    because the final state is a withColumn chain DERIVED from it —
-    `state.unpersist()` would be a silent no-op (CacheManager matches
-    by sameResult, not lineage), leaking the cache for the session."""
+    the base-vocab frame).
+
+    OPTIMIZATION r13 (guide §1.2 step 1 — fix the distributed
+    algorithm): the merge loop runs ON THE DRIVER over the collected
+    ``(cnt, syms)`` vocabulary aggregate instead of one Spark job per
+    merge.  The per-merge distributed argmax was ``n_merges``
+    SEQUENTIAL driver jobs (scan cached vocab → explode pairs →
+    shuffle → top-1), each paying full job latency for a one-row
+    answer — 23 jobs / ~2.9 s per BPE query at sf0.1, and at any scale
+    n_merges round-trips that cannot overlap.  The corpus-scale work —
+    tokenize + count into the vocabulary — still runs in Spark (one
+    aggregation, map-side combined); what moves to the driver is
+    exactly the working set the reference BPE trainer (Sennrich et
+    al.'s ``get_stats``/``merge_vocab``) holds in memory: the distinct-
+    token table, Θ(|vocab|) strings, bounded by language vocabulary
+    growth, not corpus size.  At fleet scale, bound it explicitly with
+    a frequency floor on the vocab aggregate before training.
+
+    The local loop replicates the distributed spelling exactly: pair
+    extraction is ``syms.strip('<>').split('><')`` (≡ SQL ``trim(BOTH
+    '<>')`` + ``split('><')``), overlapping pairs all count, argmax
+    ties break (count DESC, left ASC, right ASC) in binary collation
+    (ASCII ⊂ both engines' orderings), and the merge applies via
+    ``str.replace`` — the same left-to-right non-overlapping semantics
+    as ``F.replace``/DuckDB ``replace``.  The returned ``state`` frame
+    re-derives the vocab scan lazily with the learned merges as chained
+    scan-local replaces — zero extra jobs until a caller evaluates it.
+    """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    vocab = _vocab(docs, text, token_pattern).persist()
-    if cache_registry is not None:
-        cache_registry.append(vocab)
-    state = vocab
+    vocab = _vocab(docs, text, token_pattern)
+    local = [
+        (int(r["cnt"]), r["syms"])
+        for r in vocab.select("cnt", "syms").collect()
+    ]
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        best = (
-            _pair_counts(state)
-            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, syms in local:
+            parts = syms.strip("<>").split("><")
+            for i in range(len(parts) - 1):
+                key = (parts[i], parts[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        if not counts:
             break
-        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((r, a, b, a + b, c))
+        pat, rep = f"<{a}><{b}>", f"<{a}{b}>"
+        local = [(cnt, syms.replace(pat, rep)) for cnt, syms in local]
+    state = vocab
+    for _, a, b, _m, _c in merges:
         state = _apply_merge(state, a, b)
     return merges, state, vocab
 
@@ -145,13 +148,9 @@ def bpe_merges(
     """The learned merge table — BPE's model artifact: (rank, left_sym,
     right_sym, merged, pair_count), rank in learning order.  Fewer than
     ``n_merges`` rows when the corpus runs out of adjacent pairs."""
-    merges, _state, vocab = _train(
+    merges, _state, _vocab_frame = _train(
         docs, n_merges, text, token_pattern, cache_registry
     )
-    if cache_registry is None:
-        # training is done (the merges are collected); release the
-        # CORRECT handle — the persisted base vocab, not a derived frame
-        vocab.unpersist()
     return docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
 
 
@@ -166,25 +165,16 @@ def bpe_segment_vocab(
     resulting segmentation: (token, cnt, n_subwords, segmentation) with
     subwords space-joined — the fertility audit (subwords per token)
     that decides whether the merge budget is big enough."""
-    _, state, vocab = _train(
+    _, state, _vocab_frame = _train(
         docs, n_merges, text, token_pattern, cache_registry
     )
     sy = F.split(F.expr("trim(BOTH '<>' FROM syms)"), "><")
-    out = state.select(
+    return state.select(
         "token",
         "cnt",
         F.size(sy).alias("n_subwords"),
         F.array_join(sy, " ").alias("segmentation"),
     )
-    if cache_registry is None:
-        # release the persisted base vocab NOW (the correct handle —
-        # see _train): training already used it n_merges times; the
-        # returned frame recomputes the vocab scan once on evaluation,
-        # the honest trade against leaking a session-lifetime cache
-        # entry.  Pass a registry to keep the cached shape through
-        # evaluation and release it later.
-        vocab.unpersist()
-    return out
 
 
 def segment_tokens(

@@ -65,13 +65,28 @@ def curate_corpus(
       template spam (low tail) in one screen; one combine-friendly
       aggregation keyed by doc.
     """
-    quality = tx.quality_scores(docs, text=text, doc_id=doc_id)
-    gated_ids = quality.filter(
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("uniq_ratio") >= min_uniq)
-    ).select(doc_id, "n_words", "uniq_ratio")
-    gated = docs.join(gated_ids, doc_id)
+    # r13 (guide §2.4): the gate signals are scan-local expressions over
+    # ``text``, so compute them ON the docs scan and filter in place.
+    # The previous quality_scores(docs) ⋈ docs spelling read the corpus
+    # twice and paid a doc_id-keyed join to re-attach columns the scan
+    # already had in hand (measured: 2 scans + 1 BHJ → 1 scan, 0 join).
+    # Same expressions as tx.quality_scores — same integers, same
+    # uniq_ratio division (int size, double cast) — so the kept-row set
+    # and output values are bit-identical.
+    toks = tx._tokens(F.col(text))
+    n_words_raw = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    gated = (
+        docs.withColumn("n_words", n_words_raw.cast("long"))
+        .withColumn(
+            "uniq_ratio", n_distinct.cast("double") / n_words_raw
+        )
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("uniq_ratio") >= min_uniq)
+        )
+    )
     if classifier_min_score is not None:
         clf_ids = (
             tx.hash_classifier(gated, text=text, doc_id=doc_id)

@@ -518,11 +518,18 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    # LAZY checkpoint (r13, guide §1.2/§2.4 — fewer driver jobs per
+    # round): labels here and new_labels below are marked for
+    # checkpoint but materialized by the round's own convergence-check
+    # action, so each round runs ONE job (join + agg + changed-probe)
+    # instead of two (eager materialize, then the probe).  Lineage
+    # truncation is identical — after the first action the frame reads
+    # from the checkpointed RDD.
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         msgs = sym.join(
@@ -532,7 +539,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -618,13 +625,16 @@ def connected_components_star(
     # node universe BEFORE self-loop removal: a node whose only edge is
     # a self-loop must still appear in the output (as its own singleton
     # component), exactly as the min-label variant labels it
+    # LAZY checkpoint + count (r13, guide §1.2 — one job, not two): the
+    # count materializes the checkpoint; lineage truncation afterwards
+    # is identical to the eager spelling.  Same fusion per round below.
     nodes = (
         raw.select(F.col("x").alias("node"))
         .unionByName(raw.select(F.col("y").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    e = _canon_edges(raw).localCheckpoint(eager=True)
+    e = _canon_edges(raw).localCheckpoint(eager=False)
     n_edges = e.count()
     for _ in range(max_iter):
         # --- large-star: v > u attaches to min(Γ(u) ∪ {u}) ---
@@ -653,7 +663,7 @@ def connected_components_star(
         )
         selfs = smin.select(F.col("b").alias("x"), F.col("m").alias("y"))
         e2 = _canon_edges(children.unionByName(selfs)).localCheckpoint(
-            eager=True
+            eager=False
         )
         # --- converged when the edge set is a fixed point (exactly the
         # star-forest state: both operations are idempotent on it) ---

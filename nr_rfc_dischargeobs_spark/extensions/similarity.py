@@ -537,8 +537,10 @@ def kmeans_lite(
     """
     from ..functions import exact
 
-    if assign not in ("window", "arrow"):
-        raise ValueError(f"assign must be 'window' or 'arrow', got {assign!r}")
+    if assign not in ("window", "arrow", "local"):
+        raise ValueError(
+            f"assign must be 'window', 'arrow' or 'local', got {assign!r}"
+        )
     if seeds is not None:
         if len(seeds) != k:
             # fail loudly: silently training len(seeds) clusters while
@@ -580,6 +582,20 @@ def kmeans_lite(
             assigned = ivf_assign_arrow(prepared, cent_rows, 1).select(
                 "vec_id", "q", F.col("list_id").alias("cid")
             )
+        elif assign == "local":
+            # r13: collect the k centroids (model scale) and fold them
+            # into literal argmin expressions — the corpus assignment
+            # stays in its scan, no crossJoin, no per-vector window
+            # exchange (guide §2.4).  Identical assignments: same exact
+            # int64 distances, same smaller-cid tie-break (the pinned
+            # ivf_assign ≡ ivf_assign_local identity).
+            cent_rows = [
+                (int(r["cid"]), [int(v) for v in r["cq"]])
+                for r in cents.select("cid", "cq").collect()
+            ]
+            assigned = ivf_assign_local(
+                prepared.select("vec_id", "q", "n"), cent_rows
+            ).select("vec_id", "q", F.col("list_id").alias("cid"))
         else:
             scored = prepared.crossJoin(F.broadcast(cents)).select(
                 "vec_id",
@@ -1265,6 +1281,7 @@ def ivf_sq8_topk(
     scales: list[int],
     k: int = 3,
     nprobe: int = 2,
+    coarse_rows: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF-SQ8 search — FAISS ``IndexIVFScalarQuantizer``: each query
     probes its ``nprobe`` nearest inverted lists (:func:`ivf_assign`
@@ -1279,8 +1296,14 @@ def ivf_sq8_topk(
 
     Output: (query_id, neighbor_id, rank, cosine_sq8)."""
     index = _index_barrier(index, "ivf_sq8_topk")
+    # probe side (r13): literal-fold top-nprobe when the coarse rows are
+    # in hand — same swap as ivf_pq_topk (guide §2.4, no probe exchange)
     q = (
-        ivf_assign(queries, coarse_centroids, nprobe, None)
+        (
+            ivf_assign_local(queries, coarse_rows, nprobe)
+            if coarse_rows is not None
+            else ivf_assign(queries, coarse_centroids, nprobe, None)
+        )
         .filter(F.col("n") > 0)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -2129,29 +2152,37 @@ def pq_adc_topk(
 def ivf_assign_local(
     prepared: DataFrame,
     coarse_rows: list[tuple[int, list[int]]],
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Shuffle-free coarse assignment — :func:`ivf_assign` at nprobe=1
-    with the coarse centroids folded into LITERAL expressions (the
+    """Shuffle-free coarse assignment — :func:`ivf_assign` with the
+    coarse centroids folded into LITERAL expressions (the
     :func:`pq_codes` trick applied to the coarse tier): every distance
     ``n + cn − 2·dot`` is an unrolled integer expression over the
-    vector column, the argmin is ``array_position(d_arr,
-    array_min(d_arr))`` over the id-sorted distance array, and the
-    corpus never leaves its scan — no broadcast join, no window, no
-    exchange.
+    vector column; at ``nprobe=1`` the argmin is ``array_position(
+    d_arr, array_min(d_arr))`` over the id-sorted distance array, and
+    at ``nprobe>1`` (r13 — the probe-side spelling) the top-n lists are
+    ``slice(array_sort(array(struct(d, list_id))), 1, nprobe)`` then
+    one explode — either way the input never leaves its scan: no
+    broadcast join, no window, no exchange.  (The window spelling this
+    replaces on the probe side shuffled n_queries·n_lists candidate
+    rows through a per-query sort — guide §2.4: the per-vector top-n
+    over a model-scale candidate set never needed an exchange.)
 
     ``coarse_rows`` is the trained coarse quantizer as plain Python data
     (``(list_id, quantized_vector)``, k·dim ints — a model parameter,
     the same metadata-scale posture as the PQ codebook).  Tie-break ≡
     :func:`ivf_assign`'s ``(d asc, list_id asc)``: first-min position
-    over the list-id-sorted array IS the smallest id among minima.
+    over the list-id-sorted array IS the smallest id among minima, and
+    struct ordering under ``array_sort`` is lexicographic (d asc,
+    list_id asc) exactly.
 
     Same staged-projection discipline as :func:`pq_codes`: per-centroid
-    distance columns first, the k-entry array second, the argmin third —
-    keeps every unrolled dot evaluated once and each generated method
-    janino-sized.
+    distance columns first, the k-entry array second, the selection
+    third — keeps every unrolled dot evaluated once and each generated
+    method janino-sized.
 
-    Output: (vec_id, q, n, list_id) — :func:`ivf_assign`'s nprobe=1
-    schema.
+    Output: (vec_id, q, n, list_id) — :func:`ivf_assign`'s schema,
+    ``min(nprobe, k)`` rows per input vector.
     """
     cents = sorted(coarse_rows)
     ids = [int(cid) for cid, _ in cents]
@@ -2165,22 +2196,42 @@ def ivf_assign_local(
         stage1.append(
             f"(n + CAST({cn} AS BIGINT) - 2 * ({dot_sql})) AS d_{i}"
         )
+    if nprobe <= 1:
+        stage2 = [
+            "vec_id", "q", "n",
+            "array(" + ", ".join(
+                f"d_{i}" for i in range(len(cents))
+            ) + ") AS d_arr",
+        ]
+        id_arr = "array(" + ", ".join(
+            f"CAST({cid} AS BIGINT)" for cid in ids
+        ) + ")"
+        stage3 = [
+            "vec_id", "q", "n",
+            f"element_at({id_arr}, CAST(array_position(d_arr,"
+            " array_min(d_arr)) AS INT)) AS list_id",
+        ]
+        return (
+            prepared.selectExpr(*stage1)
+            .selectExpr(*stage2)
+            .selectExpr(*stage3)
+        )
+    pair_arr = "array(" + ", ".join(
+        f"struct(d_{i} AS d, CAST({cid} AS BIGINT) AS list_id)"
+        for i, cid in enumerate(ids)
+    ) + ")"
     stage2 = [
         "vec_id", "q", "n",
-        "array(" + ", ".join(f"d_{i}" for i in range(len(cents))) + ") AS d_arr",
-    ]
-    id_arr = "array(" + ", ".join(
-        f"CAST({cid} AS BIGINT)" for cid in ids
-    ) + ")"
-    stage3 = [
-        "vec_id", "q", "n",
-        f"element_at({id_arr}, CAST(array_position(d_arr,"
-        " array_min(d_arr)) AS INT)) AS list_id",
+        f"slice(array_sort({pair_arr}), 1, {int(nprobe)}) AS __probe",
     ]
     return (
         prepared.selectExpr(*stage1)
         .selectExpr(*stage2)
-        .selectExpr(*stage3)
+        .select(
+            "vec_id", "q", "n",
+            F.explode(F.col("__probe")).alias("__p"),
+        )
+        .select("vec_id", "q", "n", F.col("__p.list_id").alias("list_id"))
     )
 
 
@@ -2771,8 +2822,18 @@ def _ivfadc_scored(
         for r in coarse_centroids.select("vec_id", "q").collect()
     )
     cm = _coarse_map_sql(coarse_rows)
-    # probe-side assignment: HOF fold for the same BNLJ-stage reason as
-    # ivf_pq_topk; qdot_coarse is one fold over the tiny probe side
+    # probe-side assignment: deliberately the WINDOW spelling, NOT the
+    # ivf_assign_local literal fold (r13 A/B at sf0.1).  The fold looks
+    # cheaper (no BNLJ, no probe exchange) but this function's qdot_c /
+    # LUT projections reference ``q`` m·k·dsub more times downstream;
+    # without the window's exchange barrier CollapseProject re-inlines
+    # the query frame's q EXPRESSION into every one of those references
+    # (no CSE), and when q is itself heavy — the rotated-basis
+    # search_embeddings path unrolls a 64-term Hadamard per element —
+    # the plan detonates: measured 1.9 s → 92 s (rotated) and 2.1 s →
+    # 149 s (segments_range) with 100+ MiB task binaries.  The window's
+    # exchange materializes q ONCE on a bounded probe batch — that
+    # barrier is load-bearing; keep it.
     assigned = (
         ivf_assign(queries, coarse_centroids, nprobe, None)
         if probe_counts is None
@@ -2857,6 +2918,7 @@ def ivf_pq_topk(
     nprobe: int = 2,
     m: int = 4,
     dim: int = 64,
+    coarse_rows: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ search — the full production ANN shape, composed from the
     audited pieces: each query probes its ``nprobe`` nearest inverted
@@ -2898,10 +2960,23 @@ def ivf_pq_topk(
             " indexes only"
         )
     index = _index_barrier(index, "ivf_pq_topk")
-    # probe-side assignment: HOF fold for the same BNLJ-stage reason as
-    # the index build (and the query batch is tiny anyway)
+    # probe-side assignment (r13): when the caller holds the coarse
+    # quantizer as plain data (a model parameter), the per-query top-
+    # nprobe folds into the scan as literal expressions — no broadcast
+    # join, no probe-side exchange + sort + window (guide §2.4); the
+    # frame spelling stays for callers with only a centroid frame.
+    # CAVEAT (measured, r13): pass coarse_rows ONLY when ``queries.q``
+    # is a cheap column/scan expression.  The LUT projection below
+    # references q m·k·dsub more times; without the window's exchange
+    # barrier those references re-inline q's defining expression
+    # (CollapseProject has no CSE), so a derived query frame (e.g. a
+    # rotated basis) detonates the plan — see _ivfadc_scored's note.
     q = (
-        ivf_assign(queries, coarse_centroids, nprobe, None)
+        (
+            ivf_assign_local(queries, coarse_rows, nprobe)
+            if coarse_rows is not None
+            else ivf_assign(queries, coarse_centroids, nprobe, None)
+        )
         .filter(F.col("n") > 0)
         .selectExpr(
             "vec_id AS query_id", "n AS qn", "list_id",

@@ -597,9 +597,12 @@ def top_terms(
         F.col(doc_id), F.explode(_tokens(F.col(text))).alias("word")
     )
     tf = words.groupBy(doc_id, "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("word").agg(
-        F.countDistinct(doc_id).alias("df")
-    )
+    # df = count(1) over tf, NOT countDistinct(doc_id) over words: tf
+    # rows are unique (doc, word) by construction, so the plain count is
+    # the same integer while skipping the distinct-aggregate's extra
+    # partial/merge stage (r13, guide §2.3 — aggregate the narrower,
+    # already-deduplicated input)
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct(doc_id).alias("n_docs"))
     scored = tf.join(df_tbl, "word").crossJoin(F.broadcast(n_docs)).select(
         F.col(doc_id),

@@ -678,8 +678,19 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are what ``ivf_topk`` consumes at scale; training state is
     re-quantized integers, so the oracle reproduces it exactly."""
     prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
-    cents = similarity.kmeans_lite(prep, k=8, iters=1)
-    assigned = similarity.ivf_assign(prep, cents, nprobe=1)
+    # r13 (guide §2.4): train and assign in the literal-fold spelling —
+    # kmeans_lite(assign="local") collects the k seed/trained centroids
+    # (model scale) instead of chaining crossJoin+window subtrees, and
+    # the final corpus assignment folds into the scan the same way, so
+    # the whole query is one scan + one count aggregate (6 exchanges →
+    # 1).  Identical integers: the pinned ivf_assign ≡ ivf_assign_local
+    # identity at every step.
+    cents = similarity.kmeans_lite(prep, k=8, iters=1, assign="local")
+    cent_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in cents.select("vec_id", "q").collect()
+    ]
+    assigned = similarity.ivf_assign_local(prep, cent_rows)
     return assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_members")
     ).select(F.col("list_id").alias("cluster_id"), "n_members")
@@ -2184,7 +2195,8 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales = similarity.sq8_scales(corpus)
     index = similarity.ivf_sq8_index(corpus, coarse_rows, scales)
     return similarity.ivf_sq8_topk(
-        queries, index, coarse, scales, k=3, nprobe=2
+        queries, index, coarse, scales, k=3, nprobe=2,
+        coarse_rows=coarse_rows,
     )
 
 
@@ -2983,6 +2995,10 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in prep.filter(F.col("vec_id") < 8).collect()
     ]
     coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
     queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
     corpus = prep.filter(F.col("vec_id") >= 28)
     # the index is a STORED artifact in production (build once, search
@@ -2993,12 +3009,18 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compile re-runs on EVERY execution (~5 s fixed, measured — compile
     # failures are not cached).  The cache barrier keeps the encode and
     # the search in separate, compilable stages: 19.9 s → ~3 s at sf0.01.
+    # r13: assign="local" (coarse rows collected above — the model
+    # parameter) makes the index build scan-local, and the probe side
+    # folds into the query scan — no corpus-keyed exchange at build, no
+    # probe window at search (guide §2.4).
     index = similarity.ivf_pq_index(
-        corpus, coarse, cents, m=4, dim=64
+        corpus, coarse, cents, m=4, dim=64,
+        assign="local", coarse_rows=coarse_rows,
     ).persist()
     _PLAN_CACHES.append(index)
     return similarity.ivf_pq_topk(
-        queries, index, coarse, cents, k=3, nprobe=2, m=4, dim=64
+        queries, index, coarse, cents, k=3, nprobe=2, m=4, dim=64,
+        coarse_rows=coarse_rows,
     )
 
 
@@ -3112,14 +3134,21 @@ def sim_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
     queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
     corpus = prep.filter(F.col("vec_id") >= 28)
+    coarse_rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in coarse.select("vec_id", "q").collect()
+    ]
     # same load-bearing persist as sim_ivf_pq_topk (janino compile barrier
-    # + the stored-artifact posture); released via _PLAN_CACHES
+    # + the stored-artifact posture); released via _PLAN_CACHES.
+    # r13: scan-local build + literal-fold probe, as in sim_ivf_pq_topk.
     index = similarity.ivf_pq_index(
-        corpus, coarse, cents, m=4, dim=64
+        corpus, coarse, cents, m=4, dim=64,
+        assign="local", coarse_rows=coarse_rows,
     ).persist()
     _PLAN_CACHES.append(index)
     cand = similarity.ivf_pq_topk(
-        queries, index, coarse, cents, k=10, nprobe=2, m=4, dim=64
+        queries, index, coarse, cents, k=10, nprobe=2, m=4, dim=64,
+        coarse_rows=coarse_rows,
     )
     return similarity.ivf_pq_refine(cand, queries, corpus, k=3, kernel="arrow")
 
@@ -3173,6 +3202,14 @@ def _ivfadc_parts(spark: SparkSession, sf_dir: str, iters: int = 1):
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in coarse.select("vec_id", "q").collect()
     ]
+    # r13 A/B: the residual-training input deliberately KEEPS the
+    # window spelling.  Folding the assignment into the scan
+    # (ivf_assign_local) re-inlines the quantize transform + 4 unrolled
+    # 64-term dots into every expression pq_train_codebooks evaluates,
+    # and the training loop re-evaluates that lineage in every collect
+    # job — measured 3.2 s → 27.7 s plan build for ext_sim_ivfadc_topk
+    # at sf0.1.  The window's exchange materializes (q, list_id) once
+    # and every training job reads the narrow shuffled rows.
     residuals = similarity.residualize(
         similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
     )
@@ -3209,9 +3246,15 @@ def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfadc_topk`) at nprobe=2 of 4 lists, top-3 by reconstructed
     cosine.  Same persist barrier as the other PQ plans (stored-artifact
     posture + janino compile isolation)."""
-    coarse, queries, corpus, _, cb = _ivfadc_parts(spark, sf_dir, iters=1)
+    coarse, queries, corpus, coarse_rows, cb = _ivfadc_parts(
+        spark, sf_dir, iters=1
+    )
+    # r13: scan-local index build (coarse rows already collected by
+    # _ivfadc_parts) — the window spelling paid a corpus-keyed exchange
+    # inside the persist materialization (guide §2.4)
     index = similarity.ivf_pq_index(
-        corpus, coarse, cb, m=4, dim=64, residual=True
+        corpus, coarse, cb, m=4, dim=64, residual=True,
+        assign="local", coarse_rows=coarse_rows,
     ).persist()
     _PLAN_CACHES.append(index)
     return similarity.ivfadc_topk(
@@ -3378,7 +3421,8 @@ def _ensure_base_store(spark: SparkSession, sf_dir: str) -> str:
             )
             ann_store.save_ivfadc(
                 similarity.ivf_pq_index(
-                    corpus, coarse, cb, m=4, dim=64, residual=True
+                    corpus, coarse, cb, m=4, dim=64, residual=True,
+                    assign="local", coarse_rows=coarse_rows,
                 ),
                 path, coarse_rows, cb, m=4, dim=64,
             )
@@ -3573,6 +3617,14 @@ def _ivfadc_rot_parts(spark: SparkSession, sf_dir: str):
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in coarse.select("vec_id", "q").collect()
     ]
+    # NOTE (r13): this path deliberately KEEPS the window spelling.  The
+    # rotated corpus's q column is itself a 64-term-per-element unrolled
+    # Hadamard expression; composing ivf_assign_local's literal fold on
+    # top re-inlines that rotation into every distance reference
+    # (CollapseProject has no CSE), detonating the plan — measured
+    # 138 MiB task binaries and a 315 s store build at sf0.01.  The
+    # window's exchange is the barrier that keeps the rotation evaluated
+    # once per row.
     residuals = similarity.residualize(
         similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
     )
@@ -3601,8 +3653,10 @@ def sim_ivfadc_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, sf_dir
                 )
                 ann_store.save_ivfadc(
+                    # window assign, NOT "local": corpus q is the
+                    # unrolled rotation — see _ivfadc_rot_parts
                     similarity.ivf_pq_index(
-                        corpus, coarse, cb, m=4, dim=64, residual=True
+                        corpus, coarse, cb, m=4, dim=64, residual=True,
                     ),
                     path, coarse_rows, cb, m=4, dim=64,
                     rotation={"mode": "post_int", "components": _had64()},
@@ -3658,7 +3712,8 @@ def _ensure_deleted_store(spark: SparkSession, sf_dir: str) -> str:
                 )
                 ann_store.save_ivfadc(
                     similarity.ivf_pq_index(
-                        corpus, coarse, cb, m=4, dim=64, residual=True
+                        corpus, coarse, cb, m=4, dim=64, residual=True,
+                        assign="local", coarse_rows=coarse_rows,
                     ),
                     path, coarse_rows, cb, m=4, dim=64,
                 )
@@ -3824,6 +3879,10 @@ def _ivfadc_seg_parts(spark: SparkSession, sf_dir: str, seg: str):
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in coarse.select("vec_id", "q").collect()
     ]
+    # window spelling on the training input, both bases (r13 A/B): the
+    # literal fold re-inlines the per-element q expression into every
+    # training-job evaluation (see _ivfadc_parts — 3.2 s → 27.7 s; in
+    # the rotated basis it detonates outright, see _ivfadc_rot_parts)
     residuals = similarity.residualize(
         similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
     )
@@ -3843,8 +3902,15 @@ def _ensure_segment_store(spark: SparkSession, sf_dir: str, seg: str) -> str:
                     spark, sf_dir, seg
                 )
                 ann_store.save_ivfadc(
+                    # "local" only in the raw basis (seg a) — see
+                    # _ivfadc_seg_parts for the rotated-basis rationale
                     similarity.ivf_pq_index(
-                        corpus, coarse, cb, m=4, dim=64, residual=True
+                        corpus, coarse, cb, m=4, dim=64, residual=True,
+                        **(
+                            {"assign": "local", "coarse_rows": coarse_rows}
+                            if rotation is None
+                            else {}
+                        ),
                     ),
                     path, coarse_rows, cb, m=4, dim=64, rotation=rotation,
                 )
@@ -3982,14 +4048,16 @@ def _ensure_merged_store(spark: SparkSession, sf_dir: str) -> str:
                 base_p, fresh_p = path + "_base", path + "_fresh"
                 ann_store.save_ivfadc(
                     similarity.ivf_pq_index(
-                        even, coarse, cb, m=4, dim=64, residual=True
+                        even, coarse, cb, m=4, dim=64, residual=True,
+                        assign="local", coarse_rows=coarse_rows,
                     ),
                     base_p, coarse_rows, cb, m=4, dim=64,
                 )
                 ann_store.delete_vectors(spark, base_p, "vec_id % 10 = 4")
                 ann_store.save_ivfadc(
                     similarity.ivf_pq_index(
-                        fresh_rows, coarse, cb, m=4, dim=64, residual=True
+                        fresh_rows, coarse, cb, m=4, dim=64, residual=True,
+                        assign="local", coarse_rows=coarse_rows,
                     ),
                     fresh_p, coarse_rows, cb, m=4, dim=64,
                 )
@@ -4044,7 +4112,8 @@ def _ensure_maintained_store(spark: SparkSession, sf_dir: str) -> str:
                 )
                 ann_store.save_ivfadc(
                     similarity.ivf_pq_index(
-                        corpus, coarse, cb, m=4, dim=64, residual=True
+                        corpus, coarse, cb, m=4, dim=64, residual=True,
+                        assign="local", coarse_rows=coarse_rows,
                     ),
                     path, coarse_rows, cb, m=4, dim=64,
                 )
