@@ -678,19 +678,16 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are what ``ivf_topk`` consumes at scale; training state is
     re-quantized integers, so the oracle reproduces it exactly."""
     prep = similarity.prepare(load(spark, sf_dir, "embeddings"))
-    # r13 (guide §2.4): train and assign in the literal-fold spelling —
-    # kmeans_lite(assign="local") collects the k seed/trained centroids
-    # (model scale) instead of chaining crossJoin+window subtrees, and
-    # the final corpus assignment folds into the scan the same way, so
-    # the whole query is one scan + one count aggregate (6 exchanges →
-    # 1).  Identical integers: the pinned ivf_assign ≡ ivf_assign_local
-    # identity at every step.
-    cents = similarity.kmeans_lite(prep, k=8, iters=1, assign="local")
-    cent_rows = [
-        (int(r["vec_id"]), [int(v) for v in r["q"]])
-        for r in cents.select("vec_id", "q").collect()
-    ]
-    assigned = similarity.ivf_assign_local(prep, cent_rows)
+    # r13 A/B: the literal-fold spelling (kmeans_lite(assign="local") +
+    # ivf_assign_local over the corpus) removes the crossJoin+window
+    # exchanges but regenerates a near-64KB codegen method on every
+    # bench invocation — measured [1.92, 2.17, 1.82] → [2.96, 3.28,
+    # 3.27] s/pass at sf0.1: the compile cost exceeds the exchange it
+    # saves at in-plan-train scale.  The window spelling stays; the
+    # production tier for large list counts is ivf_assign_arrow (BLAS),
+    # per its docstring.
+    cents = similarity.kmeans_lite(prep, k=8, iters=1)
+    assigned = similarity.ivf_assign(prep, cents, nprobe=1)
     return assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_members")
     ).select(F.col("list_id").alias("cluster_id"), "n_members")
@@ -2995,10 +2992,6 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in prep.filter(F.col("vec_id") < 8).collect()
     ]
     coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
-    coarse_rows = [
-        (int(r["vec_id"]), [int(v) for v in r["q"]])
-        for r in coarse.select("vec_id", "q").collect()
-    ]
     queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
     corpus = prep.filter(F.col("vec_id") >= 28)
     # the index is a STORED artifact in production (build once, search
@@ -3009,18 +3002,21 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compile re-runs on EVERY execution (~5 s fixed, measured — compile
     # failures are not cached).  The cache barrier keeps the encode and
     # the search in separate, compilable stages: 19.9 s → ~3 s at sf0.01.
-    # r13: assign="local" (coarse rows collected above — the model
-    # parameter) makes the index build scan-local, and the probe side
-    # folds into the query scan — no corpus-keyed exchange at build, no
-    # probe window at search (guide §2.4).
+    # r13 A/B: the scan-local build (assign="local") composed with the
+    # staged PQ encode exceeds janino's 64KB method limit — the compile
+    # FAILS (not cached, ~3-5 s re-attempted every execution, then
+    # interpreted fallback): measured [3.2, 2.3, 2.1] s/pass (window)
+    # vs [11.5, 10.7, 8.9] (local build).  The window spelling stays —
+    # it is also what keeps the encode in its own compilable stage.
+    # The probe-side literal fold A/B'd within noise of the window
+    # spelling here ([3.0, 3.3, 2.8] vs [3.2, 2.3, 2.1]); the window
+    # probe is kept for the same compile-budget reason.
     index = similarity.ivf_pq_index(
-        corpus, coarse, cents, m=4, dim=64,
-        assign="local", coarse_rows=coarse_rows,
+        corpus, coarse, cents, m=4, dim=64
     ).persist()
     _PLAN_CACHES.append(index)
     return similarity.ivf_pq_topk(
-        queries, index, coarse, cents, k=3, nprobe=2, m=4, dim=64,
-        coarse_rows=coarse_rows,
+        queries, index, coarse, cents, k=3, nprobe=2, m=4, dim=64
     )
 
 
@@ -3134,21 +3130,18 @@ def sim_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = prep.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
     queries = prep.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 28))
     corpus = prep.filter(F.col("vec_id") >= 28)
-    coarse_rows = [
-        (int(r["vec_id"]), [int(v) for v in r["q"]])
-        for r in coarse.select("vec_id", "q").collect()
-    ]
     # same load-bearing persist as sim_ivf_pq_topk (janino compile barrier
     # + the stored-artifact posture); released via _PLAN_CACHES.
-    # r13: scan-local build + literal-fold probe, as in sim_ivf_pq_topk.
+    # r13 A/B: assign="local" + literal-fold probe REVERTED here for the
+    # same measured janino 64KB blowout as sim_ivf_pq_topk (bench pass
+    # times [3.13, 2.98, 3.08] → [4.29, 3.94, 4.80] with the fold; the
+    # failed compile re-runs every execution).
     index = similarity.ivf_pq_index(
-        corpus, coarse, cents, m=4, dim=64,
-        assign="local", coarse_rows=coarse_rows,
+        corpus, coarse, cents, m=4, dim=64
     ).persist()
     _PLAN_CACHES.append(index)
     cand = similarity.ivf_pq_topk(
-        queries, index, coarse, cents, k=10, nprobe=2, m=4, dim=64,
-        coarse_rows=coarse_rows,
+        queries, index, coarse, cents, k=10, nprobe=2, m=4, dim=64
     )
     return similarity.ivf_pq_refine(cand, queries, corpus, k=3, kernel="arrow")
 
