@@ -169,11 +169,20 @@ def near_dup_drop_ids(
         shingles = shingles.persist()
         if cache_registry is not None:
             cache_registry.append(shingles)
+    # r13 (guide §2.4): the shingle-set sizes ride the signature groupBy
+    # (``with_count``) and thread through the LSH pair join as two ints
+    # (``carry``) — the separate sizes aggregation over the shingle
+    # table and the two re-attach joins on the verifier are deleted.
+    # n_sh is count(1) over the SAME distinct-per-doc shingle rows the
+    # old sizes aggregation counted, so na/nb and every verdict are
+    # bit-identical.
     sigs = dd.minhash_signatures(
-        shingles, bands=bands, rows_per_band=rows_per_band, doc_id=doc_id
+        shingles, bands=bands, rows_per_band=rows_per_band, doc_id=doc_id,
+        with_count=True,
     )
-    candidates = dd.lsh_candidate_pairs(sigs, bands=bands, doc_id=doc_id)
-    sizes = shingles.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    candidates = dd.lsh_candidate_pairs(
+        sigs, bands=bands, doc_id=doc_id, carry=("n_sh",)
+    )
     inter = (
         candidates.join(
             shingles.select(
@@ -187,22 +196,17 @@ def near_dup_drop_ids(
             ),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            F.col("n_sh_a").alias("na"),
+            F.col("n_sh_b").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    verified = (
-        inter.join(
-            sizes.select(F.col(doc_id).alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col(doc_id).alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
-        .filter(
-            F.col("n_inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            >= jaccard_threshold
-        )
+    verified = inter.filter(
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        >= jaccard_threshold
     )
     return verified.select(F.col("doc_b").alias(doc_id)).distinct()

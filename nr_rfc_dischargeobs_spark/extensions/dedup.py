@@ -89,6 +89,7 @@ def minhash_signatures(
     bands: int = 4,
     rows_per_band: int = 1,
     doc_id: str = "doc_id",
+    with_count: bool = False,
 ) -> DataFrame:
     """Per-doc banded min-hash signature, one column per band
     (``mh0..mh{b-1}``).
@@ -144,10 +145,20 @@ def minhash_signatures(
         F.min(F.substring(F.col("__cat"), 8 * h + 1, 8)).alias(f"__h{h}")
         for h in range(n_hashes)
     ]
+    # ``with_count`` (r13, guide §2.4): ride the per-doc shingle count
+    # on the SAME groupBy — shingle rows are distinct per doc, so
+    # count(1) here IS |shingle set|, and downstream Jaccard/containment
+    # verification no longer needs its own sizes aggregation + re-attach
+    # joins (the count threads through the LSH pair join as two ints).
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    extra = ["n_sh"] if with_count else []
     per_hash = hashed.groupBy(doc_id).agg(*aggs)
     if rows_per_band == 1:
         return per_hash.select(
-            doc_id, *[F.col(f"__h{b}").alias(f"mh{b}") for b in range(bands)]
+            doc_id,
+            *[F.col(f"__h{b}").alias(f"mh{b}") for b in range(bands)],
+            *extra,
         )
     return per_hash.select(
         doc_id,
@@ -163,6 +174,7 @@ def minhash_signatures(
             ).alias(f"mh{b}")
             for b in range(bands)
         ],
+        *extra,
     )
 
 
@@ -171,6 +183,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     doc_id: str = "doc_id",
     max_bucket: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band's signature (r=1
     banding).  Unpivot signatures to (band, sig) rows, self-join on equality
@@ -188,9 +201,15 @@ def lsh_candidate_pairs(
     (default) disables the gate — the plan and results are exactly the
     historical ones.  The gate itself is one aggregation on the SAME
     (band, sig) key the join shuffles on (map-side combinable) plus a
-    semi-join back — no new exchange key, no window sort."""
+    semi-join back — no new exchange key, no window sort.
+
+    ``carry`` names extra per-doc columns on ``signatures`` (e.g. the
+    ``with_count`` shingle count) to thread through the pair join as
+    ``<col>_a`` / ``<col>_b`` — a few ints per row, which lets the
+    Jaccard verifier skip its own sizes aggregation + two re-attach
+    joins (r13, guide §2.4)."""
     long_ = signatures.unpivot(
-        [doc_id], [f"mh{b}" for b in range(bands)], "band", "sig"
+        [doc_id, *carry], [f"mh{b}" for b in range(bands)], "band", "sig"
     )
     if max_bucket is not None:
         keep = (
@@ -201,15 +220,22 @@ def lsh_candidate_pairs(
         )
         long_ = long_.join(keep, ["band", "sig"], "leftsemi")
     a = long_.select(
-        F.col(doc_id).alias("doc_a"), F.col("band"), F.col("sig")
+        F.col(doc_id).alias("doc_a"),
+        F.col("band"),
+        F.col("sig"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = long_.select(
-        F.col(doc_id).alias("doc_b"), F.col("band"), F.col("sig")
+        F.col(doc_id).alias("doc_b"),
+        F.col("band"),
+        F.col("sig"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
     )
+    carried = [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
     return (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", *carried)
         .distinct()
     )
 

@@ -1716,6 +1716,7 @@ def winnow_fingerprints(
     w: int = 4,
     text: str = "text",
     doc_id: str = "doc_id",
+    _fp_sets: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): in every window of ``w``
@@ -1818,6 +1819,21 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
+    if _fp_sets:
+        # r13 (guide §2.4): per-doc DISTINCT fp values, deduplicated
+        # INSIDE the row array before the explode — doc_id is part of
+        # the dedup key, so this is byte-identical to exploding (pos,
+        # fp) and running ``.select(doc_id, fp).distinct()`` with the
+        # corpus-wide dedup exchange deleted (the same row-local-
+        # distinct argument as the (pos, fp) dedup above).
+        return grams.select(
+            doc_id,
+            F.explode(
+                F.array_distinct(
+                    F.transform(fps_per_doc, lambda s: s["fp"])
+                )
+            ).alias("fp"),
+        )
     return grams.select(
         doc_id, F.explode(fps_per_doc).alias("__f")
     ).select(doc_id, F.col("__f.pos").alias("pos"), F.col("__f.fp").alias("fp"))
@@ -1852,12 +1868,15 @@ def winnow_pairs(
     # of the self-join): with a registry to own the release, persist it
     # so the winnowing scan runs once (369.5 → 66.1 s at the 1M probe);
     # without one, don't — an unowned persist either leaks for the
-    # session or is unpersisted before any action reads it
-    fps = (
-        winnow_fingerprints(docs, n=n, w=w, text=text, doc_id=doc_id)
-        .select(F.col(doc_id).alias("d"), "fp")
-        .distinct()
-    )
+    # session or is unpersisted before any action reads it.
+    # r13 (guide §2.4): the per-doc fp dedup runs INSIDE the row
+    # (``_fp_sets`` — array_distinct before the explode), so the
+    # corpus-wide ``.distinct()`` exchange this frame used to pay is
+    # deleted; the row set is identical because doc_id is part of the
+    # dedup key.
+    fps = winnow_fingerprints(
+        docs, n=n, w=w, text=text, doc_id=doc_id, _fp_sets=True
+    ).select(F.col(doc_id).alias("d"), "fp")
     if cache_registry is not None:
         fps = fps.persist()
         cache_registry.append(fps)
