@@ -2181,6 +2181,16 @@ def ivf_assign_local(
     third — keeps every unrolled dot evaluated once and each generated
     method janino-sized.
 
+    PRECONDITION (matters only outside :func:`prepare` output): every
+    input vector must have ≥ dim non-NULL elements.  ``prepare`` pins
+    both (fixed dim, quantized ints), under which the distances are
+    never NULL and this is bit-equal to the window spelling.  A NULL
+    element or a short vector would make some ``d_i`` NULL, and the
+    two spellings then DIVERGE: the window orders NULL distances first
+    (asc = nulls-first) while ``array_sort`` here orders NULL struct
+    fields last.  Callers feeding frames that are not ``prepare``
+    output must validate dimensions first.
+
     Output: (vec_id, q, n, list_id) — :func:`ivf_assign`'s schema,
     ``min(nprobe, k)`` rows per input vector.
     """

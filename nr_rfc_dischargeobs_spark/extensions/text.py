@@ -1861,6 +1861,15 @@ def winnow_pairs(
     otherwise cost |bucket|² (the same hot-bucket discipline as the LSH
     pair join).  ``min_shared`` then requires corroboration from
     multiple fingerprints per pair.
+
+    INPUT CONTRACT: ``docs`` carries ONE row per ``doc_id``.  The
+    per-doc fingerprint dedup runs inside the row (``_fp_sets`` —
+    ``array_distinct`` before the explode), which equals the
+    historical corpus-wide ``.distinct()`` exactly because doc_id is
+    part of the dedup key AND unique per input row; duplicated doc
+    rows would emit duplicate (d, fp) rows and inflate ``df`` and
+    ``shared_fps``.  Dedup upstream first (every registered caller
+    reads the one-row-per-doc documents table).
     """
     if min_shared < 1 or max_df < 1:
         raise ValueError("min_shared and max_df must be >= 1")

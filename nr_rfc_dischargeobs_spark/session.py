@@ -51,6 +51,20 @@ def get_spark(
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
         )
+        # r14 (guide §1.2 step 3): the janino-compile cache is keyed on
+        # generated source and holds 100 entries by default — a workload
+        # of 150+ distinct plans (this engine's query surface, or any
+        # resident multi-query driver) evicts everything between
+        # repetitions and recompiles every codegen unit on every
+        # re-execution.  Size it to the plan surface; entries are
+        # weak-referenced class+bytecode pairs, a few MB total.  Static
+        # conf, so it must be set at session build.  Scale-independent:
+        # the cache lives on the driver/executor JVMs and its right size
+        # tracks the number of distinct plans, not cores or data volume.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4000"),
+        )
         # Arrow for the pandas edges (grouped-map recurrence, export adapters).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics across Spark/DuckDB/parquet.

@@ -1,0 +1,184 @@
+"""r14 parity pins for the default-off fast-path knobs (VERDICT r13 #6/#8).
+
+Each r13 optimization added an opt-in spelling that must be EXACTLY the
+historical plan's output when enabled (``with_count``/``carry``,
+``_fp_sets``, ``ivf_assign_local(nprobe>1)``) or when left at its
+default (``min_count=1``).  The oracle rows exercise the registered
+configurations only; these pins assert on ≡ off for each knob directly,
+so a silent divergence in an unregistered configuration cannot hide.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nr_rfc_dischargeobs_spark.extensions import bpe, dedup, similarity
+from nr_rfc_dischargeobs_spark.extensions import text as textops
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different content about spark engines"),
+        (4, "the lazy dog sleeps while the quick brown fox jumps over"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_with_count_parity(corpus):
+    """with_count=True adds ONLY the n_sh column; every signature byte
+    matches the default spelling, and n_sh equals the true per-doc
+    distinct-shingle count."""
+    sh = dedup.shingle_rows(corpus, n=3)
+    base = {
+        r["doc_id"]: tuple(r[f"mh{b}"] for b in range(4))
+        for r in dedup.minhash_signatures(sh, bands=4).collect()
+    }
+    withc = dedup.minhash_signatures(sh, bands=4, with_count=True).collect()
+    assert {
+        r["doc_id"]: tuple(r[f"mh{b}"] for b in range(4)) for r in withc
+    } == base
+    true_sizes = {
+        r["doc_id"]: r["n"]
+        for r in sh.groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n"))
+        .collect()
+    }
+    assert {r["doc_id"]: r["n_sh"] for r in withc} == true_sizes
+
+
+def test_lsh_carry_parity(corpus):
+    """carry=('n_sh',) threads the counts through the pair join without
+    changing the pair set, and each carried value matches its doc's."""
+    sigs = dedup.minhash_signatures(
+        dedup.shingle_rows(corpus, n=3), bands=4, with_count=True
+    )
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4).collect()
+    }
+    carried = dedup.lsh_candidate_pairs(
+        sigs, bands=4, carry=("n_sh",)
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in carried} == plain
+    sizes = {r["doc_id"]: r["n_sh"] for r in sigs.collect()}
+    for r in carried:
+        assert r["n_sh_a"] == sizes[r["doc_a"]]
+        assert r["n_sh_b"] == sizes[r["doc_b"]]
+
+
+def test_winnow_fp_sets_parity(corpus):
+    """_fp_sets=True (row-local array_distinct, no corpus-wide exchange)
+    emits exactly the historical ``.select(doc, fp).distinct()`` rows."""
+    historical = (
+        textops.winnow_fingerprints(corpus, n=2, w=2)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fast = textops.winnow_fingerprints(corpus, n=2, w=2, _fp_sets=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, historical.collect())
+    )
+    # non-trivial case guard: the corpus must actually produce fps
+    assert fast.count() > 0
+
+
+def test_ivf_assign_local_nprobe_parity(spark):
+    """nprobe>1 literal-fold probe ≡ the window spelling: same
+    (vec_id, list_id) rows, same per-vector probe order semantics."""
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(24)
+        ],
+        ["vec_id", "embedding"],
+    )
+    prep = similarity.prepare(emb)
+    cents = prep.filter(F.col("vec_id") < 4)
+    rows = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in cents.collect()
+    ]
+    vecs = prep.filter(F.col("vec_id") >= 4)
+    for nprobe in (2, 3):
+        window = {
+            (r["vec_id"], r["list_id"])
+            for r in similarity.ivf_assign(vecs, cents, nprobe).collect()
+        }
+        local = {
+            (r["vec_id"], r["list_id"])
+            for r in similarity.ivf_assign_local(vecs, rows, nprobe).collect()
+        }
+        assert local == window
+
+
+@pytest.fixture(scope="module")
+def bpe_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "low lower lowest low low"),
+            (1, "new newer newest new"),
+            (2, "rare"),  # the only occurrence of every 'rare' symbol run
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_bpe_min_count_default_identity(bpe_docs):
+    """min_count=1 (the default) keeps the historical trainer output
+    bit-for-bit — merges AND segmentations."""
+    base_m = [tuple(r) for r in bpe.bpe_merges(bpe_docs, 5).collect()]
+    floor_m = [
+        tuple(r) for r in bpe.bpe_merges(bpe_docs, 5, min_count=1).collect()
+    ]
+    assert base_m == floor_m
+    base_s = sorted(
+        map(tuple, bpe.bpe_segment_vocab(bpe_docs, 5).collect())
+    )
+    floor_s = sorted(
+        map(tuple, bpe.bpe_segment_vocab(bpe_docs, 5, min_count=1).collect())
+    )
+    assert base_s == floor_s
+
+
+def test_bpe_min_count_floor_drops_rare_tokens(bpe_docs):
+    """min_count=2 trains exactly as if the singleton tokens were absent
+    (the driver-memory bound is a vocabulary filter, nothing else), and
+    the returned segmentation audit excludes the dropped tokens."""
+    floored = bpe.bpe_merges(bpe_docs, 5, min_count=2)
+    common = bpe_docs.filter(F.col("doc_id") < 2)  # 'rare' appears once
+    # every doc-0/1 token appears >= 1x but 'rare' only once; tokens
+    # like 'lower' are singletons too — build the reference by filtering
+    # the vocab the same way the trainer does
+    from collections import Counter
+
+    texts = [r["text"] for r in bpe_docs.collect() if r["text"]]
+    counts = Counter(
+        tok for t in texts for tok in t.lower().split() if tok
+    )
+    kept = [tok for t in texts for tok in t.lower().split() if counts[tok] >= 2]
+    ref_docs = common.sparkSession.createDataFrame(
+        [(0, " ".join(kept))], ["doc_id", "text"]
+    )
+    # identical merge table: training on the floored vocab == training
+    # on a corpus holding only the kept occurrences
+    assert [tuple(r) for r in floored.collect()] == [
+        tuple(r) for r in bpe.bpe_merges(ref_docs, 5).collect()
+    ]
+    seg_tokens = {
+        r["token"]
+        for r in bpe.bpe_segment_vocab(bpe_docs, 5, min_count=2).collect()
+    }
+    assert "rare" not in seg_tokens
+    assert all(counts[t] >= 2 for t in seg_tokens)
+
+
+def test_bpe_min_count_validation(bpe_docs):
+    with pytest.raises(ValueError, match="min_count"):
+        bpe.bpe_merges(bpe_docs, 5, min_count=0)
