@@ -32,6 +32,57 @@ from . import dedup as dd
 from . import text as tx
 
 
+def rule_gate(
+    docs: DataFrame,
+    min_words: int | None = None,
+    max_words: int | None = None,
+    min_uniq: float | None = None,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """The scan-fused rule gate: every ``docs`` column plus ``n_words``
+    and ``uniq_ratio``, filtered to the thresholds — ONE scan, ONE
+    tokenization per row.
+
+    r14 (guide §2.4/§4.4 analogue for built-ins): the r13 fused
+    spelling computed the gate signals directly in the filter's
+    projection, and predicate pushdown + projection collapse then
+    re-evaluated the regex tokenizer once per predicate reference
+    (~4× per row; no cross-predicate CSE in the collapsed filter).
+    Staging the token array behind ``F.shuffle`` — NONDETERMINISTIC by
+    declaration, so neither CollapseProject nor PushDownPredicate may
+    inline or duplicate it — pins exactly one tokenizer evaluation per
+    row.  Every consumer is permutation-invariant (``size``,
+    ``size∘array_distinct``), so the values, the kept-row set, and the
+    output hashes are bit-identical to both prior spellings; the
+    interleaved A/B (tools/ab_curate.py, idle box, noop sink) measured
+    fused 2.97 s / join 3.10 s / this 2.63 s median on the full
+    curate_corpus pipeline at sf0.1.  The marker's only optimizer
+    effect is local: the gate predicates were never scan-pushable
+    (derived columns), and nothing upstream of the gate exists for
+    other predicates to push past.
+    """
+    toks = F.shuffle(tx._tokens(F.col(text)))
+    staged = docs.select("*", toks.alias("__toks"))
+    n_words_raw = F.size(F.col("__toks"))
+    gated = staged.select(
+        "*",
+        n_words_raw.cast("long").alias("n_words"),
+        (
+            F.size(F.array_distinct(F.col("__toks"))).cast("double")
+            / n_words_raw
+        ).alias("uniq_ratio"),
+    )
+    cond = F.lit(True)
+    if min_words is not None:
+        cond = cond & (F.col("n_words") >= min_words)
+    if max_words is not None:
+        cond = cond & (F.col("n_words") <= max_words)
+    if min_uniq is not None:
+        cond = cond & (F.col("uniq_ratio") >= min_uniq)
+    return gated.filter(cond).drop("__toks")
+
+
 def curate_corpus(
     docs: DataFrame,
     min_words: int = 10,
@@ -66,26 +117,18 @@ def curate_corpus(
       aggregation keyed by doc.
     """
     # r13 (guide §2.4): the gate signals are scan-local expressions over
-    # ``text``, so compute them ON the docs scan and filter in place.
-    # The previous quality_scores(docs) ⋈ docs spelling read the corpus
-    # twice and paid a doc_id-keyed join to re-attach columns the scan
-    # already had in hand (measured: 2 scans + 1 BHJ → 1 scan, 0 join).
-    # Same expressions as tx.quality_scores — same integers, same
-    # uniq_ratio division (int size, double cast) — so the kept-row set
-    # and output values are bit-identical.
-    toks = tx._tokens(F.col(text))
-    n_words_raw = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    gated = (
-        docs.withColumn("n_words", n_words_raw.cast("long"))
-        .withColumn(
-            "uniq_ratio", n_distinct.cast("double") / n_words_raw
-        )
-        .filter(
-            (F.col("n_words") >= min_words)
-            & (F.col("n_words") <= max_words)
-            & (F.col("uniq_ratio") >= min_uniq)
-        )
+    # ``text``, so compute them ON the docs scan and filter in place —
+    # the previous quality_scores(docs) ⋈ docs spelling read the corpus
+    # twice and paid a doc_id-keyed join (measured: 2 scans + 1 BHJ →
+    # 1 scan, 0 join).  r14: single-tokenization staging via
+    # :func:`rule_gate` (see its docstring for the A/B numbers).
+    gated = rule_gate(
+        docs,
+        min_words=min_words,
+        max_words=max_words,
+        min_uniq=min_uniq,
+        text=text,
+        doc_id=doc_id,
     )
     if classifier_min_score is not None:
         clf_ids = (

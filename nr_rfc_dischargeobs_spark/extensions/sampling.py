@@ -404,6 +404,7 @@ def dsir_log_ratio(
     doc_id: str = "doc_id",
     salt: str = "lm",
     cache_registry: list | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
     Selection for Language Models via Importance Resampling"): score
@@ -443,6 +444,19 @@ def dsir_log_ratio(
 
     Output: (doc_id, n_feats, logw_scaled, logw) — ``logw`` in log₂
     units (divide the scaled integer sum once).
+
+    ``target_pred`` (r14, guide §2.4 — default ``None`` keeps the
+    historical two-aggregation plan): when the target corpus is a
+    row-filter of the raw corpus (the common "every Nth doc / this
+    source column stands in for the target" setup), pass the predicate
+    and BOTH count tables ride ONE tokenize + explode + aggregate over
+    ``raw`` — ``cr = count(*)``, ``ct = count_if(pred)`` on the same
+    bucket key — deleting a full corpus tokenization pass.  The caller
+    must guarantee ``target_docs ≡ raw.filter(target_pred)`` row-for-row
+    (``target_docs`` is ignored on this path); buckets with ``ct = 0``
+    are dropped from the target table, so both tables carry exactly the
+    rows the two-aggregation plan produced and every downstream value is
+    bit-identical (pinned in tests/test_r14_pins.py).
     """
     from . import text as _t  # circular-safe: text never imports dsir
     from .text import _bigram_structs, _check_n_buckets, bigram_lm_counts
@@ -452,22 +466,56 @@ def dsir_log_ratio(
     if alpha_inv < 1:
         raise ValueError(f"alpha_inv must be >= 1, got {alpha_inv}")
     raw = raw_docs if raw_docs is not None else docs
-    bt, _ = bigram_lm_counts(
-        target_docs, n_buckets=n_buckets, text=text, salt=salt
-    )
-    br, _ = bigram_lm_counts(raw, n_buckets=n_buckets, text=text, salt=salt)
-    bt = bt.select(F.col("bucket"), F.col("cb").alias("ct"))
-    br = br.select(F.col("bucket"), F.col("cb").alias("cr"))
-    if cache_registry is not None:
-        # each count table feeds TWO consumers (its 1-row total and the
-        # broadcast score join) — without a barrier both re-run the full
-        # corpus-scan count aggregation (audited: 5 scans / 8 exchanges
-        # → 3 scans / 4 with the persists).  The tables are ≤ n_buckets
-        # rows; the lazy persist lands in the caller's registry so
-        # release_plan_caches() frees it between queries.
-        bt = bt.persist()
-        br = br.persist()
-        cache_registry.extend([bt, br])
+    bucket = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int")  # noqa: E731
+    if target_pred is not None:
+        # one corpus pass for both models: same tokenize/explode staging
+        # and bucket expression as bigram_lm_counts, with the target
+        # membership flag riding each bigram row as one boolean
+        both = (
+            raw.select(
+                target_pred.alias("__t"),
+                F.filter(
+                    _t._tokens(F.coalesce(F.col(text), F.lit(""))),
+                    lambda t: t != "",
+                ).alias("__toks"),
+            )
+            .select(
+                "__t",
+                F.explode(_bigram_structs(F.col("__toks"))).alias("p"),
+            )
+            .groupBy(bucket(F.col("p.bg")).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.sum(F.col("__t").cast("long")).alias("ct"),
+            )
+        )
+        if cache_registry is not None:
+            # one materialization feeds all four consumers (two totals +
+            # two broadcast score joins)
+            both = both.persist()
+            cache_registry.append(both)
+        bt = both.filter(F.col("ct") > 0).select("bucket", "ct")
+        br = both.select("bucket", "cr")
+    else:
+        bt, _ = bigram_lm_counts(
+            target_docs, n_buckets=n_buckets, text=text, salt=salt
+        )
+        br, _ = bigram_lm_counts(
+            raw, n_buckets=n_buckets, text=text, salt=salt
+        )
+        bt = bt.select(F.col("bucket"), F.col("cb").alias("ct"))
+        br = br.select(F.col("bucket"), F.col("cb").alias("cr"))
+        if cache_registry is not None:
+            # each count table feeds TWO consumers (its 1-row total and
+            # the broadcast score join) — without a barrier both re-run
+            # the full corpus-scan count aggregation (audited: 5 scans /
+            # 8 exchanges → 3 scans / 4 with the persists).  The tables
+            # are ≤ n_buckets rows; the lazy persist lands in the
+            # caller's registry so release_plan_caches() frees it
+            # between queries.
+            bt = bt.persist()
+            br = br.persist()
+            cache_registry.extend([bt, br])
     grid = lambda c: F.round(  # noqa: E731
         F.log2(c.cast("double")) * SCALE, 0
     ).cast("long")
@@ -487,7 +535,6 @@ def dsir_log_ratio(
             ).alias("__norm")
         )
     )
-    bucket = lambda c: (hash_bucket(c, salt) % n_buckets).cast("int")  # noqa: E731
     exploded = docs.select(
         F.col(doc_id),
         F.filter(
@@ -544,6 +591,7 @@ def dsir_resample(
     salt: str = "lm",
     gumbel_salt: str = "dsir-gumbel",
     cache_registry: list | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """The selection half of DSIR: draw ``k`` documents ∝ their
     importance weights via the Gumbel-top-k trick — rank by
@@ -561,6 +609,9 @@ def dsir_resample(
 
     Output: (doc_id, rank, logw, sel_key) — rank 1..k by descending
     perturbed key.
+
+    ``target_pred`` forwards to :func:`dsir_log_ratio`'s fused-counts
+    fast path (one corpus tokenization for both models; see there).
     """
     import math
 
@@ -576,6 +627,7 @@ def dsir_resample(
         doc_id=doc_id,
         salt=salt,
         cache_registry=cache_registry,
+        target_pred=target_pred,
     ).filter(F.col("n_feats") > 0)
     u = (
         hash_bucket(F.col(doc_id).cast("string"), gumbel_salt)

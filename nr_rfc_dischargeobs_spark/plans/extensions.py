@@ -2355,10 +2355,13 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 10th doc stands in for the target corpus) over the raw-corpus
     model — integer-grid log terms, bit-identical across engines."""
     docs = load(spark, sf_dir, "documents")
+    # r14: target ≡ raw.filter(pred) here, so both hashed-bigram models
+    # ride ONE corpus tokenization (dsir_log_ratio target_pred fast path)
     return sampling.dsir_log_ratio(
         docs,
         docs.filter(F.col("doc_id") % 10 == 0),
         cache_registry=_PLAN_CACHES,
+        target_pred=F.col("doc_id") % 10 == 0,
     )
 
 
@@ -2367,11 +2370,13 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the Gumbel noise derived from the deterministic md5 split
     machinery — reproducible sampling without replacement."""
     docs = load(spark, sf_dir, "documents")
+    # r14: same fused-counts fast path as sample_dsir_weights
     return sampling.dsir_resample(
         docs,
         docs.filter(F.col("doc_id") % 10 == 0),
         k=25,
         cache_registry=_PLAN_CACHES,
+        target_pred=F.col("doc_id") % 10 == 0,
     )
 
 
@@ -4299,10 +4304,11 @@ def curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tables on the id at fleet scale); everything after is
     :func:`~..extensions.similarity.semantic_dedup`'s audited plan."""
     docs = load(spark, sf_dir, "documents")
-    quality = textops.quality_scores(docs)
-    gated = quality.filter(
-        (F.col("n_words") >= 25) & (F.col("uniq_ratio") >= 0.4)
-    ).select("doc_id", "n_words")
+    # r14: single-tokenization scan-fused gate (curate.rule_gate — same
+    # integers/division as quality_scores, one tokenizer eval per row)
+    gated = curate.rule_gate(docs, min_words=25, min_uniq=0.4).select(
+        "doc_id", "n_words"
+    )
     emb = load(spark, sf_dir, "embeddings")
     prep = similarity.prepare(
         emb.join(gated, emb["vec_id"] == gated["doc_id"]).select(

@@ -182,3 +182,59 @@ def test_bpe_min_count_floor_drops_rare_tokens(bpe_docs):
 def test_bpe_min_count_validation(bpe_docs):
     with pytest.raises(ValueError, match="min_count"):
         bpe.bpe_merges(bpe_docs, 5, min_count=0)
+
+
+def test_dsir_target_pred_parity(corpus):
+    """The fused-counts fast path (one tokenization for both models) is
+    bit-identical to the historical two-aggregation plan, for both the
+    weights and the resample surfaces."""
+    from nr_rfc_dischargeobs_spark.extensions import sampling
+
+    pred = F.col("doc_id") % 2 == 0
+    target = corpus.filter(pred)
+    plain_w = sorted(
+        map(tuple, sampling.dsir_log_ratio(corpus, target).collect())
+    )
+    fused_w = sorted(
+        map(
+            tuple,
+            sampling.dsir_log_ratio(
+                corpus, target, target_pred=pred
+            ).collect(),
+        )
+    )
+    assert fused_w == plain_w
+    plain_s = sorted(
+        map(tuple, sampling.dsir_resample(corpus, target, k=3).collect())
+    )
+    fused_s = sorted(
+        map(
+            tuple,
+            sampling.dsir_resample(
+                corpus, target, k=3, target_pred=pred
+            ).collect(),
+        )
+    )
+    assert fused_s == plain_s
+
+
+def test_curate_rule_gate_matches_quality_scores(corpus):
+    """rule_gate's single-tokenization spelling keeps the exact
+    quality_scores kept-row set and values."""
+    from nr_rfc_dischargeobs_spark.extensions import curate
+
+    ref = (
+        textops.quality_scores(corpus)
+        .filter(
+            (F.col("n_words") >= 3)
+            & (F.col("n_words") <= 100)
+            & (F.col("uniq_ratio") >= 0.2)
+        )
+        .select("doc_id", "n_words", "uniq_ratio")
+    )
+    got = curate.rule_gate(
+        corpus, min_words=3, max_words=100, min_uniq=0.2
+    ).select("doc_id", "n_words", "uniq_ratio")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
