@@ -3002,7 +3002,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the index is a STORED artifact in production (build once, search
     # many; write it partitioned by list_id).  persist() reproduces that
     # split here AND is load-bearing for plan compilation: inlining the
-    # assignment-window + staged-encode subtree under the search join
+    # assignment + staged-encode subtree under the search join
     # regenerates a method janino refuses to compile, and the failed
     # compile re-runs on EVERY execution (~5 s fixed, measured — compile
     # failures are not cached).  The cache barrier keeps the encode and
@@ -3011,11 +3011,18 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged PQ encode exceeds janino's 64KB method limit — the compile
     # FAILS (not cached, ~3-5 s re-attempted every execution, then
     # interpreted fallback): measured [3.2, 2.3, 2.1] s/pass (window)
-    # vs [11.5, 10.7, 8.9] (local build).  The window spelling stays —
-    # it is also what keeps the encode in its own compilable stage.
-    # The probe-side literal fold A/B'd within noise of the window
-    # spelling here ([3.0, 3.3, 2.8] vs [3.2, 2.3, 2.1]); the window
-    # probe is kept for the same compile-budget reason.
+    # vs [11.5, 10.7, 8.9] (local build).  r14 A/B (VERDICT task 5):
+    # splitting assignment and encode across a SECOND persist barrier
+    # (assign="local" + persist of the assigned frame) does give each
+    # stage its own compilable method, but the fold's compile storms
+    # recur intermittently across re-executions — measured pass trains
+    # [2.6, 2.7, 2.6, 2.1] on one run, then [10.9, 57.9, 2.3, 2.4] and
+    # [9.5, 51.0, 16.7, 16.5] on the next two (idle box; the window
+    # spelling re-measured 2.0-2.3 s immediately after).  The window
+    # spelling stays — it is also what keeps the encode in its own
+    # compilable stage.  The probe-side literal fold A/B'd within noise
+    # of the window spelling here ([3.0, 3.3, 2.8] vs [3.2, 2.3, 2.1]);
+    # the window probe is kept for the same compile-budget reason.
     index = similarity.ivf_pq_index(
         corpus, coarse, cents, m=4, dim=64
     ).persist()
@@ -3140,7 +3147,10 @@ def sim_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 A/B: assign="local" + literal-fold probe REVERTED here for the
     # same measured janino 64KB blowout as sim_ivf_pq_topk (bench pass
     # times [3.13, 2.98, 3.08] → [4.29, 3.94, 4.80] with the fold; the
-    # failed compile re-runs every execution).
+    # failed compile re-runs every execution).  r14 A/B: the split-
+    # barrier variant (see sim_ivf_pq_topk above) also REVERTED —
+    # intermittent multi-second compile storms ([15.5, 14.8, 59.8,
+    # 28.1] on the bad run) dwarf the deleted exchange at this scale.
     index = similarity.ivf_pq_index(
         corpus, coarse, cents, m=4, dim=64
     ).persist()
@@ -3211,6 +3221,14 @@ def _ivfadc_parts(spark: SparkSession, sf_dir: str, iters: int = 1):
     residuals = similarity.residualize(
         similarity.ivf_assign(corpus, coarse, 1, None), coarse_rows
     )
+    # r14 A/B: persisting this frame for the training window (the seed
+    # collect + one Lloyd iteration each re-evaluate the lineage) was
+    # tried and REVERTED — the cache materialization costs more than
+    # the ONE evaluation it saves at iters=1 (ext_sim_ivfadc_topk
+    # 3.5-4.0 s/pass → 5.2-6.8 with the persist; pq_train_codebook
+    # 1.9-2.7 → 2.0-2.5).  At a real training scale (many iterations,
+    # bounded sample) materializing the sample is still the right
+    # posture — pass a pre-persisted frame to pq_train_codebooks then.
     cb = similarity.pq_train_codebooks(
         residuals, k=8, m=4, dim=64, iters=iters
     )
