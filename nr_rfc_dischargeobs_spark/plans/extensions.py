@@ -612,7 +612,16 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = similarity.prepare(
         emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
     )
-    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 28))
+    # r14 (guide §2.2 reuse, VERDICT task 7): the corpus side feeds BOTH
+    # the approx search (assignment + probed scoring) and the exact
+    # baseline (brute-force scoring) — 5 scans of the embeddings table
+    # in the un-shared plan.  Persist the prepared corpus once for the
+    # audit (released via release_plan_caches); the recall audit is the
+    # one operator whose DEFINITION evaluates the same corpus twice, so
+    # a shared materialized input is the honest spelling at any scale
+    # (audits run on bounded samples in production).
+    corpus = similarity.prepare(emb.filter(F.col("vec_id") >= 28)).persist()
+    _PLAN_CACHES.append(corpus)
     approx = similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=2)
     exact = similarity.brute_force_topk(queries, corpus, k=3)
     return similarity.ann_recall(approx, exact)
