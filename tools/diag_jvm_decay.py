@@ -50,6 +50,14 @@ def main() -> None:
         out["classes_total"] = cl.getTotalLoadedClassCount()
         comp = mf.getCompilationMXBean()
         out["jit_ms_total"] = comp.getTotalCompilationTime()
+        gc_ms = gc_n = 0
+        for gc in mf.getGarbageCollectorMXBeans():
+            gc_ms += gc.getCollectionTime()
+            gc_n += gc.getCollectionCount()
+        out["gc_ms_total"] = gc_ms
+        out["gc_count"] = gc_n
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        out["heap_used_mb"] = round(heap.getUsed() / 2**20)
         return out
 
     queries = entrymod._raw_queries()
